@@ -1,0 +1,25 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc dev runner: `runMain graft.Dev <queryName> [sfDir]` shows the
+  * query result (full exceptions propagate). */
+object Dev {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = if (name == "entry") SparkEntry.entry(spark)
+             else SparkEntry.queries(name)(spark, dir)
+    if (args.contains("--explain")) df.explain("formatted")
+    df.show(50, false)
+    spark.stop()
+  }
+}

@@ -1,0 +1,337 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+import graft.Tables
+import graft.rng.Rand
+import graft.zonal.Zonal
+
+/** Scalar transforms, filters, dates, sorts, set ops, and aggregations
+  * (SURVEY.md §2.2, §2.4, §2.6, §2.8, §2.9), declared over the driver
+  * corpus with lockstep DuckDB oracle SQL.
+  */
+object QueriesCore {
+  type Q = (SparkSession, String) => DataFrame
+
+  // §2.2 classification range filter (LAS class keep/drop semantics,
+  // differencing_functions.py:794–806) mapped onto the events table.
+  private val filterProject: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(!col("event_type").isin("error", "signup") && col("value") > 50.0)
+      .select(col("event_id"), col("event_type"), round(col("value"), 6).as("value"))
+
+  private val filterProjectSql =
+    """SELECT event_id, event_type, round(value, 6) AS value
+       FROM events
+       WHERE event_type NOT IN ('error', 'signup') AND value > 50.0"""
+
+  // §2.2 assign/overwrite column (filters.assign, :802–803)
+  private val assignOverwrite: Q = (s, d) =>
+    Tables.documents(s, d).filter(col("source") === "src1")
+      .select(col("doc_id"), lit(0).as("classification"), col("lang"))
+
+  private val assignOverwriteSql =
+    """SELECT doc_id, 0 AS classification, lang FROM documents WHERE source = 'src1'"""
+
+  // §2.2 percentile clip filter: two-phase [p1, p99] keep
+  // (variography_uncertainty.py:253–260)
+  private val percentileClip: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val bounds = li.agg(
+      percentile(col("l_extendedprice"), lit(0.01)).as("lo"),
+      percentile(col("l_extendedprice"), lit(0.99)).as("hi"))
+    li.crossJoin(bounds)
+      .filter(col("l_extendedprice").between(col("lo"), col("hi")))
+      .agg(count(lit(1)).as("n"),
+        round(avg("l_extendedprice"), 6).as("mean_price"),
+        round(min("l_extendedprice"), 6).as("min_price"),
+        round(max("l_extendedprice"), 6).as("max_price"))
+  }
+
+  private val percentileClipSql =
+    """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+                         quantile_cont(l_extendedprice, 0.99) AS hi FROM lineitem)
+       SELECT count(*) AS n, round(avg(l_extendedprice), 6) AS mean_price,
+              round(min(l_extendedprice), 6) AS min_price,
+              round(max(l_extendedprice), 6) AS max_price
+       FROM lineitem, b WHERE l_extendedprice BETWEEN lo AND hi"""
+
+  // §2.2 symmetric color bounds (`_sym_range`, differencing_functions.py:2432–2452)
+  private val symRange: Q = (s, d) =>
+    Tables.events(s, d)
+      .agg(max(abs(col("value"))).as("m"))
+      .select(round(negate(col("m")), 6).as("lo"), round(col("m"), 6).as("hi"))
+
+  private val symRangeSql =
+    """SELECT round(-max(abs(value)), 6) AS lo, round(max(abs(value)), 6) AS hi FROM events"""
+
+  // §2.2 name sanitization (`_clean`, differencing_functions.py:401–404)
+  private val nameSanitize: Q = (s, d) =>
+    Tables.customer(s, d).filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), "[^\\w]+", "_").as("clean_name"))
+
+  private val nameSanitizeSql =
+    """SELECT c_custkey, regexp_replace(c_name, '[^\w]+', '_', 'g') AS clean_name
+       FROM customer WHERE c_custkey % 97 = 0"""
+
+  // §2.2 data-source classifier (substring dispatch,
+  // differencing_functions.py:491–492)
+  private val sourceClassifier: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(lower(col("source")).contains("1"), "usgs")
+          .when(lower(col("source")).contains("2"), "noaa")
+          .otherwise("ot").as("provider"))
+
+  private val sourceClassifierSql =
+    """SELECT doc_id,
+              CASE WHEN contains(lower(source), '1') THEN 'usgs'
+                   WHEN contains(lower(source), '2') THEN 'noaa'
+                   ELSE 'ot' END AS provider
+       FROM documents"""
+
+  // §2.2 temporal-coverage parser: "start / end" string round-trip
+  // (differencing_functions.py:467–485)
+  private val temporalParse: Q = (s, d) => {
+    val spans = Tables.orders(s, d).groupBy("o_orderpriority")
+      .agg(min(to_date(col("o_orderdate"))).as("d0"),
+           max(to_date(col("o_orderdate"))).as("d1"))
+      .select(col("o_orderpriority"),
+        concat(col("d0").cast("string"), lit(" / "), col("d1").cast("string")).as("coverage"))
+    spans.select(col("o_orderpriority"), col("coverage"),
+      to_date(element_at(split(col("coverage"), " / "), 1)).as("start_date"),
+      to_date(element_at(split(col("coverage"), " / "), 2)).as("end_date"))
+  }
+
+  private val temporalParseSql =
+    """WITH spans AS (
+         SELECT o_orderpriority,
+                CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR) || ' / ' ||
+                CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) AS coverage
+         FROM orders GROUP BY 1)
+       SELECT o_orderpriority, coverage,
+              CAST(string_split(coverage, ' / ')[1] AS DATE) AS start_date,
+              CAST(string_split(coverage, ' / ')[2] AS DATE) AS end_date
+       FROM spans"""
+
+  // §2.2 midpoint epoch: start + (end−start)/2
+  // (differencing_functions.py:554–566)
+  private val midpointEpoch: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy((col("o_custkey") % 101).as("cohort"))
+      .agg(min(to_date(col("o_orderdate"))).as("d0"),
+           max(to_date(col("o_orderdate"))).as("d1"))
+      .select(col("cohort"), col("d0"), col("d1"),
+        date_add(col("d0"), (datediff(col("d1"), col("d0")) / 2).cast("int")).as("midpoint"))
+
+  private val midpointEpochSql =
+    """SELECT o_custkey % 101 AS cohort,
+              min(CAST(o_orderdate AS DATE)) AS d0,
+              max(CAST(o_orderdate AS DATE)) AS d1,
+              min(CAST(o_orderdate AS DATE)) +
+                CAST(datediff('day', min(CAST(o_orderdate AS DATE)),
+                                     max(CAST(o_orderdate AS DATE))) // 2 AS INT) AS midpoint
+       FROM orders GROUP BY 1"""
+
+  // §2.2 decimal-year epoch (differencing_functions.py:1331, 1922)
+  private val decimalYear: Q = (s, d) =>
+    Tables.orders(s, d).filter(col("o_orderkey") % 211 === 0)
+      .select(col("o_orderkey"),
+        round(year(col("o_orderdate")) +
+          (dayofyear(col("o_orderdate")) - 1) / lit(365.25), 6).as("decimal_year"))
+
+  private val decimalYearSql =
+    """SELECT o_orderkey,
+              round(year(o_orderdate) + (dayofyear(o_orderdate) - 1) / 365.25, 6) AS decimal_year
+       FROM orders WHERE o_orderkey % 211 = 0"""
+
+  // §2.2 GPS-seconds → date, with the LAS-1.4 +1e9 adjustment
+  // (differencing_functions.py:1559–1567, 1889–1893)
+  private val gpsEpoch: Q = (s, d) => {
+    val gps = Rand.mix(col("o_orderkey"), 11).cast("double")
+    val adj = when(gps < 1e9, gps + 1e9).otherwise(gps)
+    Tables.orders(s, d).filter(col("o_orderkey") % 307 === 0)
+      .select(col("o_orderkey"), gps.as("gps_seconds"),
+        date_add(to_date(lit("1980-01-06")), floor(adj / 86400.0).cast("int")).as("acq_date"))
+  }
+
+  private val gpsEpochSql = {
+    val gps = s"CAST(${Rand.mixSql("o_orderkey", 11)} AS DOUBLE)"
+    s"""SELECT o_orderkey, $gps AS gps_seconds,
+          DATE '1980-01-06' + CAST(floor(
+            (CASE WHEN $gps < 1e9 THEN $gps + 1e9 ELSE $gps END) / 86400.0) AS INT) AS acq_date
+        FROM orders WHERE o_orderkey % 307 = 0"""
+  }
+
+  // §2.9 JSON extraction (catalog flattening analog,
+  // differencing_functions.py:463–504) over events.props
+  private val jsonExtract: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(avg("k"), 6).as("mean_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+
+  private val jsonExtractSql =
+    """SELECT event_type, count(*) AS n,
+              round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS mean_k,
+              min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+              max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+       FROM events GROUP BY 1"""
+
+  // §2.6 catalog sort by date + head (differencing_functions.py:506–508)
+  private val sortLimit: Q = (s, d) =>
+    Tables.orders(s, d)
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_orderdate"), round(col("o_totalprice"), 6).as("price"))
+
+  private val sortLimitSql =
+    """SELECT o_orderkey, o_orderdate, round(o_totalprice, 6) AS price
+       FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 100"""
+
+  // §2.6 pick-by-index (`pick`, differencing_functions.py:516–574)
+  private val pickIndex: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("idx", row_number().over(
+        Window.orderBy(col("o_orderdate"), col("o_orderkey"))))
+      .filter(col("idx").isin(1, 500, 1000))
+      .select(col("idx"), col("o_orderkey"), col("o_orderstatus"))
+
+  private val pickIndexSql =
+    """SELECT idx, o_orderkey, o_orderstatus FROM (
+         SELECT o_orderkey, o_orderstatus,
+                row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS idx
+         FROM orders) WHERE idx IN (1, 500, 1000)"""
+
+  // §2.6 argmin top-1 selection (AIC argmin analog,
+  // variography_uncertainty.py:835–844)
+  private val argminSelect: Q = (s, d) =>
+    Tables.customer(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))))
+      .filter(col("rn") === 1)
+      .select(col("c_mktsegment"), col("c_custkey"), round(col("c_acctbal"), 6).as("acctbal"))
+
+  private val argminSelectSql =
+    """SELECT c_mktsegment, c_custkey, round(c_acctbal, 6) AS acctbal
+       FROM customer
+       QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) = 1"""
+
+  // §2.8 set difference / intersection / union over partkey sets
+  // (stable−unstable EXCEPT, overlap INTERSECT, unary_union;
+  // stable_unstable_areas.py:351–410, differencing_functions.py:2024–2047)
+  private def sideKeys(s: SparkSession, d: String, parity: Int): DataFrame =
+    Tables.lineitem(s, d).filter(col("l_suppkey") % 2 === parity)
+      .select(col("l_partkey")).distinct()
+
+  private val setExcept: Q = (s, d) => sideKeys(s, d, 0).except(sideKeys(s, d, 1))
+  private val setExceptSql =
+    """SELECT DISTINCT l_partkey FROM lineitem WHERE l_suppkey % 2 = 0
+       EXCEPT
+       SELECT DISTINCT l_partkey FROM lineitem WHERE l_suppkey % 2 = 1"""
+
+  private val setIntersect: Q = (s, d) => sideKeys(s, d, 0).intersect(sideKeys(s, d, 1))
+  private val setIntersectSql =
+    """SELECT DISTINCT l_partkey FROM lineitem WHERE l_suppkey % 2 = 0
+       INTERSECT
+       SELECT DISTINCT l_partkey FROM lineitem WHERE l_suppkey % 2 = 1"""
+
+  private val setUnion: Q = (s, d) =>
+    sideKeys(s, d, 0).union(sideKeys(s, d, 1)).distinct()
+  private val setUnionSql =
+    """SELECT l_partkey FROM lineitem WHERE l_suppkey % 2 = 0
+       UNION
+       SELECT l_partkey FROM lineitem WHERE l_suppkey % 2 = 1"""
+
+  // §2.4 group-by aggregation (zonal-stats shape on the corpus)
+  private val groupAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 6).as("sum_qty"),
+        round(avg("l_extendedprice"), 6).as("avg_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+
+  private val groupAggSql =
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 6) AS sum_qty,
+              round(avg(l_extendedprice), 6) AS avg_price,
+              round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+              count(*) AS n
+       FROM lineitem GROUP BY 1, 2"""
+
+  // §2.4 11-stat descriptive summary + mode, per zone + ALL rollup
+  // (stable_unstable_areas.py:549–584, 641–671)
+  private val stats11: Q = (s, d) =>
+    Zonal.statsWithMode(() => Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("name"),
+        (col("l_extendedprice") / 1000.0).as("v")))
+
+  private val stats11Sql = Zonal.statsSql(
+    "SELECT l_returnflag AS name, l_extendedprice / 1000.0 AS v FROM lineitem")
+
+  // §2.4 RMS + uncorrelated term rms/√n
+  // (variography_uncertainty.py:1548–1552, compute_rms_from_tif :1739–1764)
+  private val rmsUncorrelated: Q = (s, d) =>
+    Tables.events(s, d).filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n"), sqrt(avg(col("value") * col("value"))).as("rms"))
+      .select(col("n"), round(col("rms"), 6).as("rms"),
+        round(col("rms") / sqrt(col("n")), 6).as("uncorrelated"))
+
+  private val rmsUncorrelatedSql =
+    """SELECT n, round(rms, 6) AS rms, round(rms / sqrt(n), 6) AS uncorrelated
+       FROM (SELECT count(*) AS n, sqrt(avg(value * value)) AS rms
+             FROM events WHERE event_type = 'purchase')"""
+
+  val queries: Map[String, Q] = Map(
+    "s_filter_project" -> filterProject,
+    "s_assign_overwrite" -> assignOverwrite,
+    "s_percentile_clip" -> percentileClip,
+    "s_sym_range" -> symRange,
+    "s_name_sanitize" -> nameSanitize,
+    "s_source_classifier" -> sourceClassifier,
+    "d_temporal_parse" -> temporalParse,
+    "d_midpoint_epoch" -> midpointEpoch,
+    "d_decimal_year" -> decimalYear,
+    "d_gps_epoch" -> gpsEpoch,
+    "j_json_extract" -> jsonExtract,
+    "o_sort_limit" -> sortLimit,
+    "o_pick_index" -> pickIndex,
+    "o_argmin_select" -> argminSelect,
+    "set_except" -> setExcept,
+    "set_intersect" -> setIntersect,
+    "set_union" -> setUnion,
+    "a_group_agg" -> groupAgg,
+    "a_stats11" -> stats11,
+    "a_rms_uncorrelated" -> rmsUncorrelated,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s_filter_project" -> filterProjectSql,
+    "s_assign_overwrite" -> assignOverwriteSql,
+    "s_percentile_clip" -> percentileClipSql,
+    "s_sym_range" -> symRangeSql,
+    "s_name_sanitize" -> nameSanitizeSql,
+    "s_source_classifier" -> sourceClassifierSql,
+    "d_temporal_parse" -> temporalParseSql,
+    "d_midpoint_epoch" -> midpointEpochSql,
+    "d_decimal_year" -> decimalYearSql,
+    "d_gps_epoch" -> gpsEpochSql,
+    "j_json_extract" -> jsonExtractSql,
+    "o_sort_limit" -> sortLimitSql,
+    "o_pick_index" -> pickIndexSql,
+    "o_argmin_select" -> argminSelectSql,
+    "set_except" -> setExceptSql,
+    "set_intersect" -> setIntersectSql,
+    "set_union" -> setUnionSql,
+    "a_group_agg" -> groupAggSql,
+    "a_stats11" -> stats11Sql,
+    "a_rms_uncorrelated" -> rmsUncorrelatedSql,
+  )
+}

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+import graft.geom.Geom
+import graft.raster.{PixelGrid, Terrain}
+import graft.zonal.Zonal
+
+/** Raster-model operators (SURVEY.md §2.1, §2.3, §2.5): differencing join,
+  * outer-join mask, bilinear regrid, crop/point-in-polygon, terrain
+  * stencils, gap-fill. All run over the deterministic lineitem-derived
+  * 128×128 pixel grids (PixelGrid.grid / gridSql).
+  */
+object QueriesRaster {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def gA(s: SparkSession, d: String) = PixelGrid.grid(s, d, 0)
+  private def gB(s: SparkSession, d: String) = PixelGrid.grid(s, d, 1)
+  private val cteA = PixelGrid.gridSql(0)
+  private val cteB = PixelGrid.gridSql(1)
+
+  // §2.3 grid-aligned equi-join differencing (the engine core)
+  private val diffJoin: Q = (s, d) => PixelGrid.difference(gA(s, d), gB(s, d))
+  private val diffJoinSql =
+    s"""WITH a AS ($cteA), b AS ($cteB)
+        SELECT a.col, a."row", round(b.value - a.value, 6) AS dz
+        FROM a JOIN b ON a.col = b.col AND a."row" = b."row""""
+
+  // §2.3 combined nodata mask (full outer)
+  private val combinedMask: Q = (s, d) => PixelGrid.combinedMask(gA(s, d), gB(s, d))
+  private val combinedMaskSql =
+    s"""WITH a AS ($cteA), b AS ($cteB)
+        SELECT coalesce(a.col, b.col) AS col, coalesce(a."row", b."row") AS "row",
+               (a.value IS NULL OR b.value IS NULL) AS masked
+        FROM a FULL OUTER JOIN b ON a.col = b.col AND a."row" = b."row""""
+
+  // §2.8 overlap intersect of valid masks
+  private val overlapIntersect: Q = (s, d) => PixelGrid.overlap(gA(s, d), gB(s, d))
+  private val overlapIntersectSql =
+    s"""WITH a AS ($cteA), b AS ($cteB)
+        SELECT a.col, a."row" FROM a JOIN b ON a.col = b.col AND a."row" = b."row""""
+
+  // §2.3 bilinear regrid onto a 4× coarser grid
+  private val regrid: Q = (s, d) => PixelGrid.regridBilinear(gA(s, d), 4, 32)
+  private val regridSql = PixelGrid.regridBilinearSql(cteA, 4, 32)
+
+  // §2.2 spatial crop: bbox prefilter + point-in-polygon (diamond), the
+  // engine side uses the PointInPolygon expression, the oracle the
+  // equivalent half-plane form (filters.crop, differencing_functions.py:
+  // 787–790, 2049–2054). Diamond centered (64.3, 64.3), radius 30.2 —
+  // constants off the half-integer lattice so boundary semantics never
+  // bite (SURVEY.md §7.4).
+  private val diamond = Seq((64.3, 34.1), (94.5, 64.3), (64.3, 94.5), (34.1, 64.3))
+  private val cropPip: Q = (s, d) => {
+    val px = PixelGrid.withXY(gA(s, d))
+    px.filter(col("x").between(34.1, 94.5) && col("y").between(34.1, 94.5))
+      .filter(Geom.pointInPolygon(col("x"), col("y"), Geom.polyLit(diamond)))
+      .select(col("col"), col("row"), col("value"))
+  }
+  private val cropPipSql =
+    s"""WITH g AS ($cteA)
+        SELECT col, "row", value FROM (SELECT g.*, ${PixelGrid.xySql} FROM g)
+        WHERE x BETWEEN 34.1 AND 94.5 AND y BETWEEN 34.1 AND 94.5
+          AND abs(x - 64.3) + abs(y - 64.3) < 30.2"""
+
+  // §2.3 point-in-polygon zonal join + §2.4 zonal stats with rollup:
+  // pixels of the diff raster tagged by overlapping named zones
+  private val zones: Seq[(String, Seq[(Double, Double)])] = Seq(
+    "west_rect" -> Seq((4.2, 4.2), (60.4, 4.2), (60.4, 123.7), (4.2, 123.7)),
+    "east_rect" -> Seq((68.3, 4.2), (123.7, 4.2), (123.7, 123.7), (68.3, 123.7)),
+    "mid_diamond" -> diamond)
+
+  private def zonesSqlCases(xc: String, yc: String): Seq[(String, String)] = Seq(
+    "west_rect" -> s"$xc BETWEEN 4.2 AND 60.4 AND $yc BETWEEN 4.2 AND 123.7",
+    "east_rect" -> s"$xc BETWEEN 68.3 AND 123.7 AND $yc BETWEEN 4.2 AND 123.7",
+    "mid_diamond" -> s"abs($xc - 64.3) + abs($yc - 64.3) < 30.2")
+
+  private val zonalStats: Q = (s, d) =>
+    Zonal.statsWithMode { () =>
+      val dz = PixelGrid.withXY(PixelGrid.difference(gA(s, d), gB(s, d)))
+        .withColumnRenamed("dz", "v")
+      zones.map { case (n, pts) =>
+        dz.filter(Geom.pointInPolygon(col("x"), col("y"), Geom.polyLit(pts)))
+          .select(lit(n).as("name"), col("v"))
+      }.reduce(_ unionAll _)
+    }
+
+  private val zonalStatsSql = {
+    val pre =
+      s"""a AS ($cteA), b AS ($cteB),
+          dz AS (SELECT a.col, a."row", round(b.value - a.value, 6) AS v,
+                        (a.col + 0.5) AS x, (a."row" + 0.5) AS y
+                 FROM a JOIN b ON a.col = b.col AND a."row" = b."row"),"""
+    val unions = zonesSqlCases("x", "y").map { case (n, cond) =>
+      s"SELECT '$n' AS name, v FROM dz WHERE $cond" }.mkString("\n UNION ALL \n")
+    Zonal.statsSql(s"SELECT name, v FROM ( $unions ) u", pre)
+  }
+
+  // §2.5 terrain stencils over raster A
+  private def terrainSql(exprSql: String) =
+    s"""WITH g AS ($cteA),
+        nb AS (${Terrain.neighborhoodSql})
+        SELECT col, "row", $exprSql FROM nb"""
+
+  private val slope: Q = (s, d) => Terrain.slope(gA(s, d), 1.0)
+  private val slopeSql = terrainSql(Terrain.slopeSqlExpr(1.0))
+
+  private val aspect: Q = (s, d) => Terrain.aspect(gA(s, d), 1.0)
+  private val aspectSql = terrainSql(Terrain.aspectSqlExpr(1.0))
+
+  private val hillshade: Q = (s, d) => Terrain.hillshade(gA(s, d), 1.0)
+  private val hillshadeSql = terrainSql(Terrain.hillshadeSqlExpr(1.0))
+
+  private val roughness: Q = (s, d) => Terrain.roughness(gA(s, d))
+  private val roughnessSql = terrainSql(Terrain.roughnessSqlExpr)
+
+  // §2.5 IDW gap-fill of raster B's holes, radius 3
+  private val gapfill: Q = (s, d) => Terrain.gapfillIdw(gB(s, d), PixelGrid.W, 3)
+  private val gapfillSql = Terrain.gapfillIdwSql(cteB, PixelGrid.W, 3)
+
+  // §2.2 pointwise subtract-constant: bias removal using the stable-zone
+  // median (subtract_value_from_raster, variography_uncertainty.py:116–136)
+  private val biasRemove: Q = (s, d) => {
+    val dz = PixelGrid.withXY(PixelGrid.difference(gA(s, d), gB(s, d)))
+    val bias = dz.filter(col("x").between(4.2, 60.4) && col("y").between(4.2, 123.7))
+      .agg(percentile(col("dz"), lit(0.5)).as("bias"))
+    dz.crossJoin(bias)
+      .select(col("col"), col("row"), round(col("dz") - col("bias"), 6).as("dz_unbiased"))
+  }
+  private val biasRemoveSql =
+    s"""WITH a AS ($cteA), b AS ($cteB),
+        dz AS (SELECT a.col, a."row", round(b.value - a.value, 6) AS dz,
+                      (a.col + 0.5) AS x, (a."row" + 0.5) AS y
+               FROM a JOIN b ON a.col = b.col AND a."row" = b."row"),
+        bias AS (SELECT quantile_cont(dz, 0.5) AS bias FROM dz
+                 WHERE x BETWEEN 4.2 AND 60.4 AND y BETWEEN 4.2 AND 123.7)
+        SELECT col, "row", round(dz - bias, 6) AS dz_unbiased FROM dz, bias"""
+
+  val queries: Map[String, Q] = Map(
+    "r_diff_join" -> diffJoin,
+    "r_combined_mask" -> combinedMask,
+    "r_overlap_intersect" -> overlapIntersect,
+    "r_regrid_bilinear" -> regrid,
+    "r_crop_pip" -> cropPip,
+    "r_zonal_stats" -> zonalStats,
+    "r_bias_remove" -> biasRemove,
+    "t_slope" -> slope,
+    "t_aspect" -> aspect,
+    "t_hillshade" -> hillshade,
+    "t_roughness" -> roughness,
+    "t_gapfill_idw" -> gapfill,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "r_diff_join" -> diffJoinSql,
+    "r_combined_mask" -> combinedMaskSql,
+    "r_overlap_intersect" -> overlapIntersectSql,
+    "r_regrid_bilinear" -> regridSql,
+    "r_crop_pip" -> cropPipSql,
+    "r_zonal_stats" -> zonalStatsSql,
+    "r_bias_remove" -> biasRemoveSql,
+    "t_slope" -> slopeSql,
+    "t_aspect" -> aspectSql,
+    "t_hillshade" -> hillshadeSql,
+    "t_roughness" -> roughnessSql,
+    "t_gapfill_idw" -> gapfillSql,
+  )
+}

@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+import graft.Tables
+import graft.functions.Spherical
+import graft.rng.Rand
+import graft.vario.Vario
+
+/** Variography + uncertainty-propagation operators (SURVEY.md §2.3 band
+  * join, §2.4 binned aggs, §2.7 seeded sampling/bootstrap, §2.9 spherical
+  * math). The full reference pipeline: sample → pairwise band join →
+  * Matheron binning → cross-run reduction → (driver fit) → Monte-Carlo /
+  * analytical / Hugonnet uncertainty.
+  */
+object QueriesVario {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val NRUNS = 5
+  private val SAMPLE = 800
+  private val MAXLAG = 200.0
+  private val BINW = 20.0
+
+  // §2.7 deterministic sample points (position+value from counter RNG)
+  private val samplePoints: Q = (s, d) => Vario.points(s, d)
+  private val samplePointsSql = Vario.pointsSql
+
+  // §2.7 seeded multi-run sample w/o replacement, reduced per run
+  private val multirunSample: Q = (s, d) =>
+    Vario.multiRunSample(Vario.points(s, d), NRUNS, SAMPLE)
+      .groupBy("run").agg(count(lit(1)).as("n"),
+        round(avg("v"), 6).as("mean_v"),
+        round(avg("x"), 6).as("mean_x"),
+        round(avg("y"), 6).as("mean_y"))
+  private val multirunSampleSql =
+    s"""SELECT run, count(*) AS n, round(avg(v), 6) AS mean_v,
+          round(avg(x), 6) AS mean_x, round(avg(y), 6) AS mean_y
+        FROM (${Vario.multiRunSampleSql(Vario.pointsSql, NRUNS, SAMPLE)})
+        GROUP BY 1"""
+
+  // §2.3+§2.4 empirical variogram: band join → Matheron per (run, bin)
+  private val variogram: Q = (s, d) =>
+    Vario.matheron(
+      Vario.bandPairs(Vario.multiRunSample(Vario.points(s, d), NRUNS, SAMPLE), MAXLAG),
+      BINW)
+  private val variogramSql = Vario.matheronSql(
+    Vario.bandPairsSql(Vario.multiRunSampleSql(Vario.pointsSql, NRUNS, SAMPLE), MAXLAG),
+    BINW)
+
+  // §2.4 cross-run variogram reduction
+  private val crossRun: Q = (s, d) => Vario.crossRunReduce(variogram(s, d))
+  private val crossRunSql = Vario.crossRunReduceSql(variogramSql)
+
+  // §2.4 bootstrap median distribution: 200 iters × 500 draws w/
+  // replacement → median per iter → std + mean of medians
+  // (bootstrap_uncertainty_subsample, variography_uncertainty.py:289–316)
+  private val bootstrapMedian: Q = (s, d) => {
+    val spark = s
+    val pts = Vario.points(s, d)
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("k")))
+    val n = pts.agg(count(lit(1)).as("nn"))
+    val draws = spark.range(200L * 500)
+      .select((col("id") / 500).cast("int").as("iter"), col("id").as("ctr"))
+      .crossJoin(n)
+      .select(col("iter"), (Rand.mix(col("ctr"), 3) % col("nn") + 1).as("idx"))
+    draws.join(pts, "idx")
+      .groupBy("iter").agg(percentile(col("v"), lit(0.5)).as("med"))
+      .agg(round(avg("med"), 6).as("mean_median"),
+        round(stddev_pop("med"), 6).as("median_uncertainty"))
+  }
+  private val bootstrapMedianSql =
+    s"""WITH pts AS (SELECT v, row_number() OVER (ORDER BY k) AS idx
+                     FROM (${Vario.pointsSql})),
+        n AS (SELECT count(*) AS nn FROM pts),
+        draws AS (SELECT CAST(ctr // 500 AS INT) AS iter,
+                         (${Rand.mixSql("ctr", 3)}) % nn + 1 AS idx
+                  FROM (SELECT unnest(range(${200L * 500})) AS ctr), n),
+        meds AS (SELECT iter, quantile_cont(v, 0.5) AS med
+                 FROM draws JOIN pts USING (idx) GROUP BY 1)
+        SELECT round(avg(med), 6) AS mean_median,
+               round(stddev_pop(med), 6) AS median_uncertainty
+        FROM meds"""
+
+  // §2.9+§2.3 Monte-Carlo correlated uncertainty: zip-join of paired
+  // uniform draws in a rectangle, mean covariance → σ_corr
+  // (estimate_monte_carlo, variography_uncertainty.py:1238–1274)
+  private val mcCorrelated: Q = (s, d) => {
+    val m = Spherical.canonical
+    val nPairs = 20000
+    val pairs = s.range(nPairs)
+      .select(
+        (Rand.u01(col("id"), 41) * 600.0 + 100.0).as("x1"),
+        (Rand.u01(col("id"), 42) * 400.0 + 50.0).as("y1"),
+        (Rand.u01(col("id"), 43) * 600.0 + 100.0).as("x2"),
+        (Rand.u01(col("id"), 44) * 400.0 + 50.0).as("y2"))
+      .select(sqrt(pow(col("x2") - col("x1"), 2) + pow(col("y2") - col("y1"), 2)).as("h"))
+    pairs.agg(avg(m.cov(col("h"))).as("mean_cov"))
+      .select(round(sqrt(greatest(col("mean_cov"), lit(0.0))), 6).as("sigma_correlated"))
+  }
+  private val mcCorrelatedSql = {
+    val m = Spherical.canonical
+    val u = (salt: Int) => Rand.u01Sql("i", salt)
+    s"""WITH pairs AS (
+          SELECT sqrt(pow((${u(43)} * 600.0 + 100.0) - (${u(41)} * 600.0 + 100.0), 2)
+                    + pow((${u(44)} * 400.0 + 50.0) - (${u(42)} * 400.0 + 50.0), 2)) AS h
+          FROM (SELECT unnest(range(20000)) AS i))
+        SELECT round(sqrt(greatest(avg(${m.covSql("h")}), 0.0)), 6) AS sigma_correlated
+        FROM pairs"""
+  }
+
+  // §2.9 analytical disk-integral correlated term, midpoint rule
+  // (σ²_A = (2π/A)∫ r·C(r)dr; variography_uncertainty.py:1184–1195)
+  private val analyticalDisk: Q = (s, d) => {
+    val m = Spherical.canonical
+    val radius = 300.0
+    val steps = 1000
+    val dr = radius / steps
+    val r = (col("id").cast("double") + 0.5) * dr
+    s.range(steps)
+      .select((r * m.cov(r) * dr).as("term"))
+      .agg(sum("term").as("integral"))
+      .select(round(sqrt(greatest(
+        lit(2.0 * math.Pi / (math.Pi * radius * radius)) * col("integral"),
+        lit(0.0))), 6).as("sigma_analytical"))
+  }
+  private val analyticalDiskSql = {
+    val m = Spherical.canonical
+    val radius = 300.0; val steps = 1000; val dr = radius / steps
+    s"""WITH terms AS (
+          SELECT ((CAST(i AS DOUBLE) + 0.5) * $dr) *
+                 (${m.covSql(s"((CAST(i AS DOUBLE) + 0.5) * $dr)")}) * $dr AS term
+          FROM (SELECT unnest(range($steps)) AS i))
+        SELECT round(sqrt(greatest(${2.0 * math.Pi / (math.Pi * radius * radius)} * sum(term), 0.0)), 6)
+          AS sigma_analytical
+        FROM terms"""
+  }
+
+  // §2.3 Hugonnet K-centers cross join: mean ρ(dist) between every sample
+  // point and K=50 random centers (variography_uncertainty.py:1322–1378)
+  private val hugonnet: Q = (s, d) => {
+    val m = Spherical.canonical
+    val centers = s.range(50)
+      .select(col("id").as("cid"),
+        (Rand.u01(col("id"), 51) * 1000.0).as("cx"),
+        (Rand.u01(col("id"), 52) * 1000.0).as("cy"))
+    Vario.points(s, d).crossJoin(broadcast(centers))
+      .select(col("cid"),
+        m.rho(sqrt(pow(col("x") - col("cx"), 2) + pow(col("y") - col("cy"), 2))).as("rho"))
+      .groupBy("cid").agg(count(lit(1)).as("n"), round(avg("rho"), 6).as("mean_rho"))
+  }
+  private val hugonnetSql = {
+    val m = Spherical.canonical
+    s"""WITH centers AS (
+          SELECT i AS cid, ${Rand.u01Sql("i", 51)} * 1000.0 AS cx,
+                 ${Rand.u01Sql("i", 52)} * 1000.0 AS cy
+          FROM (SELECT unnest(range(50)) AS i)),
+        pts AS (${Vario.pointsSql})
+        SELECT cid, count(*) AS n,
+               round(avg(${m.rhoSql("sqrt(pow(x - cx, 2) + pow(y - cy, 2))")}), 6) AS mean_rho
+        FROM pts, centers GROUP BY 1"""
+  }
+
+  // §2.7 uniform points in polygon (rejection over bbox) — diamond accept
+  // (_UniformMultiPolygonSampler, variography_uncertainty.py:1011–1047)
+  private val uniformInPoly: Q = (s, d) =>
+    s.range(2000)
+      .select(col("id"),
+        (Rand.u01(col("id"), 31) * 60.4 + 34.1).as("x"),
+        (Rand.u01(col("id"), 32) * 60.4 + 34.1).as("y"))
+      .filter(abs(col("x") - lit(64.3)) + abs(col("y") - lit(64.3)) < 30.2)
+      .select(col("id"), round(col("x"), 6).as("x"), round(col("y"), 6).as("y"))
+  private val uniformInPolySql =
+    s"""SELECT i AS id,
+          round(${Rand.u01Sql("i", 31)} * 60.4 + 34.1, 6) AS x,
+          round(${Rand.u01Sql("i", 32)} * 60.4 + 34.1, 6) AS y
+        FROM (SELECT unnest(range(2000)) AS i)
+        WHERE abs((${Rand.u01Sql("i", 31)} * 60.4 + 34.1) - 64.3)
+            + abs((${Rand.u01Sql("i", 32)} * 60.4 + 34.1) - 64.3) < 30.2"""
+
+  // §2.7 Gaussian perturbation via Box–Muller on counter uniforms
+  // (variography_uncertainty.py:640–642, 806–810)
+  private val gaussianDraws: Q = (s, d) =>
+    s.range(20000)
+      .select(Rand.gaussian(col("id"), 61).as("z"))
+      .agg(count(lit(1)).as("n"), round(avg("z"), 6).as("mean_z"),
+        round(stddev_pop(col("z")), 6).as("std_z"),
+        round(percentile(col("z"), lit(0.5)), 6).as("median_z"))
+  private val gaussianDrawsSql =
+    s"""SELECT count(*) AS n,
+          round(avg(z), 6) AS mean_z,
+          round(stddev_pop(z), 6) AS std_z,
+          round(quantile_cont(z, 0.5), 6) AS median_z
+        FROM (SELECT ${Rand.gaussianSql("i", 61)} AS z
+              FROM (SELECT unnest(range(20000)) AS i))"""
+
+  // §2.9 total uncertainty in quadrature: σ_tot = √(σ_corr² + σ_unc²)
+  // (variography_uncertainty.py:1554–1573)
+  private val quadratureTotal: Q = (s, d) => {
+    val m = Spherical.canonical
+    val pts = Vario.points(s, d)
+    pts.agg(count(lit(1)).as("n"), sqrt(avg(col("v") * col("v"))).as("rms"))
+      .select(
+        round(col("rms") / sqrt(col("n")), 6).as("sigma_uncorrelated"),
+        round(lit(math.sqrt(2.0 * m.totalSill) / math.sqrt(50.0)), 6).as("sigma_correlated"),
+        round(sqrt(pow(col("rms") / sqrt(col("n")), 2) +
+          pow(lit(math.sqrt(2.0 * m.totalSill) / math.sqrt(50.0)), 2)), 6).as("sigma_total"))
+  }
+  private val quadratureTotalSql = {
+    val m = Spherical.canonical
+    val corr = math.sqrt(2.0 * m.totalSill) / math.sqrt(50.0)
+    s"""SELECT round(rms / sqrt(n), 6) AS sigma_uncorrelated,
+          round($corr, 6) AS sigma_correlated,
+          round(sqrt(pow(rms / sqrt(n), 2) + pow($corr, 2)), 6) AS sigma_total
+        FROM (SELECT count(*) AS n, sqrt(avg(v * v)) AS rms FROM (${Vario.pointsSql}))"""
+  }
+
+  val queries: Map[String, Q] = Map(
+    "v_sample_points" -> samplePoints,
+    "v_multirun_sample" -> multirunSample,
+    "v_variogram" -> variogram,
+    "v_cross_run" -> crossRun,
+    "v_bootstrap_median" -> bootstrapMedian,
+    "u_mc_correlated" -> mcCorrelated,
+    "u_analytical_disk" -> analyticalDisk,
+    "u_hugonnet" -> hugonnet,
+    "u_quadrature_total" -> quadratureTotal,
+    "rng_uniform_in_poly" -> uniformInPoly,
+    "rng_gaussian" -> gaussianDraws,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "v_sample_points" -> samplePointsSql,
+    "v_multirun_sample" -> multirunSampleSql,
+    "v_variogram" -> variogramSql,
+    "v_cross_run" -> crossRunSql,
+    "v_bootstrap_median" -> bootstrapMedianSql,
+    "u_mc_correlated" -> mcCorrelatedSql,
+    "u_analytical_disk" -> analyticalDiskSql,
+    "u_hugonnet" -> hugonnetSql,
+    "u_quadrature_total" -> quadratureTotalSql,
+    "rng_uniform_in_poly" -> uniformInPolySql,
+    "rng_gaussian" -> gaussianDrawsSql,
+  )
+}

@@ -1,0 +1,198 @@
+package graft.raster
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+
+/** Focal (3×3 neighborhood) terrain derivatives — the reference delegates
+  * these to `gdal.DEMProcessing` (differencing_functions.py:2337–2411); here
+  * they are one distributed stencil: each pixel is exploded to the 9 centers
+  * it contributes to, then a single hash-aggregate pivots the 9 neighbors
+  * back into columns (ONE shuffle total, no 8-way self-join; at 100 TB the
+  * shuffle is on the same (col,row) block keys as the table layout).
+  * Only centers with a full 3×3 valid neighborhood emit a row (interior
+  * cells), which is the well-defined subset of GDAL's edge handling.
+  *
+  * Grid orientation: row increases southward (north-up raster), cell size
+  * `res` meters. z[r][c]: z11=NW z12=N z13=NE / z21=W z22=center z23=E /
+  * z31=SW z32=S z33=SE. Horn's method:
+  *   gx = ((z13+2·z23+z33) − (z11+2·z21+z31)) / (8·res)
+  *   gy = ((z31+2·z32+z33) − (z11+2·z12+z13)) / (8·res)
+  */
+object Terrain {
+
+  /** Pivot a pixel table into `[col,row, z11..z33]` for full neighborhoods. */
+  def neighborhood(px: DataFrame): DataFrame = {
+    val offsets = array((for (dr <- -1 to 1; dc <- -1 to 1)
+      yield struct(lit(dc).as("dc"), lit(dr).as("dr"))): _*)
+    val shifted = px
+      .select(col("col"), col("row"), col("value"), explode(offsets).as("o"))
+      .select(
+        (col("col") + col("o.dc")).as("col"),
+        (col("row") + col("o.dr")).as("row"),
+        // offset of the SOURCE pixel relative to the new center
+        (-col("o.dc")).as("dc"), (-col("o.dr")).as("dr"),
+        col("value"))
+    def z(dc: Int, dr: Int): Column =
+      max(when(col("dc") === dc && col("dr") === dr, col("value"))).as(s"z${dr + 2}${dc + 2}")
+    shifted.groupBy("col", "row")
+      .agg(count(lit(1)).as("nn"),
+        z(-1, -1), z(0, -1), z(1, -1),
+        z(-1, 0), z(0, 0), z(1, 0),
+        z(-1, 1), z(0, 1), z(1, 1))
+      .filter(col("nn") === 9)
+      .drop("nn")
+  }
+
+  /** DuckDB CTE: same pivot over a grid CTE named `g`. */
+  def neighborhoodSql: String = {
+    val zs = (for (dr <- -1 to 1; dc <- -1 to 1) yield
+      s"""max(CASE WHEN dc = ${-dc} AND dr = ${-dr} THEN value END) AS z${dr + 2}${dc + 2}""")
+      .mkString(", ")
+    s"""SELECT g.col + dc AS col, g."row" + dr AS "row", dc, dr, value
+        FROM g, (SELECT unnest([-1,0,1]) AS dc), (SELECT unnest([-1,0,1]) AS dr)"""
+      // note: in the shifted frame the source offset relative to the center is (-dc,-dr)
+      .pipe(sh => s"""SELECT col, "row", $zs FROM ($sh) GROUP BY 1, 2 HAVING count(*) = 9""")
+  }
+
+  private implicit class Piper[A](private val a: A) extends AnyVal {
+    def pipe[B](f: A => B): B = f(a)
+  }
+
+  private def gx(res: Double): Column =
+    ((col("z13") + col("z23") * 2 + col("z33")) -
+     (col("z11") + col("z21") * 2 + col("z31"))) / (8 * res)
+  private def gy(res: Double): Column =
+    ((col("z31") + col("z32") * 2 + col("z33")) -
+     (col("z11") + col("z12") * 2 + col("z13"))) / (8 * res)
+
+  private def gxSql(res: Double) = s"(((z13 + 2*z23 + z33) - (z11 + 2*z21 + z31)) / ${8 * res})"
+  private def gySql(res: Double) = s"(((z31 + 2*z32 + z33) - (z11 + 2*z12 + z13)) / ${8 * res})"
+
+  /** Slope in degrees (Horn; differencing_functions.py:2358–2372). */
+  def slope(px: DataFrame, res: Double = 1.0): DataFrame =
+    neighborhood(px).select(col("col"), col("row"),
+      round(atan(sqrt(gx(res) * gx(res) + gy(res) * gy(res))) * (180.0 / math.Pi), 6)
+        .as("slope_deg"))
+
+  def slopeSqlExpr(res: Double): String =
+    s"round(atan(sqrt(${gxSql(res)}*${gxSql(res)} + ${gySql(res)}*${gySql(res)})) * ${180.0 / math.Pi}, 6) AS slope_deg"
+
+  /** Aspect in degrees from north, 0 for flat (differencing_functions.py:2374–2395). */
+  def aspect(px: DataFrame, res: Double = 1.0): DataFrame = {
+    val g_x = gx(res); val g_y = gy(res)
+    val az = atan2(g_y, negate(g_x)) * (180.0 / math.Pi)
+    val deg = when(g_x === 0 && g_y === 0, lit(0.0))
+      .otherwise(pmod(lit(90.0) - az, lit(360.0)))
+    neighborhood(px).select(col("col"), col("row"), round(deg, 6).as("aspect_deg"))
+  }
+
+  def aspectSqlExpr(res: Double): String = {
+    val gX = gxSql(res); val gY = gySql(res)
+    s"""round(CASE WHEN $gX = 0 AND $gY = 0 THEN 0.0
+        ELSE ((90.0 - atan2($gY, -$gX) * ${180.0 / math.Pi}) % 360.0 + 360.0) % 360.0
+        END, 6) AS aspect_deg"""
+  }
+
+  /** Hillshade 0–255, azimuth 315°, altitude 45°
+    * (differencing_functions.py:2337–2356). */
+  def hillshade(px: DataFrame, res: Double = 1.0,
+                azDeg: Double = 315.0, altDeg: Double = 45.0): DataFrame = {
+    val zenith = math.toRadians(90.0 - altDeg)
+    val azRad = math.toRadians(360.0 - azDeg + 90.0)
+    val g_x = gx(res); val g_y = gy(res)
+    val slopeR = atan(sqrt(g_x * g_x + g_y * g_y))
+    val aspectR = atan2(negate(g_y), g_x)
+    val hs = lit(math.cos(zenith)) * cos(slopeR) +
+      lit(math.sin(zenith)) * sin(slopeR) * cos(lit(azRad) - aspectR)
+    neighborhood(px).select(col("col"), col("row"),
+      round(greatest(hs * 255.0, lit(0.0)), 6).as("hillshade"))
+  }
+
+  def hillshadeSqlExpr(res: Double, azDeg: Double = 315.0, altDeg: Double = 45.0): String = {
+    val zenith = math.toRadians(90.0 - altDeg)
+    val azRad = math.toRadians(360.0 - azDeg + 90.0)
+    val gX = gxSql(res); val gY = gySql(res)
+    s"""round(greatest((${math.cos(zenith)} * cos(atan(sqrt($gX*$gX + $gY*$gY)))
+        + ${math.sin(zenith)} * sin(atan(sqrt($gX*$gX + $gY*$gY)))
+          * cos($azRad - atan2(-($gY), $gX))) * 255.0, 0.0), 6) AS hillshade"""
+  }
+
+  /** Roughness = max − min of the 3×3 neighborhood
+    * (differencing_functions.py:2397–2411). */
+  def roughness(px: DataFrame): DataFrame = {
+    val zs = for (dr <- 1 to 3; dc <- 1 to 3) yield col(s"z$dr$dc")
+    neighborhood(px).select(col("col"), col("row"),
+      round(greatest(zs: _*) - least(zs: _*), 6).as("roughness"))
+  }
+
+  def roughnessSqlExpr: String = {
+    val zs = (for (dr <- 1 to 3; dc <- 1 to 3) yield s"z$dr$dc").mkString(", ")
+    s"round(greatest($zs) - least($zs), 6) AS roughness"
+  }
+
+  /** Gap-fill by inverse-distance weighting over valid neighbors within
+    * Chebyshev radius `maxDist` cells (`fill_no_data`,
+    * differencing_functions.py:587–661): every missing cell of the full
+    * `w×w` grid gets Σ v/d² / Σ 1/d² of nearby valid pixels. Implemented as
+    * bounded offset-explode + equi-join (no theta join): valid pixels are
+    * exploded to the (2R+1)² cells they can serve — at scale this is the
+    * same one-shuffle stencil as [[neighborhood]], with R a small constant.
+    */
+  /** IDW weights are accumulated in INTEGER-EXACT arithmetic: value scaled
+    * by 1e6 (grid values are 6-decimal canonical) and weight 1/d² scaled by
+    * `lcmScale` = lcm of all possible d² — every partial sum is then an
+    * integer below 2^53, so the sum is order-independent and bit-identical
+    * across engines (a plain Σ v/d² accumulates rationals in engine row
+    * order and flips the canonical rounding at decimal midpoints). */
+  def gapfillIdw(px: DataFrame, w: Int, maxDist: Int): DataFrame = {
+    val spark = px.sparkSession
+    val L = lcmScale(maxDist)
+    val full = spark.range(w.toLong * w)
+      .select((col("id") % w).cast("int").as("col"),
+              (col("id") / w).cast("int").as("row"))
+    val missing = full.join(px, Seq("col", "row"), "left_anti")
+    val offs = array((for (dr <- -maxDist to maxDist; dc <- -maxDist to maxDist
+                           if !(dr == 0 && dc == 0))
+      yield struct(lit(dc).as("dc"), lit(dr).as("dr"),
+        lit((L / (dc * dc + dr * dr)).toDouble).as("wi"))): _*)
+    val served = px
+      .select(col("col"), col("row"), col("value"), explode(offs).as("o"))
+      .select((col("col") + col("o.dc")).as("col"),
+              (col("row") + col("o.dr")).as("row"),
+              col("o.wi").as("wi"),
+              floor(col("value") * 1e6 + 0.5).cast("double").as("v6"))
+    missing.join(served, Seq("col", "row"), "inner")
+      .groupBy("col", "row")
+      .agg(round(sum(col("v6") * col("wi")) / (sum(col("wi")) * 1e6), 6)
+        .as("filled"))
+  }
+
+  /** lcm of all reachable d² = dc²+dr² within Chebyshev radius `maxDist`. */
+  def lcmScale(maxDist: Int): Long = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val d2s = (for (dr <- -maxDist to maxDist; dc <- -maxDist to maxDist
+                    if !(dr == 0 && dc == 0)) yield (dc * dc + dr * dr).toLong).distinct
+    d2s.foldLeft(1L)((l, d) => l / gcd(l, d) * d)
+  }
+
+  def gapfillIdwSql(gridCte: String, w: Int, maxDist: Int): String = {
+    val L = lcmScale(maxDist)
+    s"""WITH g AS ($gridCte),
+    full_grid AS (SELECT CAST(i % $w AS INT) AS col, CAST(i // $w AS INT) AS "row"
+                  FROM (SELECT unnest(range(${w.toLong * w})) AS i)),
+    missing AS (SELECT f.col, f."row" FROM full_grid f
+                ANTI JOIN g ON g.col = f.col AND g."row" = f."row"),
+    served AS (SELECT g.col + dc AS col, g."row" + dr AS "row",
+                      CAST($L // (dc*dc + dr*dr) AS DOUBLE) AS wi,
+                      floor(value * 1000000.0 + 0.5) AS v6
+               FROM g,
+                    (SELECT unnest(range(-$maxDist, ${maxDist + 1})) AS dc),
+                    (SELECT unnest(range(-$maxDist, ${maxDist + 1})) AS dr)
+               WHERE NOT (dc = 0 AND dr = 0))
+    SELECT m.col, m."row",
+           round(sum(v6 * wi) / (sum(wi) * 1000000.0), 6) AS filled
+    FROM missing m JOIN served s ON s.col = m.col AND s."row" = m."row"
+    GROUP BY 1, 2"""
+  }
+}

@@ -1,0 +1,107 @@
+package graft.zonal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+
+/** Zonal statistics: the reference's per-polygon + all-areas descriptive
+  * stats (`StableAreaAnalyzer`, stable_unstable_areas.py:549–671). The
+  * 11-metric summary is one hash aggregate over the zone-tagged pixel
+  * table; per-zone AND union stats come from a single ROLLUP pass
+  * (grouping-sets flavor, SURVEY.md §2.4). Skew/kurtosis use population
+  * moments (scipy bias-uncorrected defaults, stable_unstable_areas.py:
+  * 565–570), computed from raw power sums so Spark and the oracle share
+  * the exact formula. Partial aggregation makes the pass map-side
+  * combining — at 100 TB the shuffle carries only per-zone moment rows.
+  */
+object Zonal {
+
+  /** 12-stat aggregate over column `v` of a zone-tagged table
+    * `[name, v]`, per zone plus an 'ALL' rollup row. */
+  def descriptiveStats(tagged: DataFrame, v: String = "v"): DataFrame = {
+    val x = col(v)
+    val base = tagged.rollup("name").agg(
+      count(lit(1)).as("n"),
+      avg(x).as("m1"),
+      avg(x * x).as("m2r"),
+      avg(x * x * x).as("m3r"),
+      avg(x * x * x * x).as("m4r"),
+      round(min(x), 6).as("min_v"),
+      round(max(x), 6).as("max_v"),
+      round(percentile(x, lit(0.5)), 6).as("median_v"),
+      round(percentile(x, lit(0.005)), 6).as("p005"),
+      round(percentile(x, lit(0.995)), 6).as("p995"))
+    val m2 = col("m2r") - col("m1") * col("m1")
+    val m3 = col("m3r") - lit(3.0) * col("m1") * col("m2r") +
+      lit(2.0) * col("m1") * col("m1") * col("m1")
+    val m4 = col("m4r") - lit(4.0) * col("m1") * col("m3r") +
+      lit(6.0) * col("m1") * col("m1") * col("m2r") -
+      lit(3.0) * col("m1") * col("m1") * col("m1") * col("m1")
+    base.select(
+      coalesce(col("name"), lit("ALL")).as("name"),
+      col("n"),
+      round(col("m1"), 6).as("mean_v"),
+      col("median_v"),
+      round(m2, 6).as("var_v"),
+      round(sqrt(m2), 6).as("std_v"),
+      col("min_v"), col("max_v"),
+      round(m3 / pow(m2, 1.5), 6).as("skew_v"),
+      round(m4 / (m2 * m2) - 3.0, 6).as("kurt_v"),
+      col("p005"), col("p995"))
+  }
+
+  /** Mode per zone (+'ALL') over floor(v·10) buckets, smallest-bucket
+    * tie-break (scipy.stats.mode returns the smallest mode,
+    * stable_unstable_areas.py:563). floor is a pure IEEE op — unlike
+    * decimal rounding it cannot diverge between engines at midpoints. */
+  def modes(tagged: DataFrame, v: String = "v"): DataFrame = {
+    val b = tagged.select(col("name"), floor(col(v) * 10.0).as("b"))
+    val counts = b.groupBy("name", "b").count()
+      .unionAll(b.groupBy(col("b")).count().select(lit("ALL").as("name"), col("b"), col("count")))
+    val w = Window.partitionBy("name").orderBy(col("count").desc, col("b").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("name"), col("b").as("mode_v"))
+  }
+
+  /** `build` is invoked twice so the stats and mode sides carry independent
+    * plans (fresh expression ids) — joining two derivations of the same
+    * DataFrame object trips Spark's ambiguous-self-join detection. */
+  def statsWithMode(build: () => DataFrame, v: String = "v"): DataFrame = {
+    val st = descriptiveStats(build(), v)
+    val md = modes(build(), v).withColumnRenamed("name", "mname")
+    st.join(md, st("name") === md("mname")).drop("mname")
+  }
+
+  /** Oracle SQL over a CTE `z(name, v)` producing the same 13 columns.
+    * `preCtes` lets callers prepend their own CTE definitions
+    * (e.g. "a AS (...), b AS (...),"). */
+  def statsSql(zCte: String, preCtes: String = ""): String =
+    s"""WITH $preCtes z AS ($zCte),
+    base AS (
+      SELECT coalesce(name, 'ALL') AS name, count(*) AS n,
+             avg(v) AS m1, avg(v*v) AS m2r, avg(v*v*v) AS m3r,
+             avg(v*v*v*v) AS m4r,
+             round(min(v), 6) AS min_v, round(max(v), 6) AS max_v,
+             round(quantile_cont(v, 0.5), 6) AS median_v,
+             round(quantile_cont(v, 0.005), 6) AS p005,
+             round(quantile_cont(v, 0.995), 6) AS p995
+      FROM z GROUP BY ROLLUP (name)),
+    bcounts AS (
+      SELECT name, CAST(floor(v * 10.0) AS BIGINT) AS b, count(*) AS cnt FROM z GROUP BY 1, 2
+      UNION ALL
+      SELECT 'ALL' AS name, CAST(floor(v * 10.0) AS BIGINT) AS b, count(*) AS cnt FROM z GROUP BY 1, 2),
+    modes AS (
+      SELECT name, b AS mode_v FROM bcounts
+      QUALIFY row_number() OVER (PARTITION BY name ORDER BY cnt DESC, b ASC) = 1)
+    SELECT b.name, n,
+           round(m1, 6) AS mean_v, median_v,
+           round(m2r - m1*m1, 6) AS var_v,
+           round(sqrt(m2r - m1*m1), 6) AS std_v,
+           min_v, max_v,
+           round((m3r - 3.0*m1*m2r + 2.0*m1*m1*m1) / pow(m2r - m1*m1, 1.5), 6) AS skew_v,
+           round((m4r - 4.0*m1*m3r + 6.0*m1*m1*m2r - 3.0*m1*m1*m1*m1) / pow(m2r - m1*m1, 2) - 3.0, 6) AS kurt_v,
+           p005, p995, mode_v
+    FROM base b JOIN modes USING (name)"""
+}

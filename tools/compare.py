@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local pre-check mirroring the driver's correctness gate: run each
+oracle SQL in DuckDB over the sf tables, load the Spark result parquet,
+canonicalize (columns sorted by name, doubles rounded to 9, rows sorted),
+and diff. Usage: compare.py <sfDir> <verifyOutDir> [query ...]"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        rr = []
+        for i in order:
+            v = r[i]
+            import decimal
+            if isinstance(v, decimal.Decimal):
+                v = float(v)
+            if isinstance(v, float):
+                if math.isnan(v): v = "NaN"
+                else: v = round(v, 9)
+            rr.append(v)
+        out.append(tuple(rr))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], out
+
+def main():
+    sf, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only: continue
+        spark_dir = f"{outdir}/{name}"
+        if not os.path.isdir(spark_dir):
+            print(f"MISSING  {name} (no spark output)"); n_bad += 1; continue
+        try:
+            o = con.execute(sql)
+            ocols = [d[0] for d in o.description]; orows = o.fetchall()
+        except Exception as e:
+            print(f"ORACLE-ERR {name}: {e}"); n_bad += 1; continue
+        try:
+            s = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'")
+            scols = [d[0] for d in s.description]; srows = s.fetchall()
+        except Exception as e:
+            print(f"SPARK-ERR {name}: {e}"); n_bad += 1; continue
+        oc, orows = canon(orows, ocols)
+        sc, srows = canon(srows, scols)
+        if oc != sc:
+            print(f"SCHEMA   {name}: oracle={oc} spark={sc}"); n_bad += 1; continue
+        if len(orows) != len(srows):
+            print(f"ROWCOUNT {name}: oracle={len(orows)} spark={len(srows)}"); n_bad += 1; continue
+        bad = [(a, b) for a, b in zip(orows, srows) if a != b]
+        if bad:
+            print(f"VALUES   {name}: {len(bad)}/{len(orows)} rows differ; first: oracle={bad[0][0]} spark={bad[0][1]}")
+            n_bad += 1; continue
+        print(f"OK       {name} ({len(orows)} rows)"); n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
