@@ -1,10 +1,120 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+import graft.Tables
+import graft.ann.Similarity
 
-/** Similarity-search / ANN operators — filled in incrementally. */
+/** Similarity-search queries over `embeddings`: brute-force cosine top-k
+  * and an IVF (inverted-file) variant. Ranking is over the CANONICALLY
+  * ROUNDED similarity (ties then broken by vec_id), so engine and oracle
+  * rank identically even when raw doubles differ in the last ulp.
+  */
 object QueriesAnn {
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracle: Map[String, String] = Map()
+
+  private val NQUERIES = 5
+  private val NCENTROIDS = 8
+  private val TOPK = 3
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  private val embSqlCte =
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+
+  // ---- brute-force cosine top-k ----------------------------------------
+  private val cosineTopk: Q = (s, d) => {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < NQUERIES).toDF("q_id", "qv")
+    val sims = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(Similarity.cosine(col("qv"), col("v")), 6).as("sim"))
+    sims.withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= TOPK)
+  }
+
+  private val cosineTopkSql =
+    s"""WITH e AS ($embSqlCte),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQUERIES),
+        sims AS (
+          SELECT q_id, vec_id, round(${Similarity.cosineSql("qv", "v")}, 6) AS sim
+          FROM e, q WHERE vec_id <> q_id)
+        SELECT q_id, vec_id, sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+        FROM sims
+        QUALIFY rank <= $TOPK"""
+
+  // ---- IVF: assign to nearest centroid, probe own cluster only ----------
+  private val ivfTopk: Q = (s, d) => {
+    val e = emb(s, d)
+    val cents = e.filter(col("vec_id") < NCENTROIDS).toDF("c_id", "cv")
+    val assigned = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("c_id"),
+        round(Similarity.cosine(col("cv"), col("v")), 6).as("csim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+    val q = assigned.filter(col("vec_id") < NQUERIES)
+      .toDF("q_id", "qv", "q_cluster")
+    q.join(assigned, col("cluster") === col("q_cluster") &&
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_cluster").as("cluster"), col("vec_id"),
+        round(Similarity.cosine(col("qv"), col("v")), 6).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= TOPK)
+  }
+
+  private val ivfTopkSql =
+    s"""WITH e AS ($embSqlCte),
+        cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NCENTROIDS),
+        assigned AS (
+          SELECT vec_id, v, c_id AS cluster
+          FROM (SELECT e.vec_id, e.v, c.c_id,
+                       round(${Similarity.cosineSql("cv", "v")}, 6) AS csim
+                FROM e, cents c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, c_id ASC) = 1),
+        q AS (SELECT vec_id AS q_id, v AS qv, cluster AS q_cluster
+              FROM assigned WHERE vec_id < $NQUERIES)
+        SELECT q_id, q_cluster AS cluster, vec_id,
+               round(${Similarity.cosineSql("qv", "v")}, 6) AS sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY
+                 round(${Similarity.cosineSql("qv", "v")}, 6) DESC, vec_id ASC) AS rank
+        FROM q JOIN assigned a ON a.cluster = q.q_cluster AND a.vec_id <> q.q_id
+        QUALIFY rank <= $TOPK"""
+
+  // ---- embedding norms + label centroid stats (vector column hygiene) ---
+  private val embStats: Q = (s, d) =>
+    emb(s, d).join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(avg(Similarity.norm(col("v"))), 6).as("mean_norm"),
+        round(min(Similarity.norm(col("v"))), 6).as("min_norm"),
+        round(max(Similarity.norm(col("v"))), 6).as("max_norm"))
+
+  private val embStatsSql =
+    s"""WITH e AS (SELECT label, ${Similarity.normSql("CAST(embedding AS DOUBLE[])")} AS nrm
+                   FROM embeddings)
+        SELECT label, count(*) AS n, round(avg(nrm), 6) AS mean_norm,
+               round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
+        FROM e GROUP BY 1"""
+
+  val queries: Map[String, Q] = Map(
+    "n_cosine_topk" -> cosineTopk,
+    "n_ivf_topk" -> ivfTopk,
+    "n_emb_stats" -> embStats,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "n_cosine_topk" -> cosineTopkSql,
+    "n_ivf_topk" -> ivfTopkSql,
+    "n_emb_stats" -> embStatsSql,
+  )
 }

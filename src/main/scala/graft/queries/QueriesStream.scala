@@ -1,10 +1,25 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.streaming.StreamOps
 
-/** Streaming-compatible windowed agg operators — filled in incrementally. */
+/** Streaming-compatible windowed aggregations (SURVEY.md §2.10), oracle-
+  * checked in batch mode over the static `events` table. The identical
+  * transforms run under Structured Streaming in StreamSpec. */
 object QueriesStream {
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracle: Map[String, String] = Map()
+
+  private val hourly: Q = (s, d) => StreamOps.hourlyAgg(Tables.events(s, d))
+  private val sliding: Q = (s, d) => StreamOps.slidingRms(Tables.events(s, d))
+
+  val queries: Map[String, Q] = Map(
+    "st_hourly_window" -> hourly,
+    "st_sliding_rms" -> sliding,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "st_hourly_window" -> StreamOps.hourlyAggSql,
+    "st_sliding_rms" -> StreamOps.slidingRmsSql,
+  )
 }

@@ -1,10 +1,279 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+import graft.Tables
+import graft.text.TextOps
 
-/** Text / dedup / fingerprint operators — filled in incrementally. */
+/** Deduplication + text-analysis operators over `documents` — the
+  * training-data-pipeline surface (exact dedup, MinHash-LSH, SimHash with
+  * band blocking, n-gram Jaccard, language-ID, quality scoring, token
+  * counting, fingerprinting). All hashes route through md5 so engine and
+  * oracle agree bit-for-bit.
+  *
+  * Scale notes: every pairwise candidate generation here is BLOCKED — LSH
+  * bands (minhash), 4-bit simhash bands (pigeonhole-exact for hamming≤3),
+  * or (lang, length-bucket) blocks (jaccard) — so the shuffles are
+  * equi-joins on block keys and no O(N²) pair space is ever materialized.
+  */
 object QueriesText {
   type Q = (SparkSession, String) => DataFrame
-  val queries: Map[String, Q] = Map()
-  val oracle: Map[String, String] = Map()
+
+  // ---- exact dedup: hash-groupBy, keep lowest doc_id -------------------
+  private val dedupExact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+       FROM documents GROUP BY 1"""
+
+  // ---- MinHash + LSH band join ----------------------------------------
+  private val NHASH = 8
+  private val BANDS = 4 // 2 hashes per band
+
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("sh"))
+      .groupBy("doc_id")
+      .agg(TextOps.minhashAgg(0), (1 until NHASH).map(TextOps.minhashAgg): _*)
+
+  private val signaturesSqlCte: String = {
+    val aggs = (0 until NHASH).map(TextOps.minhashAggSql).mkString(", ")
+    s"""SELECT doc_id, $aggs
+        FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("text")}) AS sh
+              FROM documents)
+        GROUP BY doc_id"""
+  }
+
+  private val dedupMinhash: Q = (s, d) => {
+    val sig = signatures(s, d)
+    val withBands = sig.select(col("*") +:
+      (0 until BANDS).map(b =>
+        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as(s"band$b")): _*)
+    val left = withBands
+    val right = withBands.toDF(withBands.columns.map("r_" + _): _*)
+    val cand = (0 until BANDS).map { b =>
+      left.join(right, col(s"band$b") === col(s"r_band$b") &&
+        col("doc_id") < col("r_doc_id"))
+    }.reduce(_ unionAll _)
+    val eq = (0 until NHASH).map(i =>
+      when(col(s"mh$i") === col(s"r_mh$i"), 1).otherwise(0)).reduce(_ + _)
+    cand.select(col("doc_id").as("a_id"), col("r_doc_id").as("b_id"),
+        (eq.cast("double") / NHASH).as("sim_est"))
+      .groupBy("a_id", "b_id")
+      .agg(round(max("sim_est"), 6).as("sim_est"))
+  }
+
+  private val dedupMinhashSql = {
+    val bands = (0 until BANDS).map(b => s"mh${2 * b} || mh${2 * b + 1} AS band$b").mkString(", ")
+    val joins = (0 until BANDS).map(b =>
+      s"""SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+            ${(0 until NHASH).map(i => s"(CASE WHEN l.mh$i = r.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS neq
+          FROM wb l JOIN wb r ON l.band$b = r.band$b AND l.doc_id < r.doc_id""")
+      .mkString("\n UNION ALL \n")
+    s"""WITH sig AS ($signaturesSqlCte),
+        wb AS (SELECT *, $bands FROM sig)
+        SELECT a_id, b_id, round(max(CAST(neq AS DOUBLE) / $NHASH), 6) AS sim_est
+        FROM ( $joins ) GROUP BY 1, 2"""
+  }
+
+  // ---- SimHash with exact band blocking (hamming≤3 ⇒ ≥1 of 4 bands equal)
+  private def simhashes(s: SparkSession, d: String): DataFrame = {
+    val wm = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      .withColumn("wmd5", md5(col("w")))
+    val sums = (1 to 16).map(p =>
+      sum(expr(s"instr('0123456789abcdef', substr(wmd5, $p, 1))") - 1 - lit(7.5))
+        .as(s"s$p"))
+    val agg = wm.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    agg.select(col("doc_id"),
+      TextOps.simhashFromSums((1 to 16).map(p => col(s"s$p"))).as("simhash"))
+  }
+
+  private val simhashSqlCte: String = {
+    val sums = (1 to 16).map(p =>
+      s"sum(strpos('0123456789abcdef', substr(md5(w), $p, 1)) - 1 - 7.5) AS s$p").mkString(", ")
+    val bits = (1 to 16).map(p =>
+      s"(CASE WHEN s$p > 0.0 THEN ${1L << (p - 1)} ELSE 0 END)").mkString(" + ")
+    s"""SELECT doc_id, $bits AS simhash FROM (
+          SELECT doc_id, $sums
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+          GROUP BY doc_id)"""
+  }
+
+  private val dedupSimhash: Q = (s, d) => {
+    val sh = simhashes(s, d)
+    val withBands = sh.select(Seq(col("doc_id"), col("simhash")) ++
+      (0 until 4).map(b =>
+        shiftright(col("simhash"), 4 * b).bitwiseAND(15).as(s"b$b")): _*)
+    val right = withBands.toDF("r_doc_id", "r_simhash", "r_b0", "r_b1", "r_b2", "r_b3")
+    val cand = (0 until 4).map { b =>
+      withBands.join(right, col(s"b$b") === col(s"r_b$b") &&
+        col("doc_id") < col("r_doc_id"))
+    }.reduce(_ unionAll _)
+    cand.select(col("doc_id").as("a_id"), col("r_doc_id").as("b_id"),
+        bit_count(col("simhash").bitwiseXOR(col("r_simhash"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
+  private val dedupSimhashSql = {
+    val bands = (0 until 4).map(b => s"(simhash >> ${4 * b}) & 15 AS b$b").mkString(", ")
+    val joins = (0 until 4).map(b =>
+      s"""SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+            bit_count(xor(l.simhash, r.simhash)) AS hamming
+          FROM wb l JOIN wb r ON l.b$b = r.b$b AND l.doc_id < r.doc_id""")
+      .mkString("\n UNION ALL \n")
+    s"""WITH sh AS ($simhashSqlCte),
+        wb AS (SELECT doc_id, simhash, $bands FROM sh)
+        SELECT DISTINCT a_id, b_id, hamming FROM ( $joins ) WHERE hamming <= 3"""
+  }
+
+  // ---- n-gram Jaccard within (lang, length-bucket) blocks ---------------
+  private val jaccard: Q = (s, d) => {
+    def base = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 100).cast("int").as("lb"), col("text"))
+    val sh = base.select(col("doc_id"), col("lang"), col("lb"),
+      explode(TextOps.shingles(col("text"))).as("sh")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val r = sh.toDF("r_doc_id", "r_lang", "r_lb", "r_sh")
+    val inter = sh.join(r,
+        col("sh") === col("r_sh") && col("lang") === col("r_lang") &&
+        col("lb") === col("r_lb") && col("doc_id") < col("r_doc_id"))
+      .groupBy(col("doc_id").as("a_id"), col("r_doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("a_id", "a_sz"), "a_id")
+      .join(sizes.toDF("b_id", "b_sz"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double") /
+          (col("a_sz") + col("b_sz") - col("inter")), 6).as("jaccard"))
+  }
+
+  private val jaccardSql =
+    s"""WITH base AS (
+          SELECT doc_id, lang, CAST(n_chars // 100 AS INT) AS lb, text
+          FROM documents WHERE doc_id % 5 = 0),
+        sh AS (SELECT DISTINCT doc_id, lang, lb, sh
+               FROM (SELECT doc_id, lang, lb, unnest(${TextOps.shinglesSql("text")}) AS sh
+                     FROM base)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+          SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS inter
+          FROM sh l JOIN sh r ON l.sh = r.sh AND l.lang = r.lang
+                             AND l.lb = r.lb AND l.doc_id < r.doc_id
+          GROUP BY 1, 2)
+        SELECT a_id, b_id,
+               round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = a_id
+                   JOIN sizes sb ON sb.doc_id = b_id"""
+
+  // ---- language-ID: weighted marker-bigram scoring ---------------------
+  private val langMarkers: Seq[(String, String, String)] = Seq(
+    ("en", "th", "er"), ("de", "ch", "ei"), ("es", "os", "la"),
+    ("fr", "le", "ou"), ("zh", "sh", "ng"))
+
+  private def occurrences(text: Column, m: String): Column =
+    (length(text) - length(regexp_replace(text, m, ""))) / m.length
+
+  private val langid: Q = (s, d) => {
+    val scored = langMarkers.map { case (lang, m1, m2) =>
+      Tables.documents(s, d).select(col("doc_id"), lit(lang).as("plang"),
+        (occurrences(col("text"), m1) * 2 + occurrences(col("text"), m2))
+          .cast("double").as("score"))
+    }.reduce(_ unionAll _)
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("plang").as("predicted_lang"),
+        round(col("score"), 6).as("score"))
+  }
+
+  private val langidSql = {
+    val branches = langMarkers.map { case (lang, m1, m2) =>
+      def occ(m: String) =
+        s"((length(text) - length(regexp_replace(text, '$m', '', 'g'))) / ${m.length})"
+      s"SELECT doc_id, '$lang' AS plang, CAST(${occ(m1)} * 2 + ${occ(m2)} AS DOUBLE) AS score FROM documents"
+    }.mkString("\n UNION ALL \n")
+    s"""SELECT doc_id, plang AS predicted_lang, round(score, 6) AS score
+        FROM ( $branches )
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, plang ASC) = 1"""
+  }
+
+  // ---- quality scoring --------------------------------------------------
+  private val quality: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id") +: TextOps.qualityCols(col("text"), col("n_chars")): _*)
+      .select(col("doc_id"), col("n_words"),
+        round(col("mean_word_len"), 6).as("mean_word_len"),
+        round(col("stopword_ratio"), 6).as("stopword_ratio"),
+        round(col("vowel_ratio"), 6).as("vowel_ratio"),
+        round(col("quality_score"), 6).as("quality_score"))
+
+  private val qualitySql =
+    s"""SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+          round(stopword_ratio, 6) AS stopword_ratio,
+          round(vowel_ratio, 6) AS vowel_ratio,
+          round(quality_score, 6) AS quality_score
+        FROM (SELECT doc_id, ${TextOps.qualitySql("text", "n_chars")} FROM documents)"""
+
+  // ---- token counting, per source ---------------------------------------
+  private val tokens: Q = (s, d) =>
+    Tables.documents(s, d).select(col("source"),
+        size(TextOps.words(col("text"))).as("nw"),
+        ((col("n_chars") * 10 + 31) / 32).cast("long").as("bpe"),
+        length(regexp_replace(col("text"), "[^aeiou]", "")).as("nv"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("ws_tokens"),
+        sum("bpe").as("est_bpe_tokens"), sum("nv").as("vowel_chars"))
+
+  private val tokensSql =
+    """SELECT source, count(*) AS n_docs,
+              sum(len(string_split(text, ' '))) AS ws_tokens,
+              sum((n_chars * 10 + 31) // 32) AS est_bpe_tokens,
+              sum(length(regexp_replace(text, '[^aeiou]', '', 'g'))) AS vowel_chars
+       FROM documents GROUP BY 1"""
+
+  // ---- document fingerprint (min/max shingle hash) ----------------------
+  private val fingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("sh"))
+      .groupBy("doc_id")
+      .agg(min(md5(col("sh"))).as("fp_min"), max(md5(col("sh"))).as("fp_max"),
+        count(lit(1)).as("n_shingles"))
+
+  private val fingerprintSql =
+    s"""SELECT doc_id, min(md5(sh)) AS fp_min, max(md5(sh)) AS fp_max,
+          count(*) AS n_shingles
+        FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("text")}) AS sh
+              FROM documents)
+        GROUP BY 1"""
+
+  val queries: Map[String, Q] = Map(
+    "x_dedup_exact" -> dedupExact,
+    "x_dedup_minhash_lsh" -> dedupMinhash,
+    "x_dedup_simhash" -> dedupSimhash,
+    "x_jaccard_3gram" -> jaccard,
+    "x_langid" -> langid,
+    "x_quality" -> quality,
+    "x_tokens" -> tokens,
+    "x_fingerprint" -> fingerprint,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x_dedup_exact" -> dedupExactSql,
+    "x_dedup_minhash_lsh" -> dedupMinhashSql,
+    "x_dedup_simhash" -> dedupSimhashSql,
+    "x_jaccard_3gram" -> jaccardSql,
+    "x_langid" -> langidSql,
+    "x_quality" -> qualitySql,
+    "x_tokens" -> tokensSql,
+    "x_fingerprint" -> fingerprintSql,
+  )
 }

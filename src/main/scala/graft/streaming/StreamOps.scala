@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+
+/** Streaming-compatible aggregations (SURVEY.md §2.10). The reference is
+  * strictly batch (PDAL chunked pipelining is bounded-batch, not unbounded
+  * streams), so these are declared EXTENSIONS: the §2.4 aggregation shapes
+  * exposed as event-time windowed queries that run identically over a
+  * static DataFrame (oracle-checked here) and over `readStream` input with
+  * a watermark (exercised in StreamSpec). One transform definition serves
+  * both modes — the Structured Streaming contract.
+  */
+object StreamOps {
+
+  /** Tumbling 1-hour window per event_type: count / sum / mean / extremes.
+    * Works on batch or streaming input alike. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 6).as("sum_value"),
+        round(avg("value"), 6).as("mean_value"),
+        round(min("value"), 6).as("min_value"),
+        round(max("value"), 6).as("max_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"), col("mean_value"),
+        col("min_value"), col("max_value"))
+
+  val hourlyAggSql: String =
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+              count(*) AS n, round(sum(value), 6) AS sum_value,
+              round(avg(value), 6) AS mean_value,
+              round(min(value), 6) AS min_value,
+              round(max(value), 6) AS max_value
+       FROM events GROUP BY 1, 2"""
+
+  /** Sliding 2-hour window advancing hourly (each event lands in 2
+    * windows) — RMS + uncorrelated-term shape from §2.4 over streams. */
+  def slidingRms(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"),
+        round(sqrt(avg(col("value") * col("value"))), 6).as("rms"))
+      .select(col("w.start").as("window_start"), col("n"), col("rms"))
+
+  val slidingRmsSql: String =
+    """SELECT window_start, count(*) AS n,
+              round(sqrt(avg(value * value)), 6) AS rms
+       FROM (SELECT date_trunc('hour', ts) - INTERVAL (k) HOUR AS window_start, value
+             FROM events, (SELECT unnest([0, 1]) AS k))
+       GROUP BY 1"""
+
+  /** The streaming form of [[hourlyAgg]]: parquet source → watermark →
+    * windowed agg. Used by StreamSpec via the memory sink. */
+  def hourlyAggStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    // nanos ts arrives as long under nanosAsLong; restore micros timestamp
+    val events =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    hourlyAgg(events.withWatermark("ts", "1 hour"))
+  }
+}
