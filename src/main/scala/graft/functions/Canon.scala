@@ -26,7 +26,11 @@ object Canon {
 
   /** Rewrite every `round(expr, d)` in a SQL string into the floor form. */
   def fixSqlRounds(sql: String): String = {
-    val i = sql.indexOf("round(")
+    var i = sql.indexOf("round(")
+    // skip identifiers merely ending in "round(" (word-boundary check)
+    while (i > 0 && (sql(i - 1).isLetterOrDigit || sql(i - 1) == '_')) {
+      i = sql.indexOf("round(", i + 1)
+    }
     if (i < 0) return sql
     val open = i + 5
     var depth = 0

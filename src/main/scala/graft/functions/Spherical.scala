@@ -16,6 +16,12 @@ case class SphericalModel(sills: Seq[Double], ranges: Seq[Double], nugget: Doubl
   require(sills.length == ranges.length)
   val totalSill: Double = sills.sum + nugget
 
+  /** Driver-side scalar twin of [[gamma]]. */
+  def gammaTotal(h: Double): Double =
+    nugget + sills.zip(ranges).map { case (c, a) =>
+      if (h < a) c * (1.5 * h / a - 0.5 * math.pow(h / a, 3)) else c
+    }.sum
+
   def gamma(h: Column): Column =
     sills.zip(ranges).foldLeft(lit(nugget): Column) { case (acc, (c, a)) =>
       acc + when(h < a,

@@ -22,14 +22,35 @@ object Rand {
 
   private def saltC(salt: Long): Long = (12345L + salt * 2654435761L) % M
 
+  /** Driver-side scalar twin of [[mix]] — same constants, same output.
+    *
+    * Two LCG rounds with an xor-shift between them: a pure LCG is affine
+    * in its input, which makes streams with different salts exact affine
+    * images of each other (catastrophic for e.g. Box–Muller, where u1 and
+    * u2 must be independent). The xor with the high half breaks affinity
+    * while staying exactly expressible in both Spark and DuckDB integer
+    * ops (`xor`, exact power-of-two division). */
+  def mixLong(key: Long, salt: Long): Long = {
+    val h1 = ((key % M) * 1103515245L + saltC(salt)) % M
+    val h2 = h1 ^ (h1 / 65536L)
+    val h3 = (h2 * 69069L + 362437L) % M
+    h3 ^ (h3 / 32768L)
+  }
+
   /** Mixed hash in [0, 2^31). `key` must be non-negative and < ~2^52. */
   def mix(key: Column, salt: Long): Column = {
     val h1 = (key % M * lit(1103515245L) + lit(saltC(salt))) % M
-    (h1 * lit(69069L) + lit(362437L)) % M
+    val h2 = h1.bitwiseXOR((h1 / 65536L).cast("long"))
+    val h3 = (h2 * lit(69069L) + lit(362437L)) % M
+    h3.bitwiseXOR((h3 / 32768L).cast("long"))
   }
 
-  def mixSql(key: String, salt: Long): String =
-    s"(((($key) % $M) * 1103515245 + ${saltC(salt)}) % $M * 69069 + 362437) % $M"
+  def mixSql(key: String, salt: Long): String = {
+    val h1 = s"((($key) % $M) * 1103515245 + ${saltC(salt)}) % $M"
+    val h2 = s"xor(($h1), ($h1) // 65536)"
+    val h3 = s"(($h2) * 69069 + 362437) % $M"
+    s"xor(($h3), ($h3) // 32768)"
+  }
 
   /** Uniform double in [0, 1). */
   def u01(key: Column, salt: Long): Column =

@@ -52,11 +52,13 @@ object StreamOps {
              FROM events, (SELECT unnest([0, 1]) AS k))
        GROUP BY 1"""
 
-  /** The streaming form of [[hourlyAgg]]: parquet source → watermark →
-    * windowed agg. Used by StreamSpec via the memory sink. */
-  def hourlyAggStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+  /** The streaming form of [[hourlyAgg]]: parquet-directory source →
+    * watermark → windowed agg. `eventsDir` must be a DIRECTORY of events
+    * parquet files (Spark's FileStreamSource contract — new files appended
+    * there enter the stream). Used by StreamSpec via the memory sink. */
+  def hourlyAggStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val raw = spark.readStream.schema(schema).parquet(eventsDir)
     // nanos ts arrives as long under nanosAsLong; restore micros timestamp
     val events =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.streaming.StreamOps
+
+class StreamMultimodalSpec extends SparkSuite {
+
+  test("streaming hourly agg equals batch hourly agg") {
+    val batch = StreamOps.hourlyAgg(Tables.events(spark, sf001))
+      .orderBy("hour_start", "event_type").collect()
+    // FileStreamSource wants a directory; stage the single file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      java.nio.file.Paths.get(dir.getAbsolutePath, "events.parquet"))
+    val q = StreamOps.hourlyAggStream(spark, dir.getAbsolutePath)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_test")
+        .orderBy("hour_start", "event_type").collect()
+      assert(streamed.length == batch.length,
+        s"rows ${streamed.length} vs ${batch.length}")
+      streamed.zip(batch).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    } finally q.stop()
+  }
+
+  test("multimodal decode: schema, determinism, null payload dropped") {
+    val media = Multimodal.mediaFromDocuments(spark, sf001)
+    val feats = Multimodal.decodeFeatures(media)
+    assert(feats.schema == Multimodal.featureSchema)
+    val rows = feats.orderBy("media_id").collect()
+    assert(rows.length == media.count())
+    val again = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
+    assert(rows.toSeq == again.toSeq, "decode not deterministic")
+    val luma = rows.map(_.getAs[Double]("mean_luma"))
+    assert(luma.forall(l => l >= 0 && l <= 255))
+    assert(rows.map(_.getAs[scala.collection.Seq[Double]]("features"))
+      .forall(_.length == 8))
+    // null payload → dropped
+    import org.apache.spark.sql.Row
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "image", Array[Byte](1, 2, 3), "s"),
+        Row(2L, "image", null, "s"))),
+      Multimodal.mediaSchema)
+    assert(Multimodal.decodeFeatures(withNull).count() == 1)
+  }
+
+  test("frame sample keeps every strideth media id") {
+    val media = Multimodal.mediaFromDocuments(spark, sf001)
+    val feats = Multimodal.decodeFeatures(media)
+    val sampled = Multimodal.frameSample(feats, 5)
+    assert(sampled.filter(col("media_id") % 5 =!= 0).count() == 0)
+    assert(sampled.count() > 0)
+  }
+}
