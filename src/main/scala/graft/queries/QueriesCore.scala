@@ -39,11 +39,11 @@ object QueriesCore {
   // (variography_uncertainty.py:253–260)
   private val percentileClip: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
-    val bounds = li.agg(
-      percentile(col("l_extendedprice"), lit(0.01)).as("lo"),
-      percentile(col("l_extendedprice"), lit(0.99)).as("hi"))
-    li.crossJoin(bounds)
-      .filter(col("l_extendedprice").between(col("lo"), col("hi")))
+    // rank-selected exact quantiles (TakeOrderedAndProject) instead of the
+    // single-threaded Percentile buffer agg — see ExactQuantile scaladoc
+    val lo = graft.functions.ExactQuantile.quantile(li, "l_extendedprice", 0.01)
+    val hi = graft.functions.ExactQuantile.quantile(li, "l_extendedprice", 0.99)
+    li.filter(col("l_extendedprice").between(lit(lo), lit(hi)))
       .agg(count(lit(1)).as("n"),
         round(avg("l_extendedprice"), 6).as("mean_price"),
         round(min("l_extendedprice"), 6).as("min_price"),
@@ -289,7 +289,48 @@ object QueriesCore {
        FROM (SELECT count(*) AS n, sqrt(avg(value * value)) AS rms
              FROM events WHERE event_type = 'purchase')"""
 
+  // §2.9 WKT assembly (_coords_to_wkt, differencing_functions.py:249–266)
+  // + §2.8 polygon explode: one synthetic polygon vertex per nation
+  // (coords from the counter RNG), assembled per region into WKT with a
+  // deterministic vertex order, then exploded back to parts
+  private val wktAssembly: Q = (s, d) => {
+    val verts = Tables.nation(s, d).select(
+      col("n_regionkey").as("region"), col("n_nationkey").as("k"),
+      concat((Rand.mix(col("n_nationkey"), 71) % 100).cast("string"), lit(" "),
+        (Rand.mix(col("n_nationkey"), 72) % 100).cast("string")).as("pt"))
+    verts.groupBy("region")
+      .agg(collect_list(struct(col("k"), col("pt"))).as("parts"))
+      .select(col("region"),
+        concat(lit("POLYGON (("),
+          array_join(transform(array_sort(col("parts")), p => p.getField("pt")), ", "),
+          lit("))")).as("wkt"),
+        size(col("parts")).as("n_vertices"))
+  }
+  private val wktAssemblySql = {
+    val x = s"CAST((${Rand.mixSql("n_nationkey", 71)}) % 100 AS VARCHAR)"
+    val y = s"CAST((${Rand.mixSql("n_nationkey", 72)}) % 100 AS VARCHAR)"
+    s"""SELECT n_regionkey AS region,
+          'POLYGON ((' || string_agg($x || ' ' || $y, ', ' ORDER BY n_nationkey) || '))' AS wkt,
+          count(*) AS n_vertices
+        FROM nation GROUP BY 1"""
+  }
+
+  // §2.8 polygon explode: multipolygon parts → rows
+  // (explode(index_parts=False), stable_unstable_areas.py:305)
+  private val polyExplode: Q = (s, d) =>
+    Tables.nation(s, d).select(col("n_nationkey"),
+        explode(sequence(lit(0), col("n_nationkey") % 3)).as("part_idx"))
+      .select(col("n_nationkey"), col("part_idx"),
+        round((col("n_nationkey") + 1) * (col("part_idx") + 1) * 1.5, 6).as("part_area"))
+  private val polyExplodeSql =
+    """SELECT n_nationkey, part_idx,
+              round((n_nationkey + 1) * (part_idx + 1) * 1.5, 6) AS part_area
+       FROM (SELECT n_nationkey, unnest(range(n_nationkey % 3 + 1)) AS part_idx
+             FROM nation)"""
+
   val queries: Map[String, Q] = Map(
+    "g_wkt_assembly" -> wktAssembly,
+    "g_poly_explode" -> polyExplode,
     "s_filter_project" -> filterProject,
     "s_assign_overwrite" -> assignOverwrite,
     "s_percentile_clip" -> percentileClip,
@@ -313,6 +354,8 @@ object QueriesCore {
   )
 
   val oracle: Map[String, String] = Map(
+    "g_wkt_assembly" -> wktAssemblySql,
+    "g_poly_explode" -> polyExplodeSql,
     "s_filter_project" -> filterProjectSql,
     "s_assign_overwrite" -> assignOverwriteSql,
     "s_percentile_clip" -> percentileClipSql,

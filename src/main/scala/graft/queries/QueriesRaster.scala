@@ -80,10 +80,13 @@ object QueriesRaster {
     Zonal.statsWithMode { () =>
       val dz = PixelGrid.withXY(PixelGrid.difference(gA(s, d), gB(s, d)))
         .withColumnRenamed("dz", "v")
-      zones.map { case (n, pts) =>
-        dz.filter(Geom.pointInPolygon(col("x"), col("y"), Geom.polyLit(pts)))
-          .select(lit(n).as("name"), col("v"))
-      }.reduce(_ unionAll _)
+      // single-pass zone tagging: one scan evaluates all polygons per
+      // pixel (array of matched names → explode), instead of one
+      // filtered scan per zone
+      val tags = array(zones.map { case (n, pts) =>
+        when(Geom.pointInPolygon(col("x"), col("y"), Geom.polyLit(pts)), lit(n))
+      }: _*)
+      dz.select(explode(filter(tags, t => t.isNotNull)).as("name"), col("v"))
     }
 
   private val zonalStatsSql = {
@@ -122,10 +125,12 @@ object QueriesRaster {
   // §2.2 pointwise subtract-constant: bias removal using the stable-zone
   // median (subtract_value_from_raster, variography_uncertainty.py:116–136)
   private val biasRemove: Q = (s, d) => {
-    val dz = PixelGrid.withXY(PixelGrid.difference(gA(s, d), gB(s, d)))
+    // persist dz: both the bias scalar and the output scan read it, and
+    // without reuse the two-raster join pipeline would run twice
+    val dz = PixelGrid.withXY(PixelGrid.difference(gA(s, d), gB(s, d))).persist()
     val bias = dz.filter(col("x").between(4.2, 60.4) && col("y").between(4.2, 123.7))
       .agg(percentile(col("dz"), lit(0.5)).as("bias"))
-    dz.crossJoin(bias)
+    dz.crossJoin(broadcast(bias))
       .select(col("col"), col("row"), round(col("dz") - col("bias"), 6).as("dz_unbiased"))
   }
   private val biasRemoveSql =
@@ -137,7 +142,59 @@ object QueriesRaster {
                  WHERE x BETWEEN 4.2 AND 60.4 AND y BETWEEN 4.2 AND 123.7)
         SELECT col, "row", round(dz - bias, 6) AS dz_unbiased FROM dz, bias"""
 
+  // §2.1 raster scan with nodata/validity filter (the masked-pixel drop,
+  // variography_uncertainty.py:84–91): explicit declared form
+  private val scanValid: Q = (s, d) =>
+    PixelGrid.grid(s, d, 0)
+      .filter(col("value").isNotNull && col("value") =!= lit(-9999.0))
+      .agg(count(lit(1)).as("n_valid"), round(avg("value"), 6).as("mean_value"),
+        round(min("value"), 6).as("min_value"), round(max("value"), 6).as("max_value"))
+  private val scanValidSql =
+    s"""WITH g AS ($cteA)
+        SELECT count(*) AS n_valid, round(avg(value), 6) AS mean_value,
+               round(min(value), 6) AS min_value, round(max(value), 6) AS max_value
+        FROM g WHERE value IS NOT NULL AND value <> -9999.0"""
+
+  // §2.8 stable = valid − unstable polygon (left_anti EXCEPT semantics,
+  // derive_stable_from_unstable, stable_unstable_areas.py:351–410)
+  private val stableAnti: Q = (s, d) => {
+    val px = PixelGrid.withXY(gA(s, d))
+    val unstable = px.filter(
+      Geom.pointInPolygon(col("x"), col("y"), Geom.polyLit(diamond)))
+      .select("col", "row")
+    px.join(unstable, Seq("col", "row"), "left_anti")
+      .agg(count(lit(1)).as("n_stable"), round(avg("value"), 6).as("mean_value"))
+  }
+  private val stableAntiSql =
+    s"""WITH g AS ($cteA),
+        px AS (SELECT g.*, ${PixelGrid.xySql} FROM g)
+        SELECT count(*) AS n_stable, round(avg(value), 6) AS mean_value
+        FROM px ANTI JOIN (SELECT col, "row" FROM px
+                           WHERE abs(x - 64.3) + abs(y - 64.3) < 30.2) u
+          ON px.col = u.col AND px."row" = u."row""""
+
+  // §2.4 pixel count per polygon (calculate_pixel_count,
+  // stable_unstable_areas.py:445–454)
+  private val zoneCounts: Q = (s, d) => {
+    val px = PixelGrid.withXY(gA(s, d))
+    val tags = array(zones.map { case (n, pts) =>
+      when(Geom.pointInPolygon(col("x"), col("y"), Geom.polyLit(pts)), lit(n))
+    }: _*)
+    px.select(explode(filter(tags, t => t.isNotNull)).as("name"))
+      .groupBy("name").count()
+  }
+  private val zoneCountsSql = {
+    val unions = zonesSqlCases("x", "y").map { case (n, cond) =>
+      s"SELECT '$n' AS name FROM px WHERE $cond" }.mkString("\n UNION ALL \n")
+    s"""WITH g AS ($cteA),
+        px AS (SELECT g.*, ${PixelGrid.xySql} FROM g)
+        SELECT name, count(*) AS count FROM ( $unions ) GROUP BY 1"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "r_scan_valid" -> scanValid,
+    "r_stable_anti" -> stableAnti,
+    "r_zone_counts" -> zoneCounts,
     "r_diff_join" -> diffJoin,
     "r_combined_mask" -> combinedMask,
     "r_overlap_intersect" -> overlapIntersect,
@@ -153,6 +210,9 @@ object QueriesRaster {
   )
 
   val oracle: Map[String, String] = Map(
+    "r_scan_valid" -> scanValidSql,
+    "r_stable_anti" -> stableAntiSql,
+    "r_zone_counts" -> zoneCountsSql,
     "r_diff_join" -> diffJoinSql,
     "r_combined_mask" -> combinedMaskSql,
     "r_overlap_intersect" -> overlapIntersectSql,

@@ -49,55 +49,64 @@ object QueriesText {
         GROUP BY doc_id"""
   }
 
+  // One banded self-join (signatures exploded to (band_id, band_val)
+  // bucket rows) instead of one join per band — the signature subtree is
+  // evaluated twice, not 2×BANDS times, and the join shuffles once on the
+  // composite bucket key.
   private val dedupMinhash: Q = (s, d) => {
     val sig = signatures(s, d)
-    val withBands = sig.select(col("*") +:
-      (0 until BANDS).map(b =>
-        concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as(s"band$b")): _*)
-    val left = withBands
-    val right = withBands.toDF(withBands.columns.map("r_" + _): _*)
-    val cand = (0 until BANDS).map { b =>
-      left.join(right, col(s"band$b") === col(s"r_band$b") &&
-        col("doc_id") < col("r_doc_id"))
-    }.reduce(_ unionAll _)
+    val bandVals = array((0 until BANDS).map(b =>
+      concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)
+    val banded = sig.select(col("*"),
+      posexplode(bandVals).as(Seq("band_id", "band_val")))
+    val right = banded.toDF(banded.columns.map("r_" + _): _*)
     val eq = (0 until NHASH).map(i =>
       when(col(s"mh$i") === col(s"r_mh$i"), 1).otherwise(0)).reduce(_ + _)
-    cand.select(col("doc_id").as("a_id"), col("r_doc_id").as("b_id"),
+    banded.join(right, col("band_id") === col("r_band_id") &&
+        col("band_val") === col("r_band_val") &&
+        col("doc_id") < col("r_doc_id"))
+      .select(col("doc_id").as("a_id"), col("r_doc_id").as("b_id"),
         (eq.cast("double") / NHASH).as("sim_est"))
       .groupBy("a_id", "b_id")
       .agg(round(max("sim_est"), 6).as("sim_est"))
   }
 
   private val dedupMinhashSql = {
-    val bands = (0 until BANDS).map(b => s"mh${2 * b} || mh${2 * b + 1} AS band$b").mkString(", ")
-    val joins = (0 until BANDS).map(b =>
-      s"""SELECT l.doc_id AS a_id, r.doc_id AS b_id,
-            ${(0 until NHASH).map(i => s"(CASE WHEN l.mh$i = r.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS neq
-          FROM wb l JOIN wb r ON l.band$b = r.band$b AND l.doc_id < r.doc_id""")
-      .mkString("\n UNION ALL \n")
+    val bandVal = (0 until BANDS).map(b =>
+      s"WHEN $b THEN mh${2 * b} || mh${2 * b + 1}").mkString(" ")
+    val eq = (0 until NHASH).map(i =>
+      s"(CASE WHEN l.mh$i = r.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH sig AS ($signaturesSqlCte),
-        wb AS (SELECT *, $bands FROM sig)
-        SELECT a_id, b_id, round(max(CAST(neq AS DOUBLE) / $NHASH), 6) AS sim_est
-        FROM ( $joins ) GROUP BY 1, 2"""
+        banded AS (SELECT sig.*, band_id,
+                          CASE band_id $bandVal END AS band_val
+                   FROM sig, (SELECT unnest(range($BANDS)) AS band_id))
+        SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+               round(max(CAST($eq AS DOUBLE) / $NHASH), 6) AS sim_est
+        FROM banded l JOIN banded r
+          ON l.band_id = r.band_id AND l.band_val = r.band_val
+         AND l.doc_id < r.doc_id
+        GROUP BY 1, 2"""
   }
 
-  // ---- SimHash with exact band blocking (hamming≤3 ⇒ ≥1 of 4 bands equal)
+  // ---- SimHash (32-bit, all md5 hex positions) with exact band blocking:
+  // hamming≤3 over 4 bands of 8 bits ⇒ ≥1 band equal (pigeonhole), and
+  // 256 buckets per band keep candidate sets small at scale
   private def simhashes(s: SparkSession, d: String): DataFrame = {
     val wm = Tables.documents(s, d)
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
       .withColumn("wmd5", md5(col("w")))
-    val sums = (1 to 16).map(p =>
+    val sums = (1 to 32).map(p =>
       sum(expr(s"instr('0123456789abcdef', substr(wmd5, $p, 1))") - 1 - lit(7.5))
         .as(s"s$p"))
     val agg = wm.groupBy("doc_id").agg(sums.head, sums.tail: _*)
     agg.select(col("doc_id"),
-      TextOps.simhashFromSums((1 to 16).map(p => col(s"s$p"))).as("simhash"))
+      TextOps.simhashFromSums((1 to 32).map(p => col(s"s$p"))).as("simhash"))
   }
 
   private val simhashSqlCte: String = {
-    val sums = (1 to 16).map(p =>
+    val sums = (1 to 32).map(p =>
       s"sum(strpos('0123456789abcdef', substr(md5(w), $p, 1)) - 1 - 7.5) AS s$p").mkString(", ")
-    val bits = (1 to 16).map(p =>
+    val bits = (1 to 32).map(p =>
       s"(CASE WHEN s$p > 0.0 THEN ${1L << (p - 1)} ELSE 0 END)").mkString(" + ")
     s"""SELECT doc_id, $bits AS simhash FROM (
           SELECT doc_id, $sums
@@ -107,30 +116,33 @@ object QueriesText {
 
   private val dedupSimhash: Q = (s, d) => {
     val sh = simhashes(s, d)
-    val withBands = sh.select(Seq(col("doc_id"), col("simhash")) ++
-      (0 until 4).map(b =>
-        shiftright(col("simhash"), 4 * b).bitwiseAND(15).as(s"b$b")): _*)
-    val right = withBands.toDF("r_doc_id", "r_simhash", "r_b0", "r_b1", "r_b2", "r_b3")
-    val cand = (0 until 4).map { b =>
-      withBands.join(right, col(s"b$b") === col(s"r_b$b") &&
+    val bandVals = array((0 until 4).map(b =>
+      shiftright(col("simhash"), 8 * b).bitwiseAND(255)): _*)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(bandVals).as(Seq("band_id", "band_val")))
+    val right = banded.toDF("r_doc_id", "r_simhash", "r_band_id", "r_band_val")
+    banded.join(right, col("band_id") === col("r_band_id") &&
+        col("band_val") === col("r_band_val") &&
         col("doc_id") < col("r_doc_id"))
-    }.reduce(_ unionAll _)
-    cand.select(col("doc_id").as("a_id"), col("r_doc_id").as("b_id"),
+      .select(col("doc_id").as("a_id"), col("r_doc_id").as("b_id"),
         bit_count(col("simhash").bitwiseXOR(col("r_simhash"))).as("hamming"))
       .filter(col("hamming") <= 3)
       .distinct()
   }
 
   private val dedupSimhashSql = {
-    val bands = (0 until 4).map(b => s"(simhash >> ${4 * b}) & 15 AS b$b").mkString(", ")
-    val joins = (0 until 4).map(b =>
-      s"""SELECT l.doc_id AS a_id, r.doc_id AS b_id,
-            bit_count(xor(l.simhash, r.simhash)) AS hamming
-          FROM wb l JOIN wb r ON l.b$b = r.b$b AND l.doc_id < r.doc_id""")
-      .mkString("\n UNION ALL \n")
+    val bandVal = (0 until 4).map(b =>
+      s"WHEN $b THEN (simhash >> ${8 * b}) & 255").mkString(" ")
     s"""WITH sh AS ($simhashSqlCte),
-        wb AS (SELECT doc_id, simhash, $bands FROM sh)
-        SELECT DISTINCT a_id, b_id, hamming FROM ( $joins ) WHERE hamming <= 3"""
+        banded AS (SELECT doc_id, simhash, band_id,
+                          CASE band_id $bandVal END AS band_val
+                   FROM sh, (SELECT unnest(range(4)) AS band_id))
+        SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+               bit_count(xor(l.simhash, r.simhash)) AS hamming
+        FROM banded l JOIN banded r
+          ON l.band_id = r.band_id AND l.band_val = r.band_val
+         AND l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.simhash, r.simhash)) <= 3"""
   }
 
   // ---- n-gram Jaccard within (lang, length-bucket) blocks ---------------

@@ -186,12 +186,18 @@ object QueriesVario {
       .select(Rand.gaussian(col("id"), 61).as("z"))
       .agg(count(lit(1)).as("n"), round(avg("z"), 6).as("mean_z"),
         round(stddev_pop(col("z")), 6).as("std_z"),
-        round(percentile(col("z"), lit(0.5)), 6).as("median_z"))
+        // 16/50/84 percentile bands (bootstrap-parameter summary shape,
+        // variography_uncertainty.py:902–913)
+        round(percentile(col("z"), lit(0.16)), 6).as("p16"),
+        round(percentile(col("z"), lit(0.5)), 6).as("median_z"),
+        round(percentile(col("z"), lit(0.84)), 6).as("p84"))
   private val gaussianDrawsSql =
     s"""SELECT count(*) AS n,
           round(avg(z), 6) AS mean_z,
           round(stddev_pop(z), 6) AS std_z,
-          round(quantile_cont(z, 0.5), 6) AS median_z
+          round(quantile_cont(z, 0.16), 6) AS p16,
+          round(quantile_cont(z, 0.5), 6) AS median_z,
+          round(quantile_cont(z, 0.84), 6) AS p84
         FROM (SELECT ${Rand.gaussianSql("i", 61)} AS z
               FROM (SELECT unnest(range(20000)) AS i))"""
 

@@ -32,14 +32,16 @@ object TextOps {
         generate_series(1, greatest(len(string_split($textExpr, ' ')) - ${k - 1}, 0)),
         i -> array_to_string(string_split($textExpr, ' ')[i:i+${k - 1}], ' '))"""
 
-  /** MinHash signature column j (string-min of salted md5 over shingles).
-    * Lexicographic min over hex strings is a valid min-hash: md5 is a
-    * uniform permutation of shingle space for each salt. */
+  /** MinHash signature column j: lexicographic string-min of the j-th
+    * 4-hex-char slice of ONE md5 per shingle. The 8 slices act as 8
+    * independent 16-bit hash functions at 1/8th the hashing cost of
+    * salting md5 eight times — the right trade at 100-TB document counts,
+    * where the md5 pass dominates the signature stage. */
   def minhashAgg(j: Int): Column =
-    min(md5(concat(lit(s"$j|"), col("sh")))).as(s"mh$j")
+    min(substring(md5(col("sh")), 4 * j + 1, 4)).as(s"mh$j")
 
   def minhashAggSql(j: Int): String =
-    s"min(md5('$j|' || sh)) AS mh$j"
+    s"min(substr(md5(sh), ${4 * j + 1}, 4)) AS mh$j"
 
   /** SimHash over 16 hex positions of per-word md5: position p's bit is the
     * sign of Σ_words (hexdigit_p − 7.5). Returns a 16-bit value. */
