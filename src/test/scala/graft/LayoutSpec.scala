@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.raster.{Layout, PixelGrid}
+
+/** Proves the ARCHITECTURE.md layout claim at the plan level: bucketed
+  * pixel tables make the differencing join shuffle-free. */
+class LayoutSpec extends SparkSuite {
+
+  test("bucketed rasters difference without a shuffle exchange") {
+    val a = PixelGrid.grid(spark, sf001, 0)
+    val b = PixelGrid.grid(spark, sf001, 1)
+    // unbucketed: the join must exchange both sides
+    val plain = PixelGrid.difference(a, b)
+    assert(Layout.hasShuffle(plain), "expected shuffle on unbucketed join")
+
+    // clean any stale table locations from previous JVMs (fresh in-memory
+    // catalog + surviving warehouse dir → LOCATION_ALREADY_EXISTS)
+    Seq("px_a_test", "px_b_test").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Layout.saveBucketed(a, "px_a_test")
+    Layout.saveBucketed(b, "px_b_test")
+    val ab = Layout.load(spark, "px_a_test")
+    val bb = Layout.load(spark, "px_b_test")
+    val bucketed = PixelGrid.difference(ab, bb)
+    assert(!Layout.hasShuffle(bucketed),
+      s"bucketed join still shuffles:\n${bucketed.queryExecution.executedPlan}")
+    // and the results agree
+    assert(bucketed.count() == plain.count())
+    val s1 = plain.agg(sum(abs(col("dz")))).head().getDouble(0)
+    val s2 = bucketed.agg(sum(abs(col("dz")))).head().getDouble(0)
+    assert(math.abs(s1 - s2) < 1e-6)
+  }
+}
