@@ -34,13 +34,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesRaster.queries ++ QueriesVario.queries ++
-      QueriesText.queries ++ QueriesAnn.queries ++ QueriesStream.queries
+      QueriesText.queries ++ QueriesAnn.queries ++ QueriesStream.queries ++
+      QueriesIngest.queries
 
   /** Equivalent ANSI SQL per query, runnable by DuckDB on the same
     * parquet tables. `round(e, d)` is canonicalized into the cross-engine
     * floor form on the way out (graft.functions.Canon). */
   def oracleSql: Map[String, String] =
     (QueriesCore.oracle ++ QueriesRaster.oracle ++ QueriesVario.oracle ++
-      QueriesText.oracle ++ QueriesAnn.oracle ++ QueriesStream.oracle)
+      QueriesText.oracle ++ QueriesAnn.oracle ++ QueriesStream.oracle ++
+      QueriesIngest.oracle)
       .map { case (k, v) => k -> graft.functions.Canon.fixSqlRounds(v) }
 }

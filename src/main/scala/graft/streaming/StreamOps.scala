@@ -52,6 +52,34 @@ object StreamOps {
              FROM events, (SELECT unnest([0, 1]) AS k))
        GROUP BY 1"""
 
+  /** Sessionization: events within a 30-minute inactivity gap per user
+    * form one session — Spark's `session_window` (works identically over
+    * batch and streaming input with a watermark; the stateful-processing
+    * surface of §2.10). The oracle mirrors the semantics relationally:
+    * lag + gap≥30min session-break flags + running sum. */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  val sessionizeSql: String =
+    """WITH marked AS (
+         SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events),
+       sess AS (
+         SELECT user_id, ts, value,
+                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+         FROM marked)
+       SELECT user_id, min(ts) AS session_start,
+              count(*) AS n_events, round(sum(value), 6) AS sum_value
+       FROM sess GROUP BY user_id, sess_id"""
+
   /** The streaming form of [[hourlyAgg]]: parquet-directory source →
     * watermark → windowed agg. `eventsDir` must be a DIRECTORY of events
     * parquet files (Spark's FileStreamSource contract — new files appended

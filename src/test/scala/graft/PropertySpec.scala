@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.SphericalModel
+import graft.raster.PixelGrid
+
+/** Property-based tests (SURVEY.md §5 item 3) — raw ScalaCheck
+  * generators driven with explicit seeds (the scalatestplus bridge is
+  * not in the offline dependency cache). */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val modelGen = for {
+    n <- Gen.choose(1, 3)
+    sills <- Gen.listOfN(n, Gen.choose(0.001, 1.0))
+    ranges <- Gen.listOfN(n, Gen.choose(1.0, 500.0))
+    nugget <- Gen.choose(0.0, 0.1)
+  } yield SphericalModel(sills, ranges, nugget)
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("spherical model: γ(0)=nugget, monotone, bounded by total sill") {
+    val hsGen = Gen.listOfN(30, Gen.choose(0.0, 1000.0))
+    samples(modelGen, 60).zip(samples(hsGen, 60)).foreach { case (m, hs) =>
+      assert(math.abs(m.gammaTotal(0.0) - m.nugget) < 1e-12)
+      val sorted = hs.sorted
+      val gs = sorted.map(m.gammaTotal)
+      gs.zip(gs.drop(1)).foreach { case (a, b) => assert(a <= b + 1e-12) }
+      gs.foreach(g => assert(g <= m.totalSill + 1e-12))
+      assert(math.abs(m.gammaTotal(1e9) - m.totalSill) < 1e-9)
+    }
+  }
+
+  test("covariance + gamma = total sill and covariance stays in range") {
+    samples(modelGen, 60).zip(samples(Gen.choose(0.0, 1000.0), 60))
+      .foreach { case (m, h) =>
+        val g = m.gammaTotal(h)
+        val c = m.totalSill - g
+        assert(math.abs((g + c) - m.totalSill) < 1e-12)
+        assert(c <= m.totalSill + 1e-12 && c >= -1e-12)
+      }
+  }
+
+  test("mask difference is disjoint from the kept set (EXCEPT semantics)") {
+    val a = PixelGrid.grid(spark, sf001, 0)
+    val b = PixelGrid.grid(spark, sf001, 1)
+    val kept = PixelGrid.overlap(a, b)
+    val dropped = a.select("col", "row").except(kept)
+    assert(dropped.intersect(kept).count() == 0)
+    assert(dropped.count() + kept.count() == a.count())
+  }
+
+  test("descriptive stats are invariant under pixel permutation") {
+    val tagged = PixelGrid.grid(spark, sf001, 0)
+      .select(lit("z").as("name"), col("value").as("v"))
+    val statsA = graft.zonal.Zonal.descriptiveStats(tagged)
+      .collect().map(_.toString).sorted.toSeq
+    val shuffled = tagged.orderBy(rand(7)) // permute physical order
+    val statsB = graft.zonal.Zonal.descriptiveStats(shuffled)
+      .collect().map(_.toString).sorted.toSeq
+    assert(statsA == statsB)
+  }
+
+  test("regrid preserves constant fields") {
+    val const = spark.range(64L * 64)
+      .select(($"id" % 64).cast("int").as("col"),
+        ($"id" / 64).cast("int").as("row"), lit(7.25).as("value"))
+    val re = PixelGrid.regridBilinear(const, 4, 16)
+    val vals = re.select("value").distinct().as[Double].collect()
+    assert(vals.toSeq == Seq(7.25))
+  }
+}

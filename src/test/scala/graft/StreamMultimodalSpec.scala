@@ -28,6 +28,34 @@ class StreamMultimodalSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization equals batch session_window") {
+    val batch = StreamOps.sessionize(Tables.events(spark, sf001))
+      .orderBy("user_id", "session_start").collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      java.nio.file.Paths.get(dir.getAbsolutePath, "events.parquet"))
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+    val raw = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val events =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      else raw
+    val q = StreamOps.sessionize(events.withWatermark("ts", "1 hour"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_test")
+        .orderBy("user_id", "session_start").collect()
+      assert(streamed.length == batch.length)
+      streamed.zip(batch).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    } finally q.stop()
+  }
+
   test("multimodal decode: schema, determinism, null payload dropped") {
     val media = Multimodal.mediaFromDocuments(spark, sf001)
     val feats = Multimodal.decodeFeatures(media)
