@@ -1,8 +1,9 @@
 package graft.geom
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame}
@@ -12,14 +13,16 @@ import org.apache.spark.sql.functions._
   * (shapely `prepared.contains`, variography_uncertainty.py:1015, 1030;
   * rasterize-then-mask, stable_unstable_areas.py:598–614).
   *
-  * Implemented as a Catalyst `Expression` doing even–odd ray casting over a
-  * vertex array column, so the polygon rides broadcast-side of a join and
-  * the predicate evaluates without serialization overhead per row. Boundary
+  * A native Catalyst `Expression` with `doGenCode`: the even–odd
+  * ray-casting loop is emitted directly into the generated stage, so the
+  * predicate runs inside whole-stage codegen with no boxing or UDF call
+  * overhead per row — the preference order of SURVEY.md §2.11. Boundary
   * semantics: a point exactly on an edge is implementation-defined (the
-  * engine's polygons are chosen off the data lattice, SURVEY.md §7.4 item 3).
+  * engine's polygons are chosen off the data lattice, SURVEY.md §7.4
+  * item 3).
   */
 case class PointInPolygon(x: Expression, y: Expression, verts: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def first: Expression = x
   override def second: Expression = y
   override def third: Expression = verts
@@ -46,6 +49,36 @@ case class PointInPolygon(x: Expression, y: Expression, verts: Expression)
     }
     inside
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (px, py, arr) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val vi = ctx.freshName("vi")
+      val vj = ctx.freshName("vj")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val xj = ctx.freshName("xj")
+      val yj = ctx.freshName("yj")
+      s"""
+        final int $n = $arr.numElements();
+        boolean ${ev.value}_acc = false;
+        int $j = $n - 1;
+        for (int $i = 0; $i < $n; $i++) {
+          org.apache.spark.sql.catalyst.InternalRow $vi = $arr.getStruct($i, 2);
+          org.apache.spark.sql.catalyst.InternalRow $vj = $arr.getStruct($j, 2);
+          double $xi = $vi.getDouble(0); double $yi = $vi.getDouble(1);
+          double $xj = $vj.getDouble(0); double $yj = $vj.getDouble(1);
+          if ((($yi > $py) != ($yj > $py)) &&
+              $px < ($xj - $xi) * ($py - $yi) / ($yj - $yi) + $xi) {
+            ${ev.value}_acc = !${ev.value}_acc;
+          }
+          $j = $i;
+        }
+        ${ev.value} = ${ev.value}_acc;
+      """
+    })
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)

@@ -137,6 +137,36 @@ object QueriesVario {
         FROM terms"""
   }
 
+  // §2.9 brute-force double sum σ²_A = (1/N²)ΣΣ C(d_ij) over a bounded
+  // grid (the validation estimator, variography_uncertainty.py:1197–1234)
+  private val bruteForce: Q = (s, d) => {
+    val m = Spherical.canonical
+    val (w, h) = (40, 30)
+    val cells = s.range(w.toLong * h).select(
+      (col("id") % w).cast("double").as("x"),
+      (col("id") / w).cast("long").cast("double").as("y"))
+    val a = cells.select(col("x").as("x1"), col("y").as("y1"))
+    val b = cells.select(col("x").as("x2"), col("y").as("y2"))
+    a.crossJoin(b)
+      .select(m.cov(sqrt(
+        (col("x2") - col("x1")) * (col("x2") - col("x1")) +
+        (col("y2") - col("y1")) * (col("y2") - col("y1")))).as("c"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sqrt(greatest(avg(col("c")), lit(0.0))), 6).as("sigma_brute"))
+  }
+  private val bruteForceSql = {
+    val m = Spherical.canonical
+    val (w, h) = (40, 30)
+    s"""WITH cells AS (
+          SELECT CAST(i % $w AS DOUBLE) AS x, CAST(i // $w AS DOUBLE) AS y
+          FROM (SELECT unnest(range(${w * h})) AS i))
+        SELECT count(*) AS n_pairs,
+               round(sqrt(greatest(avg(${m.covSql(
+                 "sqrt((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y))")}), 0.0)), 6)
+                 AS sigma_brute
+        FROM cells a, cells b"""
+  }
+
   // §2.3 Hugonnet K-centers cross join: mean ρ(dist) between every sample
   // point and K=50 random centers (variography_uncertainty.py:1322–1378)
   private val hugonnet: Q = (s, d) => {
@@ -230,6 +260,7 @@ object QueriesVario {
     "v_bootstrap_median" -> bootstrapMedian,
     "u_mc_correlated" -> mcCorrelated,
     "u_analytical_disk" -> analyticalDisk,
+    "u_brute_force" -> bruteForce,
     "u_hugonnet" -> hugonnet,
     "u_quadrature_total" -> quadratureTotal,
     "rng_uniform_in_poly" -> uniformInPoly,
@@ -244,6 +275,7 @@ object QueriesVario {
     "v_bootstrap_median" -> bootstrapMedianSql,
     "u_mc_correlated" -> mcCorrelatedSql,
     "u_analytical_disk" -> analyticalDiskSql,
+    "u_brute_force" -> bruteForceSql,
     "u_hugonnet" -> hugonnetSql,
     "u_quadrature_total" -> quadratureTotalSql,
     "rng_uniform_in_poly" -> uniformInPolySql,
