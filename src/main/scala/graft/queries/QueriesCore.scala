@@ -171,7 +171,9 @@ object QueriesCore {
   private val jsonExtract: Q = (s, d) =>
     Tables.events(s, d)
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        // schema-directed from_json (vectorized parse) rather than
+        // per-row get_json_object path evaluation
+        expr("from_json(props, 'k INT').k").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(avg("k"), 6).as("mean_k"),
         min("k").as("min_k"), max("k").as("max_k"))

@@ -18,20 +18,47 @@ import graft.functions.Canon.round
 object Zonal {
 
   /** 12-stat aggregate over column `v` of a zone-tagged table
-    * `[name, v]`, per zone plus an 'ALL' rollup row. */
+    * `[name, v]`, per zone plus an 'ALL' rollup row.
+    *
+    * Quantiles are computed by WINDOW-RANK SELECTION, not Spark's
+    * `Percentile` aggregate: `Percentile` buffers every value per group
+    * and merges on one thread (9s at sf0.1 for this query); ranking
+    * within each zone and picking the two order statistics around
+    * p·(n−1) is one shuffle, sorts zones in parallel, and produces the
+    * identical linear-interpolated exact quantile. The ALL rollup row is
+    * realized by doubling the tag stream with name='ALL' so every group
+    * (including ALL) flows through the same single groupBy. */
   def descriptiveStats(tagged: DataFrame, v: String = "v"): DataFrame = {
     val x = col(v)
-    val base = tagged.rollup("name").agg(
-      count(lit(1)).as("n"),
+    val all = tagged.select(lit("ALL").as("name"), x.as(v))
+    val t2 = tagged.select(col("name"), x.as(v)).unionAll(all)
+    val ranked = t2
+      .withColumn("rn", row_number().over(Window.partitionBy("name").orderBy(x)))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy("name")))
+    val ps = Seq(0.5 -> "med", 0.005 -> "q005", 0.995 -> "q995")
+    val qAggs = ps.flatMap { case (p, tag) =>
+      val pos = lit(p) * (col("nn") - 1)
+      Seq(max(when(col("rn") === floor(pos) + 1, x)).as(s"${tag}_lo"),
+          max(when(col("rn") === ceil(pos) + 1, x)).as(s"${tag}_hi"))
+    }
+    val aggs = Seq(
       avg(x).as("m1"),
       avg(x * x).as("m2r"),
       avg(x * x * x).as("m3r"),
       avg(x * x * x * x).as("m4r"),
       round(min(x), 6).as("min_v"),
-      round(max(x), 6).as("max_v"),
-      round(percentile(x, lit(0.5)), 6).as("median_v"),
-      round(percentile(x, lit(0.005)), 6).as("p005"),
-      round(percentile(x, lit(0.995)), 6).as("p995"))
+      round(max(x), 6).as("max_v")) ++ qAggs
+    val base0 = ranked.groupBy("name")
+      .agg(count(lit(1)).as("n"), aggs: _*)
+    def interp(p: Double, tag: String): Column = {
+      val pos = lit(p) * (col("n") - 1)
+      round(col(s"${tag}_lo") +
+        (col(s"${tag}_hi") - col(s"${tag}_lo")) * (pos - floor(pos)), 6)
+    }
+    val base = base0
+      .withColumn("median_v", interp(0.5, "med"))
+      .withColumn("p005", interp(0.005, "q005"))
+      .withColumn("p995", interp(0.995, "q995"))
     val m2 = col("m2r") - col("m1") * col("m1")
     val m3 = col("m3r") - lit(3.0) * col("m1") * col("m2r") +
       lit(2.0) * col("m1") * col("m1") * col("m1")
