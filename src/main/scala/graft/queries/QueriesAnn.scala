@@ -106,15 +106,52 @@ object QueriesAnn {
                round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
         FROM e GROUP BY 1"""
 
+  // ---- one k-means centroid-update step (IVF training shape): assign
+  // every vector to its nearest centroid, then recompute centroids as the
+  // element-wise mean per cluster. posexplode → groupBy(cluster, dim) is
+  // the scale form: the shuffle carries (cluster, dim) partial sums, never
+  // whole vectors to one place.
+  private val kmeansStep: Q = (s, d) => {
+    val e = emb(s, d)
+    val cents = e.filter(col("vec_id") < NCENTROIDS).toDF("c_id", "cv")
+    val assigned = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("c_id"),
+        round(Similarity.cosine(col("cv"), col("v")), 6).as("csim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)))
+      .filter(col("crn") === 1)
+    assigned
+      .select(col("c_id").as("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg(count(lit(1)).as("n"), round(avg("x"), 6).as("mean_x"))
+  }
+
+  private val kmeansStepSql =
+    s"""WITH e AS ($embSqlCte),
+        cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NCENTROIDS),
+        assigned AS (
+          SELECT vec_id, v, c_id AS cluster
+          FROM (SELECT e.vec_id, e.v, c.c_id,
+                       round(${Similarity.cosineSql("cv", "v")}, 6) AS csim
+                FROM e, cents c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, c_id ASC) = 1)
+        SELECT cluster, CAST(dim - 1 AS INT) AS dim, count(*) AS n,
+               round(avg(v[dim]), 6) AS mean_x
+        FROM assigned, (SELECT unnest(range(1, 65)) AS dim)
+        GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
     "n_cosine_topk" -> cosineTopk,
     "n_ivf_topk" -> ivfTopk,
     "n_emb_stats" -> embStats,
+    "n_kmeans_step" -> kmeansStep,
   )
 
   val oracle: Map[String, String] = Map(
     "n_cosine_topk" -> cosineTopkSql,
     "n_ivf_topk" -> ivfTopkSql,
     "n_emb_stats" -> embStatsSql,
+    "n_kmeans_step" -> kmeansStepSql,
   )
 }

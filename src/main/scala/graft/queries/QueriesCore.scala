@@ -330,7 +330,33 @@ object QueriesCore {
        FROM (SELECT n_nationkey, unnest(range(n_nationkey % 3 + 1)) AS part_idx
              FROM nation)"""
 
+  // §2.5 analytic window with a running frame (engine surface beyond the
+  // reference, which has no ordered-relation windows): cumulative revenue
+  // per supplier in ship order. The frame accumulates in a defined total
+  // order (date, orderkey, linenumber unique), so the running double sum
+  // is evaluation-order-identical across engines.
+  private val runningTotal: Q = (s, d) => {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d).filter(col("l_suppkey") % 211 === 0)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_extendedprice")).over(w), 4).as("running_revenue"),
+        row_number().over(Window.partitionBy("l_suppkey")
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+          .as("seq"))
+  }
+  private val runningTotalSql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+              round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ROWS UNBOUNDED PRECEDING), 4) AS running_revenue,
+              row_number() OVER (PARTITION BY l_suppkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber) AS seq
+       FROM lineitem WHERE l_suppkey % 211 = 0"""
+
   val queries: Map[String, Q] = Map(
+    "w_running_total" -> runningTotal,
     "g_wkt_assembly" -> wktAssembly,
     "g_poly_explode" -> polyExplode,
     "s_filter_project" -> filterProject,
@@ -356,6 +382,7 @@ object QueriesCore {
   )
 
   val oracle: Map[String, String] = Map(
+    "w_running_total" -> runningTotalSql,
     "g_wkt_assembly" -> wktAssemblySql,
     "g_poly_explode" -> polyExplodeSql,
     "s_filter_project" -> filterProjectSql,
