@@ -29,13 +29,47 @@ object QueriesIngest {
               count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
        FROM lineitem GROUP BY 1"""
 
+  // multimodal metadata slice: binary payload sizes + kind distribution —
+  // the oracle-checkable boundary of the multimodal pipeline (the decode
+  // itself is the stubbed mapPartitions stage, tested in
+  // StreamMultimodalSpec)
+  private val multimodalMeta: Q = (s, d) =>
+    graft.multimodal.Multimodal.mediaFromDocuments(s, d)
+      .groupBy("kind", "meta_source")
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("payload"))).as("total_bytes"),
+        min(length(col("payload"))).as("min_bytes"),
+        max(length(col("payload"))).as("max_bytes"))
+  private val multimodalMetaSql =
+    """SELECT CASE CAST(doc_id % 3 + 1 AS INT) WHEN 1 THEN 'image'
+                   WHEN 2 THEN 'audio' ELSE 'video' END AS kind,
+              source AS meta_source, count(*) AS n,
+              sum(octet_length(encode(text))) AS total_bytes,
+              min(octet_length(encode(text))) AS min_bytes,
+              max(octet_length(encode(text))) AS max_bytes
+       FROM documents GROUP BY 1, 2"""
+
+  // sketch surfaces for the 100-TB path: HLL distinct + approximate
+  // quantiles. Declared WITHOUT oracle SQL (algorithm-specific estimates
+  // cannot hash-match a different engine) → driver records the weaker
+  // rows-only check, as the contract allows.
+  private val approxStats: Q = (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"),
+        count(lit(1)).as("n_rows"))
+
   val queries: Map[String, Q] = Map(
     "i_pointcloud_grid" -> pointcloudGrid,
+    "i_multimodal_meta" -> multimodalMeta,
     "a_count_distinct" -> countDistinctQ,
+    "a_approx_sketches" -> approxStats,
   )
 
   val oracle: Map[String, String] = Map(
     "i_pointcloud_grid" -> pointcloudGridSql,
+    "i_multimodal_meta" -> multimodalMetaSql,
     "a_count_distinct" -> countDistinctSql,
   )
 }
