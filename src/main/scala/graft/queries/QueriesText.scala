@@ -145,6 +145,25 @@ object QueriesText {
         WHERE bit_count(xor(l.simhash, r.simhash)) <= 3"""
   }
 
+  // ---- transitive near-dup clustering over the LSH pairs ----------------
+  // cluster_id = min doc id reachable through candidate edges (iterative
+  // min-label propagation; recursive-CTE transitive closure in the oracle)
+  private val dedupClusters: Q = (s, d) =>
+    graft.text.DedupCluster.connectedComponents(
+      dedupMinhash(s, d).select("a_id", "b_id"))
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($dedupMinhashSql)),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                  UNION SELECT b_id, a_id FROM pairs),
+        r(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id,
+               least(src, min(dst)) AS cluster_id
+        FROM r GROUP BY src"""
+
   // ---- n-gram Jaccard within (lang, length-bucket) blocks ---------------
   private val jaccard: Q = (s, d) => {
     def base = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
@@ -270,6 +289,7 @@ object QueriesText {
   val queries: Map[String, Q] = Map(
     "x_dedup_exact" -> dedupExact,
     "x_dedup_minhash_lsh" -> dedupMinhash,
+    "x_dedup_clusters" -> dedupClusters,
     "x_dedup_simhash" -> dedupSimhash,
     "x_jaccard_3gram" -> jaccard,
     "x_langid" -> langid,
@@ -281,6 +301,7 @@ object QueriesText {
   val oracle: Map[String, String] = Map(
     "x_dedup_exact" -> dedupExactSql,
     "x_dedup_minhash_lsh" -> dedupMinhashSql,
+    "x_dedup_clusters" -> dedupClustersSql,
     "x_dedup_simhash" -> dedupSimhashSql,
     "x_jaccard_3gram" -> jaccardSql,
     "x_langid" -> langidSql,

@@ -1,0 +1,50 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Transitive near-duplicate clustering: connected components over a
+  * candidate-pair edge set (e.g. MinHash-LSH output), labeling every
+  * document with the smallest doc id reachable from it. The dedup policy
+  * "keep one representative per near-dup cluster" is then a groupBy on
+  * the label.
+  *
+  * Algorithm: iterative min-label propagation (the standard large-graph
+  * CC on Spark — each round is one join + aggregate, rounds =
+  * O(log(component diameter)); near-dup components are tiny, so this
+  * converges in 2–3 rounds). The loop is driver-orchestrated but every
+  * step is a distributed join; nothing node-sized reaches the driver
+  * except the convergence counter.
+  */
+object DedupCluster {
+
+  /** `pairs(a_id, b_id)` undirected → `[doc_id, cluster_id]` where
+    * cluster_id = min reachable id. Docs with no edges are absent
+    * (their cluster is themselves). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // candidate label per node: min of own label and neighbors' labels
+      val nbr = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min("label").as("nlabel"))
+      val next = labels.join(nbr, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+}

@@ -78,6 +78,38 @@ class StreamMultimodalSpec extends SparkSuite {
     assert(Multimodal.decodeFeatures(withNull).count() == 1)
   }
 
+  test("streaming exact dedup: dropDuplicates with watermark") {
+    // duplicate the event stream; streaming dedup on event_id must
+    // restore the original cardinality
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      java.nio.file.Paths.get(dir.getAbsolutePath, "a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      java.nio.file.Paths.get(dir.getAbsolutePath, "b.parquet"))
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+    val raw = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val events =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      else raw
+    val q = events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy().count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dedup_test").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_test").head().getLong(0)
+      val expected = Tables.events(spark, sf001).count()
+      assert(n == expected, s"deduped $n vs $expected")
+    } finally q.stop()
+  }
+
   test("frame sample keeps every strideth media id") {
     val media = Multimodal.mediaFromDocuments(spark, sf001)
     val feats = Multimodal.decodeFeatures(media)
