@@ -122,6 +122,11 @@ object QueriesRaster {
   private val gapfill: Q = (s, d) => Terrain.gapfillIdw(gB(s, d), PixelGrid.W, 3)
   private val gapfillSql = Terrain.gapfillIdwSql(cteB, PixelGrid.W, 3)
 
+  // §2.5 nearest-neighbor gap-fill variant
+  private val gapfillNearest: Q = (s, d) =>
+    Terrain.gapfillNearest(gB(s, d), PixelGrid.W, 3)
+  private val gapfillNearestSql = Terrain.gapfillNearestSql(cteB, PixelGrid.W, 3)
+
   // §2.2 pointwise subtract-constant: bias removal using the stable-zone
   // median (subtract_value_from_raster, variography_uncertainty.py:116–136)
   private val biasRemove: Q = (s, d) => {
@@ -207,6 +212,7 @@ object QueriesRaster {
     "t_hillshade" -> hillshade,
     "t_roughness" -> roughness,
     "t_gapfill_idw" -> gapfill,
+    "t_gapfill_nearest" -> gapfillNearest,
   )
 
   val oracle: Map[String, String] = Map(
@@ -225,5 +231,6 @@ object QueriesRaster {
     "t_hillshade" -> hillshadeSql,
     "t_roughness" -> roughnessSql,
     "t_gapfill_idw" -> gapfillSql,
+    "t_gapfill_nearest" -> gapfillNearestSql,
   )
 }

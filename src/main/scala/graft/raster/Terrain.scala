@@ -168,6 +168,53 @@ object Terrain {
         .as("filled"))
   }
 
+  /** Gap-fill by NEAREST valid neighbor within Chebyshev radius `maxDist`
+    * (`fill_no_data` method="nearest", differencing_functions.py:587–661):
+    * per missing cell, the valid pixel with smallest d², ties broken by
+    * (col,row) of the source pixel — same bounded offset-explode shape as
+    * the IDW variant, with a rank-1 selection instead of a weighted sum. */
+  def gapfillNearest(px: DataFrame, w: Int, maxDist: Int): DataFrame = {
+    val spark = px.sparkSession
+    val full = spark.range(w.toLong * w)
+      .select((col("id") % w).cast("int").as("col"),
+              (col("id") / w).cast("int").as("row"))
+    val missing = full.join(px, Seq("col", "row"), "left_anti")
+    val offs = array((for (dr <- -maxDist to maxDist; dc <- -maxDist to maxDist
+                           if !(dr == 0 && dc == 0))
+      yield struct(lit(dc).as("dc"), lit(dr).as("dr"))): _*)
+    val served = px
+      .select(col("col"), col("row"), col("value"), explode(offs).as("o"))
+      .select((col("col") + col("o.dc")).as("col"),
+              (col("row") + col("o.dr")).as("row"),
+              (col("o.dc") * col("o.dc") + col("o.dr") * col("o.dr")).as("d2"),
+              col("col").as("scol"), col("row").as("srow"), col("value"))
+    missing.join(served, Seq("col", "row"), "inner")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("col", "row")
+          .orderBy(col("d2"), col("scol"), col("srow"))))
+      .filter(col("rn") === 1)
+      .select(col("col"), col("row"), col("value").as("filled"),
+        col("d2").cast("int").as("d2"))
+  }
+
+  def gapfillNearestSql(gridCte: String, w: Int, maxDist: Int): String =
+    s"""WITH g AS ($gridCte),
+    full_grid AS (SELECT CAST(i % $w AS INT) AS col, CAST(i // $w AS INT) AS "row"
+                  FROM (SELECT unnest(range(${w.toLong * w})) AS i)),
+    missing AS (SELECT f.col, f."row" FROM full_grid f
+                ANTI JOIN g ON g.col = f.col AND g."row" = f."row"),
+    served AS (SELECT g.col + dc AS col, g."row" + dr AS "row",
+                      dc*dc + dr*dr AS d2,
+                      g.col AS scol, g."row" AS srow, value
+               FROM g,
+                    (SELECT unnest(range(-$maxDist, ${maxDist + 1})) AS dc),
+                    (SELECT unnest(range(-$maxDist, ${maxDist + 1})) AS dr)
+               WHERE NOT (dc = 0 AND dr = 0))
+    SELECT m.col, m."row", value AS filled, CAST(d2 AS INT) AS d2
+    FROM missing m JOIN served s ON s.col = m.col AND s."row" = m."row"
+    QUALIFY row_number() OVER (PARTITION BY m.col, m."row"
+                               ORDER BY d2, scol, srow) = 1"""
+
   /** lcm of all reachable d² = dc²+dr² within Chebyshev radius `maxDist`. */
   def lcmScale(maxDist: Int): Long = {
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)

@@ -22,11 +22,15 @@ object DedupCluster {
     * cluster_id = min reachable id. Docs with no edges are absent
     * (their cluster is themselves). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint truncates lineage each round — without it every
+    // iteration (and the final materialization) re-derives the whole
+    // upstream pair pipeline, turning O(rounds) into O(rounds²) work.
+    // (On a real cluster use reliable checkpointing instead of local.)
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .distinct().persist()
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+      .withColumn("label", col("id")).localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -36,15 +40,13 @@ object DedupCluster {
       val next = labels.join(nbr, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       it += 1
     }
-    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 }

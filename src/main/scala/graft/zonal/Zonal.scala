@@ -35,7 +35,10 @@ object Zonal {
     val ranked = t2
       .withColumn("rn", row_number().over(Window.partitionBy("name").orderBy(x)))
       .withColumn("nn", count(lit(1)).over(Window.partitionBy("name")))
-    val ps = Seq(0.5 -> "med", 0.005 -> "q005", 0.995 -> "q995")
+    // p25/p75 cover the reference's exploratory-stats variant
+    // (plot_data_stats, variography_uncertainty.py:243–257)
+    val ps = Seq(0.5 -> "med", 0.005 -> "q005", 0.995 -> "q995",
+      0.25 -> "q25", 0.75 -> "q75")
     val qAggs = ps.flatMap { case (p, tag) =>
       val pos = lit(p) * (col("nn") - 1)
       Seq(max(when(col("rn") === floor(pos) + 1, x)).as(s"${tag}_lo"),
@@ -59,6 +62,8 @@ object Zonal {
       .withColumn("median_v", interp(0.5, "med"))
       .withColumn("p005", interp(0.005, "q005"))
       .withColumn("p995", interp(0.995, "q995"))
+      .withColumn("p25", interp(0.25, "q25"))
+      .withColumn("p75", interp(0.75, "q75"))
     val m2 = col("m2r") - col("m1") * col("m1")
     val m3 = col("m3r") - lit(3.0) * col("m1") * col("m2r") +
       lit(2.0) * col("m1") * col("m1") * col("m1")
@@ -75,7 +80,7 @@ object Zonal {
       col("min_v"), col("max_v"),
       round(m3 / pow(m2, 1.5), 6).as("skew_v"),
       round(m4 / (m2 * m2) - 3.0, 6).as("kurt_v"),
-      col("p005"), col("p995"))
+      col("p005"), col("p995"), col("p25"), col("p75"))
   }
 
   /** Mode per zone (+'ALL') over floor(v·10) buckets, smallest-bucket
@@ -113,7 +118,9 @@ object Zonal {
              round(min(v), 6) AS min_v, round(max(v), 6) AS max_v,
              round(quantile_cont(v, 0.5), 6) AS median_v,
              round(quantile_cont(v, 0.005), 6) AS p005,
-             round(quantile_cont(v, 0.995), 6) AS p995
+             round(quantile_cont(v, 0.995), 6) AS p995,
+             round(quantile_cont(v, 0.25), 6) AS p25,
+             round(quantile_cont(v, 0.75), 6) AS p75
       FROM z GROUP BY ROLLUP (name)),
     bcounts AS (
       SELECT name, CAST(floor(v * 10.0) AS BIGINT) AS b, count(*) AS cnt FROM z GROUP BY 1, 2
@@ -129,6 +136,6 @@ object Zonal {
            min_v, max_v,
            round((m3r - 3.0*m1*m2r + 2.0*m1*m1*m1) / pow(m2r - m1*m1, 1.5), 6) AS skew_v,
            round((m4r - 4.0*m1*m3r + 6.0*m1*m1*m2r - 3.0*m1*m1*m1*m1) / pow(m2r - m1*m1, 2) - 3.0, 6) AS kurt_v,
-           p005, p995, mode_v
+           p005, p995, p25, p75, mode_v
     FROM base b JOIN modes USING (name)"""
 }
