@@ -35,9 +35,15 @@ object QueriesText {
   private val NHASH = 8
   private val BANDS = 4 // 2 hashes per band
 
-  private def signatures(s: SparkSession, d: String): DataFrame =
+  /** doc_id × shingle, persisted: shared by the minhash signatures,
+    * clustering, and fingerprint queries within a session. */
+  private def shingleTable(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("sh"))
+      .persist()
+
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    shingleTable(s, d)
       .groupBy("doc_id")
       .agg(TextOps.minhashAgg(0), (1 until NHASH).map(TextOps.minhashAgg): _*)
 
@@ -273,8 +279,7 @@ object QueriesText {
 
   // ---- document fingerprint (min/max shingle hash) ----------------------
   private val fingerprint: Q = (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("sh"))
+    shingleTable(s, d)
       .groupBy("doc_id")
       .agg(min(md5(col("sh"))).as("fp_min"), max(md5(col("sh"))).as("fp_max"),
         count(lit(1)).as("n_shingles"))

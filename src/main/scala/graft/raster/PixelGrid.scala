@@ -57,6 +57,14 @@ object PixelGrid {
         col("l_extendedprice"))
       .groupBy("col", "row")
       .agg(round(avg("l_extendedprice") / 1000.0, 6).as("value"))
+      // persist: (1) downstream predicates on col/row/x/y otherwise get
+      // PUSHED BELOW this aggregate by substituting the grouping
+      // expressions — re-evaluating the (deep) hash tree per input row
+      // with no cross-conjunct CSE; against the cache they evaluate on
+      // materialized columns. (2) identical grid plans across queries in
+      // one session share the cache entry (CacheManager canonical match),
+      // exactly how a shared 100-TB base table would be staged.
+      .persist()
   }
 
   /** DuckDB CTE body equivalent to [[grid]]. */
