@@ -106,6 +106,52 @@ object QueriesAnn {
                round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
         FROM e GROUP BY 1"""
 
+  // ---- IVF multi-probe: queries search their TOP-2 centroid buckets —
+  // the standard recall lever (candidates stay an equi-join on cluster id;
+  // probe count scales coverage linearly, never quadratically)
+  private val ivfMultiprobe: Q = (s, d) => {
+    val e = emb(s, d)
+    val cents = e.filter(col("vec_id") < NCENTROIDS).toDF("c_id", "cv")
+    val ranked = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("c_id"),
+        round(Similarity.cosine(col("cv"), col("v")), 6).as("csim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)))
+    val assigned = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+    val probes = ranked.filter(col("crn") <= 2 && col("vec_id") < NQUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("c_id").as("cluster"), col("crn").as("probe"))
+    probes.join(assigned, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("probe"), col("cluster"), col("vec_id"),
+        round(Similarity.cosine(col("qv"), col("v")), 6).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= TOPK)
+  }
+
+  private val ivfMultiprobeSql =
+    s"""WITH e AS ($embSqlCte),
+        cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NCENTROIDS),
+        ranked AS (
+          SELECT vec_id, v, c_id,
+                 round(${Similarity.cosineSql("cv", "v")}, 6) AS csim,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY round(${Similarity.cosineSql("cv", "v")}, 6) DESC,
+                                             c_id ASC) AS crn
+          FROM e, cents c),
+        assigned AS (SELECT vec_id, v, c_id AS cluster FROM ranked WHERE crn = 1),
+        probes AS (SELECT vec_id AS q_id, v AS qv, c_id AS cluster, crn AS probe
+                   FROM ranked WHERE crn <= 2 AND vec_id < $NQUERIES)
+        SELECT q_id, probe, p.cluster AS cluster, a.vec_id,
+               round(${Similarity.cosineSql("qv", "v")}, 6) AS sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY
+                 round(${Similarity.cosineSql("qv", "v")}, 6) DESC, a.vec_id ASC) AS rank
+        FROM probes p JOIN assigned a ON a.cluster = p.cluster
+        WHERE a.vec_id <> p.q_id
+        QUALIFY rank <= $TOPK"""
+
   // ---- one k-means centroid-update step (IVF training shape): assign
   // every vector to its nearest centroid, then recompute centroids as the
   // element-wise mean per cluster. posexplode → groupBy(cluster, dim) is
@@ -144,6 +190,7 @@ object QueriesAnn {
   val queries: Map[String, Q] = Map(
     "n_cosine_topk" -> cosineTopk,
     "n_ivf_topk" -> ivfTopk,
+    "n_ivf_multiprobe" -> ivfMultiprobe,
     "n_emb_stats" -> embStats,
     "n_kmeans_step" -> kmeansStep,
   )
@@ -151,6 +198,7 @@ object QueriesAnn {
   val oracle: Map[String, String] = Map(
     "n_cosine_topk" -> cosineTopkSql,
     "n_ivf_topk" -> ivfTopkSql,
+    "n_ivf_multiprobe" -> ivfMultiprobeSql,
     "n_emb_stats" -> embStatsSql,
     "n_kmeans_step" -> kmeansStepSql,
   )
