@@ -29,21 +29,31 @@ object Bench {
       .foreach(t => Tables.t(spark, sfDir, t).count())
     // two passes, min per query: single-shot local-mode timings carry
     // ±1s GC/compilation noise that would pollute the recorded baseline
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink executes the FULL plan (count() would let column
         // pruning skip the output expressions)
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            // a swallowed failure records a near-zero timing and masks
+            // regressions — surface it on stderr and in the JSON line
+            System.err.println(s"BENCH FAILURE $name: $e")
+            failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val p1 = pass().toMap
     val results = pass().map { case (k, v) => k -> math.min(v, p1(k)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = failed.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":${failed.isEmpty},"failed":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

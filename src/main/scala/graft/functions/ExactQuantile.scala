@@ -27,13 +27,19 @@ object ExactQuantile {
     val lo = math.floor(pos).toLong
     val hi = math.ceil(pos).toLong
     val frac = pos - lo
-    def nthAsc(i: Long): Double =
+    def nthAsc(i: Long): Double = {
+      val k = math.min(i + 1, n - i) // rows the TopK must retain
+      require(k <= Int.MaxValue,
+        s"rank-selection needs a top-$k limit which overflows Int " +
+          s"(n=$n, p=$p); use an approximate quantile or a value-range " +
+          "binary search for quantiles this deep into a huge relation")
       if (i < n - i) // fetch from the front
         df.select(col(c)).orderBy(col(c).asc).limit((i + 1).toInt)
           .agg(max(c)).head().getDouble(0)
       else // fetch from the back: asc position i = desc position n-1-i
         df.select(col(c)).orderBy(col(c).desc).limit((n - i).toInt)
           .agg(min(c)).head().getDouble(0)
+    }
     val vLo = nthAsc(lo)
     val vHi = if (hi == lo) vLo else nthAsc(hi)
     vLo + (vHi - vLo) * frac

@@ -22,8 +22,14 @@ object SkewJoin {
     * deterministic salt). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  uniq: String, nSalts: Int): DataFrame = {
+    require(nSalts > 0, s"nSalts must be positive, got $nSalts")
+    // Rand.mix needs a non-negative key: pmod the (possibly negative)
+    // uniq into range and null-coalesce a failed cast — otherwise the
+    // salt lands outside [0, nSalts) and those big-side rows silently
+    // vanish from the inner join.
+    val uniqKey = pmod(coalesce(col(uniq).cast("long"), lit(0L)), lit(Rand.M))
     val saltedBig = big.withColumn("_salt",
-      (Rand.mix(col(uniq).cast("long"), 997) % nSalts).cast("int"))
+      pmod(Rand.mix(uniqKey, 997), lit(nSalts.toLong)).cast("int"))
     val saltedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(nSalts - 1)).cast("array<int>")))
     saltedBig.join(saltedSmall, Seq(key, "_salt"), "inner").drop("_salt")

@@ -33,8 +33,11 @@ object QueriesAnn {
     val sims = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(Similarity.cosine(col("qv"), col("v")), 6).as("sim"))
+    // rank cast to long: DuckDB row_number() is BIGINT, Spark's is INT —
+    // outputs must serialize as the same type
     sims.withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)))
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc))
+        .cast("long"))
       .filter(col("rank") <= TOPK)
   }
 
@@ -67,7 +70,8 @@ object QueriesAnn {
       .select(col("q_id"), col("q_cluster").as("cluster"), col("vec_id"),
         round(Similarity.cosine(col("qv"), col("v")), 6).as("sim"))
       .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)))
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc))
+        .cast("long"))
       .filter(col("rank") <= TOPK)
   }
 
@@ -121,13 +125,14 @@ object QueriesAnn {
       .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
     val probes = ranked.filter(col("crn") <= 2 && col("vec_id") < NQUERIES)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("c_id").as("cluster"), col("crn").as("probe"))
+        col("c_id").as("cluster"), col("crn").cast("long").as("probe"))
     probes.join(assigned, Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("probe"), col("cluster"), col("vec_id"),
         round(Similarity.cosine(col("qv"), col("v")), 6).as("sim"))
       .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)))
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc))
+        .cast("long"))
       .filter(col("rank") <= TOPK)
   }
 

@@ -200,7 +200,7 @@ object QueriesCore {
   private val pickIndex: Q = (s, d) =>
     Tables.orders(s, d)
       .withColumn("idx", row_number().over(
-        Window.orderBy(col("o_orderdate"), col("o_orderkey"))))
+        Window.orderBy(col("o_orderdate"), col("o_orderkey"))).cast("long"))
       .filter(col("idx").isin(1, 500, 1000))
       .select(col("idx"), col("o_orderkey"), col("o_orderstatus"))
 
@@ -306,7 +306,7 @@ object QueriesCore {
         concat(lit("POLYGON (("),
           array_join(transform(array_sort(col("parts")), p => p.getField("pt")), ", "),
           lit("))")).as("wkt"),
-        size(col("parts")).as("n_vertices"))
+        size(col("parts")).cast("long").as("n_vertices"))
   }
   private val wktAssemblySql = {
     val x = s"CAST((${Rand.mixSql("n_nationkey", 71)}) % 100 AS VARCHAR)"
@@ -321,7 +321,10 @@ object QueriesCore {
   // (explode(index_parts=False), stable_unstable_areas.py:305)
   private val polyExplode: Q = (s, d) =>
     Tables.nation(s, d).select(col("n_nationkey"),
-        explode(sequence(lit(0), col("n_nationkey") % 3)).as("part_idx"))
+        // sequence over long endpoints: element (and thus part_idx) is
+        // BIGINT to match the oracle's unnest(range(...))
+        explode(sequence(lit(0L), (col("n_nationkey") % 3).cast("long")))
+          .as("part_idx"))
       .select(col("n_nationkey"), col("part_idx"),
         round((col("n_nationkey") + 1) * (col("part_idx") + 1) * 1.5, 6).as("part_area"))
   private val polyExplodeSql =
@@ -344,7 +347,7 @@ object QueriesCore {
         round(sum(col("l_extendedprice")).over(w), 4).as("running_revenue"),
         row_number().over(Window.partitionBy("l_suppkey")
           .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
-          .as("seq"))
+          .cast("long").as("seq"))
   }
   private val runningTotalSql =
     """SELECT l_suppkey, l_orderkey, l_linenumber,

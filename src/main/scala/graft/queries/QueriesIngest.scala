@@ -37,16 +37,19 @@ object QueriesIngest {
     graft.multimodal.Multimodal.mediaFromDocuments(s, d)
       .groupBy("kind", "meta_source")
       .agg(count(lit(1)).as("n"),
-        sum(length(col("payload"))).as("total_bytes"),
-        min(length(col("payload"))).as("min_bytes"),
-        max(length(col("payload"))).as("max_bytes"))
+        sum(length(col("payload")).cast("long")).as("total_bytes"),
+        min(length(col("payload")).cast("long")).as("min_bytes"),
+        max(length(col("payload")).cast("long")).as("max_bytes"))
+  // Oracle sums are CAST to BIGINT: DuckDB sum(BIGINT) -> HUGEINT, which
+  // serializes as a different physical type than Spark's LongType even
+  // when the values agree (round-1 gate recorded hash_match:false here).
   private val multimodalMetaSql =
     """SELECT CASE CAST(doc_id % 3 + 1 AS INT) WHEN 1 THEN 'image'
                    WHEN 2 THEN 'audio' ELSE 'video' END AS kind,
               source AS meta_source, count(*) AS n,
-              sum(octet_length(encode(text))) AS total_bytes,
-              min(octet_length(encode(text))) AS min_bytes,
-              max(octet_length(encode(text))) AS max_bytes
+              CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+              CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+              CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
        FROM documents GROUP BY 1, 2"""
 
   // sketch surfaces for the 100-TB path: HLL distinct + approximate

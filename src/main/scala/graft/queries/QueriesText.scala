@@ -144,7 +144,7 @@ object QueriesText {
                           CASE band_id $bandVal END AS band_val
                    FROM sh, (SELECT unnest(range(4)) AS band_id))
         SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
-               bit_count(xor(l.simhash, r.simhash)) AS hamming
+               CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
         FROM banded l JOIN banded r
           ON l.band_id = r.band_id AND l.band_val = r.band_val
          AND l.doc_id < r.doc_id
@@ -270,11 +270,14 @@ object QueriesText {
       .agg(count(lit(1)).as("n_docs"), sum("nw").as("ws_tokens"),
         sum("bpe").as("est_bpe_tokens"), sum("nv").as("vowel_chars"))
 
+  // Sums CAST to BIGINT: DuckDB sum(INTEGER/BIGINT) -> HUGEINT, a
+  // different serialized type than Spark's LongType (round-1 gate
+  // recorded hash_match:false on identical values).
   private val tokensSql =
     """SELECT source, count(*) AS n_docs,
-              sum(len(string_split(text, ' '))) AS ws_tokens,
-              sum((n_chars * 10 + 31) // 32) AS est_bpe_tokens,
-              sum(length(regexp_replace(text, '[^aeiou]', '', 'g'))) AS vowel_chars
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+              CAST(sum((n_chars * 10 + 31) // 32) AS BIGINT) AS est_bpe_tokens,
+              CAST(sum(length(regexp_replace(text, '[^aeiou]', '', 'g'))) AS BIGINT) AS vowel_chars
        FROM documents GROUP BY 1"""
 
   // ---- document fingerprint (min/max shingle hash) ----------------------

@@ -47,6 +47,13 @@ object DedupCluster {
       converged = changed == 0
       it += 1
     }
+    if (!converged)
+      // a component with propagation diameter > maxIter would otherwise
+      // be silently split into several cluster_ids
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter iterations; " +
+          "raise maxIter (rounds needed ~ log2 of the largest component " +
+          "diameter)")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 }

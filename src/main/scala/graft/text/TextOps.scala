@@ -68,7 +68,8 @@ object TextOps {
       array_contains(array(stopwords.map(lit): _*), x))).cast("double") / nw
     val vowels = length(regexp_replace(text, "[^aeiou]", ""))
     val vowelRatio = vowels.cast("double") / nChars
-    Seq(nw.as("n_words"), meanLen.as("mean_word_len"),
+    // n_words is long: DuckDB len(list) is BIGINT, Spark size() is INT
+    Seq(nw.cast("long").as("n_words"), meanLen.as("mean_word_len"),
       stopRatio.as("stopword_ratio"), vowelRatio.as("vowel_ratio"),
       (stopRatio * 0.4 + vowelRatio * 0.4 +
         when(meanLen.between(3.0, 8.0), 0.2).otherwise(0.0)).as("quality_score"))

@@ -45,7 +45,10 @@ object Vario {
     * with lowest counter-hash rank (`sample_raster`,
     * variography_uncertainty.py:160–219; run spawning :512–527). */
   def multiRunSample(pts: DataFrame, nRuns: Int, sampleSize: Int): DataFrame = {
-    val runs = pts.withColumn("run", explode(sequence(lit(0), lit(nRuns - 1))))
+    // run is long: the oracle's unnest(range(n)) yields BIGINT and the two
+    // engines' outputs must serialize as the same physical type
+    val runs = pts.withColumn("run",
+      explode(sequence(lit(0L), lit(nRuns - 1L))))
       .withColumn("h", Rand.mix(col("k") * nRuns + col("run"), 100))
     val w = Window.partitionBy("run").orderBy("h", "k")
     runs.withColumn("rn", row_number().over(w))
