@@ -44,4 +44,56 @@ object ExactQuantile {
     val vHi = if (hi == lo) vLo else nthAsc(hi)
     vLo + (vHi - vLo) * frac
   }
+
+  /** Exact order statistic by VALUE-RANGE bisection — the 100-TB path the
+    * rank-selection guard points at. Finds the i-th ascending value (0-based)
+    * without sorting, shuffling, or collecting anything row-sized: each
+    * iteration is one full-scan `count(value <= mid)` aggregate (a few bytes
+    * to the driver), and the search interval halves on the FLOAT64 BIT
+    * PATTERN, so it terminates in ≤64 probes with the exact value — no
+    * epsilon, no interpolation error. Monotone bit-pattern trick: for
+    * finite doubles, (sign-folded) long ordering equals numeric ordering.
+    */
+  def nthByBisection(df: DataFrame, c: String, i: Long): Double = {
+    val v = col(c).cast("double")
+    val row = df.agg(min(v), max(v), count(v)).head()
+    val (lo0, hi0, n) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
+    require(i >= 0 && i < n, s"order statistic $i out of range [0, $n)")
+    def toBits(d: Double): Long = {
+      val b = java.lang.Double.doubleToLongBits(d)
+      if (b < 0) Long.MinValue - b else b // fold negatives: order-preserving
+    }
+    def fromBits(l: Long): Double =
+      java.lang.Double.longBitsToDouble(if (l < 0) Long.MinValue - l else l)
+    var lo = toBits(lo0)
+    var hi = toBits(hi0)
+    // invariant: the answer key is in [lo, hi] — the smallest key whose
+    // count(value <= key) exceeds i, which is exactly the i-th value's key
+    // (count steps only at data values)
+    while (lo < hi) {
+      // overflow-free signed floor-average: hi - lo can exceed Long.MaxValue
+      // when the keys straddle zero (e.g. min ≈ -1e18, max ≈ +1e18)
+      val mid = (lo & hi) + ((lo ^ hi) >> 1)
+      val cnt = df.filter(v <= fromBits(mid)).count()
+      if (cnt <= i) lo = mid + 1 else hi = mid
+    }
+    fromBits(lo)
+  }
+
+  /** Interpolated quantile via [[nthByBisection]] — same numpy semantics
+    * as [[quantile]], but every probe is a scan+count, so it works at any
+    * depth of any relation size (≤ ~130 scans; in practice far fewer when
+    * the value range is narrow). Prefer [[quantile]] when (1−p)·n or p·n
+    * fits an Int; prefer this beyond that. */
+  def quantileByBisection(df: DataFrame, c: String, p: Double): Double = {
+    val n = df.count()
+    require(n > 0, "quantile of empty relation")
+    val pos = p * (n - 1)
+    val lo = math.floor(pos).toLong
+    val hi = math.ceil(pos).toLong
+    val frac = pos - lo
+    val vLo = nthByBisection(df, c, lo)
+    val vHi = if (hi == lo) vLo else nthByBisection(df, c, hi)
+    vLo + (vHi - vLo) * frac
+  }
 }

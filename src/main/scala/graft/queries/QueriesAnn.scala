@@ -192,8 +192,52 @@ object QueriesAnn {
         FROM assigned, (SELECT unnest(range(1, 65)) AS dim)
         GROUP BY 1, 2"""
 
+  // ---- embedding-cosine near-dup (the 5th dedup method of the training-
+  // data mandate, beside exact/MinHash/SimHash/Jaccard): candidate pairs
+  // come from the IVF bucket equi-join — two vectors are candidates only
+  // when they share a nearest centroid — then exact cosine ≥ threshold
+  // confirms. At 100 TB the shuffle carries cluster ids, never the O(N²)
+  // pair space; recall is tuned by probing top-P buckets per vector
+  // (n_ivf_multiprobe shape) and resolution by the centroid count.
+  private val DUP_SIM = 0.35
+  private val dedupEmbcos: Q = (s, d) => {
+    val e = emb(s, d)
+    val cents = e.filter(col("vec_id") < NCENTROIDS).toDF("c_id", "cv")
+    val assigned = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("c_id"),
+        round(Similarity.cosine(col("cv"), col("v")), 6).as("csim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+    val a = assigned.toDF("a_id", "av", "cluster")
+    val b = assigned.toDF("b_id", "bv", "cluster")
+    a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
+      .select(col("cluster"), col("a_id"), col("b_id"),
+        round(Similarity.cosine(col("av"), col("bv")), 6).as("sim"))
+      // threshold on the ROUNDED similarity so the cut is bit-identical
+      .filter(col("sim") >= DUP_SIM)
+  }
+
+  private val dedupEmbcosSql =
+    s"""WITH e AS ($embSqlCte),
+        cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NCENTROIDS),
+        assigned AS (
+          SELECT vec_id, v, c_id AS cluster
+          FROM (SELECT e.vec_id, e.v, c.c_id,
+                       round(${Similarity.cosineSql("cv", "v")}, 6) AS csim
+                FROM e, cents c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, c_id ASC) = 1)
+        SELECT a.cluster, a.vec_id AS a_id, b.vec_id AS b_id,
+               round(${Similarity.cosineSql("a.v", "b.v")}, 6) AS sim
+        FROM assigned a JOIN assigned b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round(${Similarity.cosineSql("a.v", "b.v")}, 6) >= $DUP_SIM"""
+
   val queries: Map[String, Q] = Map(
     "n_cosine_topk" -> cosineTopk,
+    "x_dedup_embcos" -> dedupEmbcos,
     "n_ivf_topk" -> ivfTopk,
     "n_ivf_multiprobe" -> ivfMultiprobe,
     "n_emb_stats" -> embStats,
@@ -202,6 +246,7 @@ object QueriesAnn {
 
   val oracle: Map[String, String] = Map(
     "n_cosine_topk" -> cosineTopkSql,
+    "x_dedup_embcos" -> dedupEmbcosSql,
     "n_ivf_topk" -> ivfTopkSql,
     "n_ivf_multiprobe" -> ivfMultiprobeSql,
     "n_emb_stats" -> embStatsSql,

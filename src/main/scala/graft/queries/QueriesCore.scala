@@ -358,8 +358,59 @@ object QueriesCore {
                 ORDER BY l_shipdate, l_orderkey, l_linenumber) AS seq
        FROM lineitem WHERE l_suppkey % 211 = 0"""
 
+  // §2.3 AS-OF join (engine extension; nearest reference analog is the
+  // regrid as-of alignment, differencing_functions.py:2102–2106): for a
+  // sample of probe events, attach the latest 'error' event of the same
+  // user at-or-before the probe's timestamp. Spark side runs the
+  // one-shuffle union+window form (ops.AsofJoin); the oracle is DuckDB's
+  // native ASOF LEFT JOIN. The right side is pre-aggregated unique per
+  // (user_id, ts) — equal-ts duplicates make ASOF nondeterministic.
+  private val asofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val probes = ev.filter(col("event_id") % 101 === 0)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(round(max(col("value")), 6).as("err_value"))
+    graft.ops.AsofJoin.asof(probes, errors, "user_id", "ts", Seq("err_value"))
+  }
+  private val asofJoinSql =
+    """SELECT l.event_id, l.user_id, l.ts,
+              r.ts AS asof_ts, r.err_value AS asof_err_value
+       FROM (SELECT event_id, user_id, ts FROM events
+             WHERE event_id % 101 = 0) l
+       ASOF LEFT JOIN
+            (SELECT user_id, ts, round(max(value), 6) AS err_value
+             FROM events WHERE event_type = 'error' GROUP BY 1, 2) r
+         ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+  // §2.5 ranking/offset analytics (engine surface beyond the reference):
+  // lag/lead/rank/ntile over a unique total order per supplier, so every
+  // function is deterministic across engines.
+  private val lagLead: Q = (s, d) => {
+    val ord = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d).filter(col("l_suppkey") % 211 === 0)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        round(lag(col("l_quantity"), 1).over(ord), 6).as("prev_qty"),
+        round(lead(col("l_quantity"), 1).over(ord), 6).as("next_qty"),
+        rank().over(ord).cast("long").as("rnk"),
+        ntile(4).over(ord).cast("long").as("quartile"))
+  }
+  private val lagLeadSql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+              round(lag(l_quantity, 1) OVER w, 6) AS prev_qty,
+              round(lead(l_quantity, 1) OVER w, 6) AS next_qty,
+              rank() OVER w AS rnk,
+              ntile(4) OVER w AS quartile
+       FROM lineitem WHERE l_suppkey % 211 = 0
+       WINDOW w AS (PARTITION BY l_suppkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber)"""
+
   val queries: Map[String, Q] = Map(
     "w_running_total" -> runningTotal,
+    "w_lag_lead" -> lagLead,
+    "o_asof_join" -> asofJoin,
     "g_wkt_assembly" -> wktAssembly,
     "g_poly_explode" -> polyExplode,
     "s_filter_project" -> filterProject,
@@ -386,6 +437,8 @@ object QueriesCore {
 
   val oracle: Map[String, String] = Map(
     "w_running_total" -> runningTotalSql,
+    "w_lag_lead" -> lagLeadSql,
+    "o_asof_join" -> asofJoinSql,
     "g_wkt_assembly" -> wktAssemblySql,
     "g_poly_explode" -> polyExplodeSql,
     "s_filter_project" -> filterProjectSql,

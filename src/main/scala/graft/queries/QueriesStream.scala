@@ -13,16 +13,20 @@ object QueriesStream {
   private val hourly: Q = (s, d) => StreamOps.hourlyAgg(Tables.events(s, d))
   private val sliding: Q = (s, d) => StreamOps.slidingRms(Tables.events(s, d))
   private val sessions: Q = (s, d) => StreamOps.sessionize(Tables.events(s, d))
+  private val dedupFirst: Q = (s, d) =>
+    StreamOps.dedupKeepFirst(Tables.events(s, d))
 
   val queries: Map[String, Q] = Map(
     "st_hourly_window" -> hourly,
     "st_sliding_rms" -> sliding,
     "st_sessionize" -> sessions,
+    "st_dedup_first" -> dedupFirst,
   )
 
   val oracle: Map[String, String] = Map(
     "st_hourly_window" -> StreamOps.hourlyAggSql,
     "st_sliding_rms" -> StreamOps.slidingRmsSql,
     "st_sessionize" -> StreamOps.sessionizeSql,
+    "st_dedup_first" -> StreamOps.dedupKeepFirstSql,
   )
 }

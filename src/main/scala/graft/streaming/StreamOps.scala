@@ -80,6 +80,27 @@ object StreamOps {
               count(*) AS n_events, round(sum(value), 6) AS sum_value
        FROM sess GROUP BY user_id, sess_id"""
 
+  /** Exact keep-first dedup per (user_id, event_type): the deterministic
+    * batch twin of streaming `dropDuplicatesWithinWatermark` (exercised
+    * live in StreamMultimodalSpec). Streaming keeps the first ARRIVAL;
+    * batch pins the same semantics to a total order (ts, event_id) so the
+    * kept row is engine-independent. One shuffle on the dedup key. */
+  def dedupKeepFirst(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"), round(col("value"), 6).as("value"))
+  }
+
+  val dedupKeepFirstSql: String =
+    """SELECT user_id, event_type, ts, event_id, round(value, 6) AS value
+       FROM events
+       QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) = 1"""
+
   /** The streaming form of [[hourlyAgg]]: parquet-directory source →
     * watermark → windowed agg. `eventsDir` must be a DIRECTORY of events
     * parquet files (Spark's FileStreamSource contract — new files appended
