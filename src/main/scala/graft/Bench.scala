@@ -48,12 +48,24 @@ object Bench {
       }
     val p1 = pass().toMap
     val results = pass().map { case (k, v) => k -> math.min(v, p1(k)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision keeps the whole line under the harness's
+    // output-tail window (round 1's full-precision line was truncated
+    // mid-JSON and recorded as unparseable)
+    def f3(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val errs = failed.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
-      .mkString("{", ",", "}")
+    val errs =
+      if (failed.isEmpty) ""
+      else failed.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
+        .mkString(""""failed":{""", ",", "},")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":${failed.isEmpty},"failed":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","ok":${failed.isEmpty},$errs"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces copy the harness tail can't truncate
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SELF.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

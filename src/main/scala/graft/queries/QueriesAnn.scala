@@ -209,12 +209,16 @@ object QueriesAnn {
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)))
       .filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
-    val a = assigned.toDF("a_id", "av", "cluster")
-    val b = assigned.toDF("b_id", "bv", "cluster")
+      // norm precomputed ONCE per vector — the pair stage below touches
+      // O(cluster²) pairs and must not re-fold both arrays per pair
+      .select(col("vec_id"), col("v"), Similarity.norm(col("v")).as("nrm"),
+        col("c_id").as("cluster"))
+    val a = assigned.toDF("a_id", "av", "anrm", "cluster")
+    val b = assigned.toDF("b_id", "bv", "bnrm", "cluster")
     a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
       .select(col("cluster"), col("a_id"), col("b_id"),
-        round(Similarity.cosine(col("av"), col("bv")), 6).as("sim"))
+        round(Similarity.dot(col("av"), col("bv")) /
+          (col("anrm") * col("bnrm")), 6).as("sim"))
       // threshold on the ROUNDED similarity so the cut is bit-identical
       .filter(col("sim") >= DUP_SIM)
   }
