@@ -1,0 +1,335 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+import graft.Tables
+import graft.ann.Similarity
+import graft.rng.Rand
+import graft.text.TextOps
+
+/** Round-2 engine extensions: repetition/quality filters, TF-IDF, PII
+  * redaction, stratified sampling, grouped top-k, pivot, banded interval
+  * join, and random-hyperplane LSH — each a deterministic pipeline with
+  * lockstep DuckDB oracle SQL.
+  *
+  * Scale notes (100-TB posture):
+  * - every pairwise stage is blocked (LSH bands / hour buckets) so no
+  *   O(N²) pair space ever reaches a shuffle;
+  * - per-group windows partition on low-cardinality keys only when the
+  *   per-group row count is bounded (top-k, stratified-k); unbounded
+  *   rankings stay out of the surface;
+  * - double sums that feed equality gates are either integer-exact
+  *   (cents scaling, ±1·x multiples) or fixed-order left folds.
+  */
+object QueriesExt {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- Gopher-style repetition metrics (quality filtering) --------------
+  // Per doc: word count, distinct-word ratio, most-common-word fraction,
+  // duplicate-2-gram fraction. The standard "repetitious text" signals for
+  // training-data filtering; each is a two-level aggregation, so the
+  // shuffle carries (doc_id, token) partial counts — map-side combine does
+  // the heavy lifting at scale.
+  private val repetition: Q = (s, d) => {
+    val wc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val ws = wc.groupBy("doc_id").agg(sum("c").as("nw"),
+      count(lit(1)).as("ndw"), max("c").as("topw"))
+    val gc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val gs = gc.groupBy("doc_id").agg(sum("c").as("ng"), count(lit(1)).as("ndg"))
+    ws.join(gs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nw").as("n_words"),
+        round(col("ndw").cast("double") / col("nw"), 6).as("distinct_word_ratio"),
+        round(col("topw").cast("double") / col("nw"), 6).as("top_word_ratio"),
+        round(coalesce(lit(1.0) - col("ndg").cast("double") / col("ng"), lit(0.0)), 6)
+          .as("dup_2gram_ratio"))
+  }
+
+  private val repetitionSql =
+    s"""WITH wc AS (SELECT doc_id, w, count(*) AS c
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                          FROM documents) GROUP BY 1, 2),
+        ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw, count(*) AS ndw,
+                      max(c) AS topw FROM wc GROUP BY 1),
+        gc AS (SELECT doc_id, g, count(*) AS c
+               FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("text", 2)}) AS g
+                     FROM documents) GROUP BY 1, 2),
+        gs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS ng, count(*) AS ndg
+               FROM gc GROUP BY 1)
+        SELECT ws.doc_id, nw AS n_words,
+               round(CAST(ndw AS DOUBLE) / nw, 6) AS distinct_word_ratio,
+               round(CAST(topw AS DOUBLE) / nw, 6) AS top_word_ratio,
+               round(coalesce(1.0 - CAST(ndg AS DOUBLE) / ng, 0.0), 6) AS dup_2gram_ratio
+        FROM ws LEFT JOIN gs ON ws.doc_id = gs.doc_id"""
+
+  // ---- TF-IDF top terms -------------------------------------------------
+  // tf·ln(N/df) per (doc, term); document frequencies come from the WHOLE
+  // corpus, then only probe docs are ranked. df is a (term → count)
+  // aggregate — tiny next to the corpus — so at scale it broadcasts back
+  // onto the tf table.
+  private val NTFIDF = 50
+  private val tfidf: Q = (s, d) => {
+    val wc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfq = wc.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    wc.filter(col("doc_id") < NTFIDF)
+      .join(broadcast(dfq), "w").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w").as("term"), col("tf"), col("df"),
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df")), 6).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc))
+        .cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
+  private val tfidfSql =
+    s"""WITH wc AS (SELECT doc_id, w, count(*) AS tf
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                          FROM documents) GROUP BY 1, 2),
+        dfq AS (SELECT w, count(*) AS df FROM wc GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, w AS term, tf, df,
+               round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY
+                 round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df), 6) DESC,
+                 w ASC) AS rank
+        FROM wc JOIN dfq USING (w), n
+        WHERE doc_id < $NTFIDF
+        QUALIFY rank <= 3"""
+
+  // ---- PII-shape redaction (digit-run masking) --------------------------
+  // The text-pipeline redaction primitive: collapse digit runs to a token,
+  // report how many characters were masked. Pure per-row projection —
+  // embarrassingly parallel, no shuffle at any scale.
+  private val redact: Q = (s, d) =>
+    Tables.customer(s, d).select(col("c_custkey"),
+      regexp_replace(col("c_name"), "[0-9]+", "<ID>").as("redacted"),
+      (length(col("c_name")) -
+        length(regexp_replace(col("c_name"), "[0-9]", ""))).cast("long")
+        .as("n_digit_chars"),
+      col("c_mktsegment"))
+
+  private val redactSql =
+    """SELECT c_custkey,
+              regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS redacted,
+              CAST(length(c_name) -
+                   length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT)
+                AS n_digit_chars,
+              c_mktsegment
+       FROM customer"""
+
+  // ---- deterministic stratified sample ----------------------------------
+  // k rows per stratum, ranked by a content hash — the distributed analog
+  // of per-group reservoir sampling, reproducible across engines and
+  // partitionings. Strata counts are low (group-key cardinality), so the
+  // window partitions evenly; the hash ordering is data-derived, never
+  // partition-order dependent.
+  private val STRATK = 20
+  private val stratifiedSample: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        md5(concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string"))).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("l_returnflag")
+          .orderBy(col("h").asc, col("l_orderkey").asc, col("l_linenumber").asc))
+        .cast("long"))
+      .filter(col("rk") <= STRATK)
+      .select("l_returnflag", "rk", "l_orderkey", "l_linenumber")
+
+  private val stratifiedSampleSql =
+    s"""SELECT l_returnflag, rk, l_orderkey, l_linenumber FROM (
+          SELECT l_returnflag, l_orderkey, l_linenumber,
+                 row_number() OVER (PARTITION BY l_returnflag ORDER BY
+                   md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                       CAST(l_linenumber AS VARCHAR)) ASC,
+                   l_orderkey ASC, l_linenumber ASC) AS rk
+          FROM lineitem)
+        WHERE rk <= $STRATK"""
+
+  // ---- grouped top-k ----------------------------------------------------
+  // Highest-value orders per priority class. At scale this is the
+  // rank-pushdown shape: AQE/WindowGroupLimit prunes each partition to k
+  // before the final sort, so the shuffle carries ~k·|groups| rows.
+  private val topkGroup: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc))
+        .cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+
+  private val topkGroupSql =
+    """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+         SELECT o_orderpriority, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+         FROM orders)
+       WHERE rnk <= 3"""
+
+  // ---- pivot (wide aggregation) -----------------------------------------
+  // status × priority counts and revenue. Sums are cents-scaled to
+  // integers first (invariant: multi-term double sums must be
+  // order-independent → integer-exact; partial sums < 2^53), so Spark's
+  // partial-agg ordering and DuckDB's single-node fold agree bit-for-bit.
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+  private val pivotStatus: Q = (s, d) => {
+    val o = Tables.orders(s, d).withColumn("cents", cents(col("o_totalprice")))
+    def n(st: String) = count(when(col("o_orderstatus") === st, 1)).as(s"n_$st")
+    def amt(st: String) =
+      (sum(when(col("o_orderstatus") === st, col("cents")).otherwise(0L)) / 100.0)
+        .as(s"amt_$st")
+    o.groupBy("o_orderpriority")
+      .agg(n("O"), amt("O"), n("F"), amt("F"), n("P"), amt("P"))
+  }
+
+  private val pivotStatusSql = {
+    def n(st: String) =
+      s"count(CASE WHEN o_orderstatus = '$st' THEN 1 END) AS n_$st"
+    def amt(st: String) =
+      s"""(CAST(sum(CASE WHEN o_orderstatus = '$st'
+            THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+            ELSE 0 END) AS BIGINT) / 100.0) AS amt_$st"""
+    s"""SELECT o_orderpriority, ${n("O")}, ${amt("O")}, ${n("F")}, ${amt("F")},
+               ${n("P")}, ${amt("P")}
+        FROM orders GROUP BY 1"""
+  }
+
+  // ---- banded interval (range) join -------------------------------------
+  // events within [t0, t0+10min) of each probe. The θ-join is quantized
+  // into an equi-join: probes explode to the hour buckets their interval
+  // touches, events carry their own bucket, and the range predicate only
+  // runs inside matching buckets. At 100 TB the probe side broadcasts and
+  // the event side never shuffles.
+  private val rangeJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("event_id", "ts", "value")
+    val probes = ev.filter(col("event_id") % 997 === 0)
+      .select(col("event_id").as("probe_id"), col("ts").as("t0"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("t1"))
+      .withColumn("bkt", explode(sequence(
+        expr("unix_micros(t0) div 3600000000"),
+        expr("unix_micros(t1) div 3600000000"))))
+    val eb = ev.withColumn("bkt", expr("unix_micros(ts) div 3600000000"))
+    eb.join(broadcast(probes), "bkt")
+      .filter(col("ts") >= col("t0") && col("ts") < col("t1"))
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_events"), round(avg("value"), 6).as("avg_value"),
+        min("ts").as("first_ts"))
+  }
+
+  private val rangeJoinSql =
+    """WITH probes AS (
+         SELECT event_id AS probe_id, ts AS t0, ts + INTERVAL 10 MINUTE AS t1
+         FROM events WHERE event_id % 997 = 0),
+       pb AS (SELECT probe_id, t0, t1,
+                     unnest(generate_series(epoch_us(t0) // 3600000000,
+                                            epoch_us(t1) // 3600000000)) AS bkt
+              FROM probes),
+       eb AS (SELECT event_id, ts, value,
+                     epoch_us(ts) // 3600000000 AS bkt FROM events)
+       SELECT probe_id, count(*) AS n_events, round(avg(value), 6) AS avg_value,
+              min(ts) AS first_ts
+       FROM eb JOIN pb USING (bkt)
+       WHERE eb.ts >= pb.t0 AND eb.ts < pb.t1
+       GROUP BY 1"""
+
+  // ---- random-hyperplane LSH (banded, cosine) ---------------------------
+  // 16 fixed ±1 hyperplanes → 4 bands × 4 sign bits. Two vectors are
+  // candidates when ANY band matches (P[bit match] = 1 − θ/π, so band
+  // blocking trades recall for candidate count the standard way); exact
+  // cosine then confirms. Complements the IVF route (x_dedup_embcos):
+  // RP-LSH needs no trained centroids, so it is the cold-start ANN path.
+  // The planes are compile-time constants from the deterministic RNG —
+  // identical in both engines by construction.
+  private val NPLANES = 16
+  private val RPDIM = 64
+  private val RPBANDS = 4
+  private val RPTHRESH = 0.35
+  private def planeSign(p: Int, dd: Int): Int =
+    if (Rand.mixLong(p * RPDIM + dd, 4242L) % 2 == 0) 1 else -1
+  private def planeCol(p: Int) =
+    array((0 until RPDIM).map(dd => lit(planeSign(p, dd).toDouble)): _*)
+  private def planeSqlList(p: Int): String =
+    (0 until RPDIM).map(dd => s"${planeSign(p, dd)}.0").mkString("[", ", ", "]")
+
+  private val rplsh: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def bandVal(b: Int) = (0 until RPBANDS).map { j =>
+      val proj = round(Similarity.dot(col("v"), planeCol(RPBANDS * b + j)), 6)
+      when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = e.select(Seq(col("vec_id"), col("v")) ++
+      (0 until RPBANDS).map(b => bandVal(b).as(s"b$b")): _*)
+    val banded = sig.select(col("vec_id"),
+      posexplode(array((0 until RPBANDS).map(b => col(s"b$b")): _*))
+        .as(Seq("band_id", "bval")))
+    val r = banded.toDF("r_vec_id", "r_band_id", "r_bval")
+    val pairs = banded.join(r, col("band_id") === col("r_band_id") &&
+        col("bval") === col("r_bval") && col("vec_id") < col("r_vec_id"))
+      .select(col("vec_id").as("a_id"), col("r_vec_id").as("b_id"))
+      .distinct()
+    pairs
+      .join(e.toDF("a_id", "av"), "a_id")
+      .join(e.toDF("b_id", "bv"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(Similarity.cosine(col("av"), col("bv")), 6).as("sim"))
+      .filter(col("sim") >= RPTHRESH)
+  }
+
+  private val rplshSql = {
+    def bandValSql(b: Int) = (0 until RPBANDS).map { j =>
+      val proj = s"round(list_dot_product(v, ${planeSqlList(RPBANDS * b + j)}), 6)"
+      s"(CASE WHEN $proj > 0.0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val bandCase = (0 until RPBANDS).map(b =>
+      if (b < RPBANDS - 1) s"WHEN $b THEN b$b" else s"ELSE b$b")
+      .mkString("CASE band_id ", " ", " END")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sig AS (SELECT vec_id,
+                  ${(0 until RPBANDS).map(b => s"(${bandValSql(b)}) AS b$b").mkString(", ")}
+                FROM e),
+        banded AS (SELECT vec_id, band_id, $bandCase AS bval
+                   FROM sig, (SELECT unnest(range($RPBANDS)) AS band_id)),
+        pairs AS (SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
+                  FROM banded l JOIN banded r
+                    ON l.band_id = r.band_id AND l.bval = r.bval
+                   AND l.vec_id < r.vec_id)
+        SELECT a_id, b_id,
+               round(${Similarity.cosineSql("a.v", "b.v")}, 6) AS sim
+        FROM pairs JOIN e a ON a.vec_id = a_id JOIN e b ON b.vec_id = b_id
+        WHERE round(${Similarity.cosineSql("a.v", "b.v")}, 6) >= $RPTHRESH"""
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x_repetition" -> repetition,
+    "x_tfidf" -> tfidf,
+    "x_redact" -> redact,
+    "v_stratified_sample" -> stratifiedSample,
+    "w_topk_group" -> topkGroup,
+    "a_pivot_status" -> pivotStatus,
+    "o_range_join" -> rangeJoin,
+    "n_rplsh_candidates" -> rplsh,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x_repetition" -> repetitionSql,
+    "x_tfidf" -> tfidfSql,
+    "x_redact" -> redactSql,
+    "v_stratified_sample" -> stratifiedSampleSql,
+    "w_topk_group" -> topkGroupSql,
+    "a_pivot_status" -> pivotStatusSql,
+    "o_range_join" -> rangeJoinSql,
+    "n_rplsh_candidates" -> rplshSql,
+  )
+}

@@ -98,13 +98,22 @@ object QueriesText {
   // hamming≤3 over 4 bands of 8 bits ⇒ ≥1 band equal (pigeonhole), and
   // 256 buckets per band keep candidate sets small at scale
   private def simhashes(s: SparkSession, d: String): DataFrame = {
-    val wm = Tables.documents(s, d)
+    // Count (doc, word) pairs first, then md5 + hex-extract once per
+    // DISTINCT vocabulary word (broadcast back onto the counts) instead of
+    // once per word instance — the md5 pass drops from |instances| to
+    // |vocabulary|. Exactness: each term is cnt·(digit − 7.5), a multiple
+    // of 0.5 with partial sums ≪ 2^53, so the regrouped sum is
+    // bit-identical to the oracle's per-instance fold.
+    val wc = Tables.documents(s, d)
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
-      .withColumn("wmd5", md5(col("w")))
-    val sums = (1 to 32).map(p =>
-      sum(expr(s"instr('0123456789abcdef', substr(wmd5, $p, 1))") - 1 - lit(7.5))
-        .as(s"s$p"))
-    val agg = wm.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val vocab = wc.select("w").distinct().withColumn("wmd5", md5(col("w")))
+      .select(col("w") +: (1 to 32).map(p =>
+        (expr(s"instr('0123456789abcdef', substr(wmd5, $p, 1))") - 1 - lit(7.5))
+          .as(s"d$p")): _*)
+    val sums = (1 to 32).map(p => sum(col("c") * col(s"d$p")).as(s"s$p"))
+    val agg = wc.join(broadcast(vocab), "w").groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
     agg.select(col("doc_id"),
       TextOps.simhashFromSums((1 to 32).map(p => col(s"s$p"))).as("simhash"))
   }
