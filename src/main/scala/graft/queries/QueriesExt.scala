@@ -244,14 +244,17 @@ object QueriesExt {
        GROUP BY 1"""
 
   // ---- random-hyperplane LSH (banded, cosine) ---------------------------
-  // 16 fixed ±1 hyperplanes → 4 bands × 4 sign bits. Two vectors are
+  // 32 fixed ±1 hyperplanes → 4 bands × 8 sign bits. Two vectors are
   // candidates when ANY band matches (P[bit match] = 1 − θ/π, so band
   // blocking trades recall for candidate count the standard way); exact
   // cosine then confirms. Complements the IVF route (x_dedup_embcos):
   // RP-LSH needs no trained centroids, so it is the cold-start ANN path.
   // The planes are compile-time constants from the deterministic RNG —
   // identical in both engines by construction.
-  private val NPLANES = 16
+  // Band width is the scale lever: 8 bits → 256 buckets per band keeps
+  // the per-band candidate space ~N²/256 (4-bit bands measured 16× more
+  // pairs and dominated the whole bench at sf0.1).
+  private val RPBITS = 8
   private val RPDIM = 64
   private val RPBANDS = 4
   private val RPTHRESH = 0.35
@@ -265,8 +268,8 @@ object QueriesExt {
   private val rplsh: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    def bandVal(b: Int) = (0 until RPBANDS).map { j =>
-      val proj = round(Similarity.dot(col("v"), planeCol(RPBANDS * b + j)), 6)
+    def bandVal(b: Int) = (0 until RPBITS).map { j =>
+      val proj = round(Similarity.dot(col("v"), planeCol(RPBITS * b + j)), 6)
       when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     val sig = e.select(Seq(col("vec_id"), col("v")) ++
@@ -288,8 +291,8 @@ object QueriesExt {
   }
 
   private val rplshSql = {
-    def bandValSql(b: Int) = (0 until RPBANDS).map { j =>
-      val proj = s"round(list_dot_product(v, ${planeSqlList(RPBANDS * b + j)}), 6)"
+    def bandValSql(b: Int) = (0 until RPBITS).map { j =>
+      val proj = s"round(list_dot_product(v, ${planeSqlList(RPBITS * b + j)}), 6)"
       s"(CASE WHEN $proj > 0.0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
     val bandCase = (0 until RPBANDS).map(b =>

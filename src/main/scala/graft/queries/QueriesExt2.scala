@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+import graft.Tables
+
+/** Relational-surface widening (round 2): fuzzy entity matching, CUBE,
+  * unpivot/melt, rank-family window functions, EWMA smoothing, fixed-bin
+  * histograms, and bivariate statistics — each with lockstep DuckDB oracle
+  * SQL.
+  *
+  * Scale notes (100-TB posture):
+  * - fuzzy matching dedups to DISTINCT values BEFORE the pairwise stage
+  *   (edit distance runs on |vocabulary|², not |rows|²) and blocks on a
+  *   cheap key so no unblocked pair space is ever materialized;
+  * - CUBE/unpivot sums are cents-scaled to integers (partial sums ≪ 2^53)
+  *   so Spark's partial-agg merge order and DuckDB's sequential fold agree
+  *   bit-for-bit;
+  * - EWMA uses a FIXED-ORDER 10-term weighted chain with power-of-two
+  *   weights — identical association in both engines ⇒ bit-identical
+  *   doubles;
+  * - window ranks order by raw columns with id tie-breaks (invariant #4).
+  */
+object QueriesExt2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- fuzzy name matching (blocked levenshtein) ------------------------
+  // Entity-resolution shape: DISTINCT names → block on the head noun →
+  // pairwise edit distance inside blocks only → attach per-name row
+  // support. The distinct-first step is the scale lever: the pair space is
+  // |vocab|² (constant-ish), never |rows|².
+  private val FUZZMAX = 2
+  private val fuzzyNames: Q = (s, d) => {
+    val counts = Tables.part(s, d).groupBy("p_name")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("blk", split(col("p_name"), " ").getItem(1))
+    val a = counts.select(col("p_name").as("a_name"), col("n").as("n_a"),
+      col("blk"))
+    val b = counts.select(col("p_name").as("b_name"), col("n").as("n_b"),
+      col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("a_name") < col("b_name"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("dist") <= FUZZMAX)
+      .select("a_name", "b_name", "dist", "n_a", "n_b")
+  }
+
+  private val fuzzyNamesSql =
+    s"""WITH counts AS (SELECT p_name, count(*) AS n,
+                               split_part(p_name, ' ', 2) AS blk
+                        FROM part GROUP BY 1)
+        SELECT a.p_name AS a_name, b.p_name AS b_name,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+               a.n AS n_a, b.n AS n_b
+        FROM counts a JOIN counts b ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= $FUZZMAX"""
+
+  // ---- CUBE (all grouping-set combinations) -----------------------------
+  // Extends a_stats11's ROLLUP to the full lattice. Sums are cents-exact.
+  private def cents(c: Column) = round(c * 100, 0).cast("long")
+  private val cubeStatus: Q = (s, d) =>
+    Tables.orders(s, d).withColumn("c", cents(col("o_totalprice")))
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), (sum("c") / 100.0).as("total"))
+  private val cubeStatusSql =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+              (CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                / 100.0) AS total
+       FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)"""
+
+  // ---- unpivot / melt ---------------------------------------------------
+  // Wide measures → long (metric, value) rows, then per-metric stats.
+  // stack() is Spark's generator form of UNPIVOT (no shuffle: the explode
+  // happens map-side; only the 4-row aggregate shuffles).
+  private val unpivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(expr(
+        """stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice,
+                    'discount', l_discount, 'tax', l_tax) AS (metric, value)"""))
+      .withColumn("c", cents(col("value")))
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), (sum("c") / 100.0).as("total"),
+        round(min("value"), 6).as("min_value"),
+        round(max("value"), 6).as("max_value"))
+  private val unpivotSql =
+    """SELECT metric, count(*) AS n,
+              (CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                / 100.0) AS total,
+              round(min(value), 6) AS min_value,
+              round(max(value), 6) AS max_value
+       FROM (SELECT 'quantity' AS metric, l_quantity AS value FROM lineitem
+             UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+             UNION ALL SELECT 'discount', l_discount FROM lineitem
+             UNION ALL SELECT 'tax', l_tax FROM lineitem)
+       GROUP BY 1"""
+
+  // ---- rank family ------------------------------------------------------
+  // dense_rank / percent_rank / ntile / cume_dist in one windowed pass;
+  // sampled down AFTER ranking (rank must see the full partition). The
+  // exact-rational rank outputs are rounded like every float surface.
+  private val rankFuncs: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("drank", dense_rank().over(w).cast("long"))
+      .withColumn("prank", round(percent_rank().over(w), 6))
+      .withColumn("tile4", ntile(4).over(w).cast("long"))
+      .withColumn("cdist", round(cume_dist().over(w), 6))
+      .filter(col("o_orderkey") % 199 === 0)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice",
+        "drank", "prank", "tile4", "cdist")
+  }
+  private val rankFuncsSql =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, drank, prank, tile4, cdist
+       FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                    CAST(dense_rank() OVER w AS BIGINT) AS drank,
+                    round(percent_rank() OVER w, 6) AS prank,
+                    CAST(ntile(4) OVER w AS BIGINT) AS tile4,
+                    round(cume_dist() OVER w, 6) AS cdist
+             FROM orders
+             WINDOW w AS (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey ASC))
+       WHERE o_orderkey % 199 = 0"""
+
+  // ---- EWMA (bounded exponential smoothing) -----------------------------
+  // y_t = α·Σ_{j<10} (1−α)^j · x_{t−j} with α = 1/2: a 10-term FIXED-ORDER
+  // chain of power-of-two weights. Each product is an exact scaling; both
+  // engines associate the sum left-to-right ⇒ bit-identical doubles before
+  // the canonical round. One shuffle on user_id; the frame is bounded, so
+  // state per row is O(10) regardless of history length (the batch twin of
+  // a streaming EWMA with bounded state).
+  private val EWN = 10
+  private val ewma: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val terms = (0 until EWN).map(j =>
+      coalesce(lag(col("value"), j).over(w), lit(0.0)) *
+        lit(0.5 * math.pow(0.5, j)))
+    Tables.events(s, d)
+      .withColumn("ewma", round(terms.reduce(_ + _), 6))
+      .filter(col("event_id") % 499 === 0)
+      .select("user_id", "event_id", "ts", "ewma")
+  }
+  private val ewmaSql = {
+    val terms = (0 until EWN).map(j =>
+      s"coalesce(lag(value, $j) OVER w, 0.0) * ${0.5 * math.pow(0.5, j)}")
+      .mkString(" + ")
+    s"""SELECT user_id, event_id, ts, ewma
+        FROM (SELECT user_id, event_id, ts, round($terms, 6) AS ewma
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        WHERE event_id % 499 = 0"""
+  }
+
+  // ---- fixed-bin histogram ----------------------------------------------
+  // floor(value / width) bucketing — the one-pass distributed histogram
+  // (no data-dependent bin edges, so no extra pass and no driver round
+  // trip). Totals are cents-exact.
+  private val HBIN = 25.0
+  private val histogram: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("bucket", floor(col("value") / HBIN).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("value"))) / 100.0).as("total"),
+        round(min("value"), 6).as("min_value"),
+        round(max("value"), 6).as("max_value"))
+  private val histogramSql =
+    s"""SELECT CAST(floor(value / $HBIN) AS BIGINT) AS bucket, count(*) AS n,
+               (CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 / 100.0) AS total,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value
+        FROM events GROUP BY 1"""
+
+  // ---- bivariate statistics ---------------------------------------------
+  // corr / covar_samp / stddev_samp per group: the co-moment aggregates
+  // merge associatively (Spark partial-agg safe); outputs pass through the
+  // canonical round like every float surface.
+  private val corrStats: Q = (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qd"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_q"))
+  private val corrStatsSql =
+    """SELECT l_returnflag, count(*) AS n,
+              round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+              round(covar_samp(l_quantity, l_discount), 6) AS covar_qd,
+              round(stddev_samp(l_quantity), 6) AS sd_q
+       FROM lineitem GROUP BY 1"""
+
+  val queries: Map[String, Q] = Map(
+    "x_fuzzy_names" -> fuzzyNames,
+    "a_cube_status" -> cubeStatus,
+    "a_unpivot" -> unpivot,
+    "w_rank_funcs" -> rankFuncs,
+    "w_ewma" -> ewma,
+    "a_histogram" -> histogram,
+    "a_corr_stats" -> corrStats,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x_fuzzy_names" -> fuzzyNamesSql,
+    "a_cube_status" -> cubeStatusSql,
+    "a_unpivot" -> unpivotSql,
+    "w_rank_funcs" -> rankFuncsSql,
+    "w_ewma" -> ewmaSql,
+    "a_histogram" -> histogramSql,
+    "a_corr_stats" -> corrStatsSql,
+  )
+}
