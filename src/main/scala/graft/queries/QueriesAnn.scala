@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Canon.round
@@ -239,7 +239,87 @@ object QueriesAnn {
           ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         WHERE round(${Similarity.cosineSql("a.v", "b.v")}, 6) >= $DUP_SIM"""
 
+  // ---- product quantization + asymmetric distance (ADC) -----------------
+  // The compressed-domain ANN scale path: vectors are encoded ONCE into
+  // M=8 one-byte codes (nearest codeword per 8-dim subspace; codebooks are
+  // the first-K vectors' subvectors, the same deterministic convention as
+  // the IVF centroids). A query then scans CODES, not vectors: its
+  // distance table (NQ×M×K = 320 rounded entries) broadcasts, and the scan
+  // is M integer lookups + an integer sum per candidate — at 100 TB the
+  // 64-double column never leaves storage after encoding, an 8× payload
+  // cut with no pairwise float work. LUT entries are micros-scaled BIGINTs
+  // so the per-candidate sum is integer-exact (invariant #2: Spark's
+  // partial-agg order and DuckDB's fold agree bit-for-bit); ranking orders
+  // by that exact integer with vec_id tie-breaks (invariant #4).
+  private val PQM = 8      // subspaces
+  private val PQK = 8      // codewords per subspace
+  private val PQD = 8      // dims per subspace (64 / PQM)
+  // l2² via dot-product identity with FIXED parenthesization — both
+  // engines evaluate ((a·a − 2·a·b) + b·b) on list_dot_product parity
+  private def l2sq(a: Column, b: Column): Column =
+    (Similarity.dot(a, a) - (lit(2.0) * Similarity.dot(a, b))) +
+      Similarity.dot(b, b)
+  private def l2sqSql(a: String, b: String): String =
+    s"((${Similarity.dotSql(a, a)} - (2.0 * ${Similarity.dotSql(a, b)})) + ${Similarity.dotSql(b, b)})"
+
+  private val pqAdc: Q = (s, d) => {
+    val subs = emb(s, d)
+      .withColumn("m", explode(sequence(lit(0), lit(PQM - 1))))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * PQD + 1, lit(PQD)).as("sub"))
+    val cb = subs.filter(col("vec_id") < PQK)
+      .select(col("vec_id").as("k"), col("m"), col("sub").as("cw"))
+    val enc = subs.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("k"),
+        round(l2sq(col("sub"), col("cw")), 6).as("dd"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "m").orderBy(col("dd").asc, col("k").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("k").as("code"))
+    val lut = subs.filter(col("vec_id") < NQUERIES)
+      .join(broadcast(cb), "m")
+      .select(col("vec_id").as("q_id"), col("m"), col("k"),
+        round(l2sq(col("sub"), col("cw")) * 1e6, 0).cast("long").as("du"))
+    enc.join(broadcast(lut),
+        enc("m") === lut("m") && enc("code") === lut("k"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("du").as("du"))
+      .select(col("q_id"), col("vec_id"),
+        round(col("du") / 1e6, 6).as("adist"), col("du"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("du").asc, col("vec_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= TOPK)
+      .drop("du")
+  }
+
+  private val pqAdcSql =
+    s"""WITH e AS ($embSqlCte),
+        subs AS (SELECT vec_id, m,
+                        list_slice(v, m * $PQD + 1, m * $PQD + $PQD) AS sub
+                 FROM e, (SELECT unnest(range($PQM)) AS m)),
+        cb AS (SELECT vec_id AS k, m, sub AS cw FROM subs WHERE vec_id < $PQK),
+        enc AS (SELECT vec_id, m, k AS code FROM (
+                  SELECT s.vec_id, s.m, c.k,
+                         row_number() OVER (PARTITION BY s.vec_id, s.m
+                           ORDER BY round(${l2sqSql("s.sub", "c.cw")}, 6) ASC,
+                                    c.k ASC) AS rn
+                  FROM subs s JOIN cb c ON s.m = c.m)
+                WHERE rn = 1),
+        lut AS (SELECT s.vec_id AS q_id, s.m, c.k,
+                       CAST(round(${l2sqSql("s.sub", "c.cw")} * 1e6, 0) AS BIGINT) AS du
+                FROM subs s JOIN cb c ON s.m = c.m WHERE s.vec_id < $NQUERIES),
+        adc AS (SELECT q_id, vec_id, CAST(sum(du) AS BIGINT) AS du
+                FROM enc JOIN lut ON enc.m = lut.m AND enc.code = lut.k
+                WHERE vec_id <> q_id GROUP BY 1, 2)
+        SELECT q_id, vec_id, round(du / 1e6, 6) AS adist,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY du ASC, vec_id ASC) AS rank
+        FROM adc QUALIFY rank <= $TOPK"""
+
   val queries: Map[String, Q] = Map(
+    "n_pq_adc" -> pqAdc,
     "n_cosine_topk" -> cosineTopk,
     "x_dedup_embcos" -> dedupEmbcos,
     "n_ivf_topk" -> ivfTopk,
@@ -249,6 +329,7 @@ object QueriesAnn {
   )
 
   val oracle: Map[String, String] = Map(
+    "n_pq_adc" -> pqAdcSql,
     "n_cosine_topk" -> cosineTopkSql,
     "x_dedup_embcos" -> dedupEmbcosSql,
     "n_ivf_topk" -> ivfTopkSql,
