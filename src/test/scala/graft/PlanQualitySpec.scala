@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.{QueriesExt, QueriesExt2, QueriesAnn}
+
+/** Physical-plan assertions for the round-2 operators: correctness tests
+  * prove the VALUES; these prove the PLAN is the one that survives a 100×
+  * scale-up — small sides broadcast, rank-limits push down, generators
+  * stay map-side. Each assertion names the scale property it guards.
+  */
+class PlanQualitySpec extends SparkSuite {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def run(qs: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame],
+                  name: String): String = plan(qs(name)(spark, sf001))
+
+  test("x_tfidf: document frequencies broadcast back onto tf (no sort-merge)") {
+    val p = run(QueriesExt.queries, "x_tfidf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"df-side join should broadcast:\n$p")
+  }
+
+  test("o_range_join: probe intervals broadcast; events never shuffle for the join") {
+    val p = run(QueriesExt.queries, "o_range_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe side should broadcast:\n$p")
+  }
+
+  test("w_topk_group: rank-limit pushes below the final sort (WindowGroupLimit)") {
+    val p = run(QueriesExt.queries, "w_topk_group")
+    assert(p.contains("WindowGroupLimit"),
+      s"row_number<=k should plan a WindowGroupLimit partial prune:\n$p")
+  }
+
+  test("a_unpivot: stack() is a map-side generator — exactly one exchange (the agg)") {
+    val p = run(QueriesExt2.queries, "a_unpivot")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(p.contains("Generate"), s"expected generator:\n$p")
+    assert(exchanges <= 2, // partial→final agg exchange only (AQE may add one read)
+      s"unpivot should not shuffle row data before aggregating ($exchanges exchanges):\n$p")
+  }
+
+  test("n_pq_adc: code table joins LUT via broadcast (LUT is O(queries·M·K))") {
+    val p = run(QueriesAnn.queries, "n_pq_adc")
+    assert(p.contains("BroadcastHashJoin"),
+      s"LUT should broadcast:\n$p")
+  }
+
+  test("s_filter_project: predicate and projection reach the parquet scan") {
+    val p = run(graft.queries.QueriesCore.queries, "s_filter_project")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"filters should push into the scan:\n$p")
+  }
+}
