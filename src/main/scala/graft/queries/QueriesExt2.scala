@@ -191,7 +191,68 @@ object QueriesExt2 {
               round(stddev_samp(l_quantity), 6) AS sd_q
        FROM lineitem GROUP BY 1"""
 
+  // ---- weighted sampling without replacement (Efraimidis–Spirakis) ------
+  // k rows per group, inclusion probability ∝ weight: rank by
+  // ln(u)/w (monotone in u^{1/w}) with u from the counter RNG keyed on the
+  // row id — a pure function of data, so the SAME rows are drawn on any
+  // partitioning, any engine, any cluster size. The distributed form of
+  // weighted reservoir sampling: one bounded window per group, no
+  // driver-side state. Keys are canonically rounded before ranking with id
+  // tie-breaks (invariant #4) so last-ulp ln/pow differences can't flip
+  // the sample.
+  private val WSK = 10
+  private val weightedSample: Q = (s, d) => {
+    val ek = graft.rng.Rand.u01(col("event_id"), 31337L)
+    Tables.events(s, d)
+      .withColumn("skey", round(log(ek) / col("value"), 9))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("skey").desc, col("event_id").asc))
+        .cast("long"))
+      .filter(col("rk") <= WSK)
+      .select(col("event_type"), col("rk"), col("event_id"),
+        round(col("value"), 6).as("weight"))
+  }
+  private val weightedSampleSql = {
+    val u = graft.rng.Rand.u01Sql("event_id", 31337L)
+    s"""SELECT event_type, rk, event_id, round(value, 6) AS weight
+        FROM (SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY round(ln($u) / value, 9) DESC,
+                                event_id ASC) AS rk
+              FROM events)
+        WHERE rk <= $WSK"""
+  }
+
+  // ---- first / last / nth value frames ----------------------------------
+  // Per-user session bookends: first/last/nth event values over the full
+  // partition frame. last_value needs the explicit unbounded frame (the
+  // default frame stops at CURRENT ROW — a classic silent-wrong-answer).
+  private val firstLast: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .withColumn("first_v", round(first("value").over(w), 6))
+      .withColumn("last_v", round(last("value").over(w), 6))
+      .withColumn("third_v", round(nth_value(col("value"), 3).over(w), 6))
+      .groupBy("user_id", "first_v", "last_v", "third_v")
+      .agg(count(lit(1)).as("n_events"))
+  }
+  private val firstLastSql =
+    """SELECT user_id, first_v, last_v, third_v, count(*) AS n_events
+       FROM (SELECT user_id,
+                    round(first_value(value) OVER w, 6) AS first_v,
+                    round(last_value(value) OVER w, 6) AS last_v,
+                    round(nth_value(value, 3) OVER w, 6) AS third_v
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING))
+       GROUP BY 1, 2, 3, 4"""
+
   val queries: Map[String, Q] = Map(
+    "v_weighted_sample" -> weightedSample,
+    "w_first_last" -> firstLast,
     "x_fuzzy_names" -> fuzzyNames,
     "a_cube_status" -> cubeStatus,
     "a_unpivot" -> unpivot,
@@ -202,6 +263,8 @@ object QueriesExt2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "v_weighted_sample" -> weightedSampleSql,
+    "w_first_last" -> firstLastSql,
     "x_fuzzy_names" -> fuzzyNamesSql,
     "a_cube_status" -> cubeStatusSql,
     "a_unpivot" -> unpivotSql,
