@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.queries.{QueriesExt2, QueriesAnn}
+
+/** Second-method validation for round-2 operators: the DuckDB oracle
+  * proves cross-engine agreement, but both engines could share a
+  * misconception — these tests recompute the semantics with independent
+  * driver-side Scala folds on sf0.001 and demand exact agreement.
+  */
+class ExtOpsSpec extends SparkSuite {
+
+  test("w_ewma matches a driver-side fold of the same definition") {
+    val rows = Tables.events(spark, sf001)
+      .select("user_id", "event_id", "ts", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+    // reference: per user, order by (ts, event_id), EWMA over last 10
+    val expect = rows.toSeq.groupBy(_._1).flatMap { case (uid, es) =>
+      val ord = es.sortBy(e => (e._3.getTime, e._2))
+      ord.zipWithIndex.map { case ((_, eid, _, _), i) =>
+        val terms = (0 until 10).map { j =>
+          val x = if (i - j >= 0) ord(i - j)._4 else 0.0
+          x * (0.5 * math.pow(0.5, j))
+        }
+        // same fixed left-to-right association as the query expression
+        val y = terms.reduceLeft(_ + _)
+        (uid, eid) -> math.floor(y * 1e6 + 0.5) / 1e6
+      }
+    }.toMap
+    val got = QueriesExt2.queries("w_ewma")(spark, sf001)
+      .select("user_id", "event_id", "ewma").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (k, v) =>
+      assert(v == expect(k), s"ewma mismatch at $k: got $v expect ${expect(k)}")
+    }
+  }
+
+  test("v_weighted_sample equals the exact Efraimidis–Spirakis top-k") {
+    val rows = Tables.events(spark, sf001)
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def u01(key: Long): Double =
+      graft.rng.Rand.mixLong(key, 31337L).toDouble / graft.rng.Rand.M.toDouble
+    val expect = rows.toSeq.groupBy(_._1).flatMap { case (et, es) =>
+      es.map { case (_, eid, w) =>
+        val skey = math.floor(math.log(u01(eid)) / w * 1e9 + 0.5) / 1e9
+        (et, eid, skey)
+      }.sortBy { case (_, eid, skey) => (-skey, eid) }
+        .take(10).zipWithIndex
+        .map { case ((_, eid, _), i) => (et, i + 1L) -> eid }
+    }.toMap
+    val got = QueriesExt2.queries("v_weighted_sample")(spark, sf001)
+      .select("event_type", "rk", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty && got.size == expect.size)
+    got.foreach { case (k, eid) =>
+      assert(eid == expect(k), s"sample mismatch at $k: got $eid expect ${expect(k)}")
+    }
+  }
+
+  test("n_pq_adc codes are the true per-subspace argmin codewords") {
+    val vecs = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cb = (0 until 8).map(k => vecs(k.toLong)) // codeword k = vector k
+    def l2sq(a: Array[Double], b: Array[Double], off: Int): Double = {
+      // same dot-identity association as the query: ((a·a − 2·a·b) + b·b)
+      var aa = 0.0; var ab = 0.0; var bb = 0.0
+      (0 until 8).foreach { i =>
+        aa += a(off + i) * a(off + i)
+        ab += a(off + i) * b(off + i)
+        bb += b(off + i) * b(off + i)
+      }
+      (aa - (2.0 * ab)) + bb
+    }
+    // recompute each query vector's ADC distance to every candidate and
+    // re-rank — must reproduce the query's top-3 exactly
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until 8).map { m =>
+        (0 until 8).minBy { k =>
+          val d = math.floor(l2sq(v, cb(k), m * 8) * 1e6 + 0.5) / 1e6
+          (d, k)
+        }
+      }
+    }
+    val lut = (0 until 5).map { q =>
+      q.toLong -> (0 until 8).map { m =>
+        (0 until 8).map { k =>
+          math.floor(l2sq(vecs(q.toLong), cb(k), m * 8) * 1e6 + 0.5).toLong
+        }
+      }
+    }.toMap
+    val expect = (0 until 5).flatMap { q =>
+      vecs.keys.filter(_ != q.toLong).map { id =>
+        val du = (0 until 8).map(m => lut(q.toLong)(m)(codes(id)(m))).sum
+        (q.toLong, id, du)
+      }.toSeq.sortBy { case (_, id, du) => (du, id) }.take(3).zipWithIndex
+        .map { case ((qq, id, _), i) => (qq, i + 1L) -> id }
+    }.toMap
+    val got = QueriesAnn.queries("n_pq_adc")(spark, sf001)
+      .select("q_id", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == expect.size)
+    got.foreach { case (k, id) =>
+      assert(id == expect(k), s"pq top-k mismatch at $k: got $id expect ${expect(k)}")
+    }
+  }
+}
