@@ -202,8 +202,13 @@ object QueriesExt2 {
   // the sample.
   private val WSK = 10
   private val weightedSample: Q = (s, d) => {
-    val ek = graft.rng.Rand.u01(col("event_id"), 31337L)
+    // open-interval uniform (mix+1)/(M+1) — u01 proper can return exactly
+    // 0 and ln(0) diverges; weights must be strictly positive (sampling
+    // probability ∝ w is undefined at w ≤ 0, and ANSI division traps it)
+    val ek = (graft.rng.Rand.mix(col("event_id"), 31337L).cast("double") +
+      lit(1.0)) / lit(graft.rng.Rand.M.toDouble + 1.0)
     Tables.events(s, d)
+      .filter(col("value") > 0.0)
       .withColumn("skey", round(log(ek) / col("value"), 9))
       .withColumn("rk", row_number().over(
         Window.partitionBy("event_type")
@@ -214,13 +219,14 @@ object QueriesExt2 {
         round(col("value"), 6).as("weight"))
   }
   private val weightedSampleSql = {
-    val u = graft.rng.Rand.u01Sql("event_id", 31337L)
+    val u = s"(((${graft.rng.Rand.mixSql("event_id", 31337L)}) + 1.0) / " +
+      s"${graft.rng.Rand.M.toDouble + 1.0})"
     s"""SELECT event_type, rk, event_id, round(value, 6) AS weight
         FROM (SELECT event_type, event_id, value,
                      row_number() OVER (PARTITION BY event_type
                        ORDER BY round(ln($u) / value, 9) DESC,
                                 event_id ASC) AS rk
-              FROM events)
+              FROM events WHERE value > 0.0)
         WHERE rk <= $WSK"""
   }
 

@@ -43,8 +43,9 @@ class ExtOpsSpec extends SparkSuite {
       .select("event_type", "event_id", "value").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     def u01(key: Long): Double =
-      graft.rng.Rand.mixLong(key, 31337L).toDouble / graft.rng.Rand.M.toDouble
-    val expect = rows.toSeq.groupBy(_._1).flatMap { case (et, es) =>
+      (graft.rng.Rand.mixLong(key, 31337L).toDouble + 1.0) /
+        (graft.rng.Rand.M.toDouble + 1.0)
+    val expect = rows.toSeq.filter(_._3 > 0.0).groupBy(_._1).flatMap { case (et, es) =>
       es.map { case (_, eid, w) =>
         val skey = math.floor(math.log(u01(eid)) / w * 1e9 + 0.5) / 1e9
         (et, eid, skey)
