@@ -35,7 +35,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesRaster.queries ++ QueriesVario.queries ++
       QueriesText.queries ++ QueriesAnn.queries ++ QueriesStream.queries ++
-      QueriesIngest.queries ++ QueriesExt.queries ++ QueriesExt2.queries
+      QueriesIngest.queries ++ QueriesExt.queries ++ QueriesExt2.queries ++
+      QueriesMl.queries
 
   /** Equivalent ANSI SQL per query, runnable by DuckDB on the same
     * parquet tables. `round(e, d)` is canonicalized into the cross-engine
@@ -43,6 +44,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     (QueriesCore.oracle ++ QueriesRaster.oracle ++ QueriesVario.oracle ++
       QueriesText.oracle ++ QueriesAnn.oracle ++ QueriesStream.oracle ++
-      QueriesIngest.oracle ++ QueriesExt.oracle ++ QueriesExt2.oracle)
+      QueriesIngest.oracle ++ QueriesExt.oracle ++ QueriesExt2.oracle ++
+      QueriesMl.oracle)
       .map { case (k, v) => k -> graft.functions.Canon.fixSqlRounds(v) }
 }

@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+import graft.Tables
+import graft.rng.Rand
+
+/** Model-evaluation metrics over sliced predictions — the "error analysis on
+  * ML models" surface of the north star (error slicing via DataFrame
+  * group-bys + the standard evaluation metrics), and the engine twin of the
+  * reference's cross-validation scoring (RMSE/MAE/ME/MSE of CV folds,
+  * variography_uncertainty.py:714–719).
+  *
+  * The "model" is synthetic but fully deterministic: a latent probability
+  * p = u01(id) drives a Bernoulli label (u01'(id) < p) and a noisy score
+  * clamp01(p + 0.6·(u01''(id) − ½)) — a pure function of `event_id` via the
+  * counter RNG, so Spark and the DuckDB oracle score identical rows
+  * identically on any partitioning.
+  *
+  * Scale notes (100-TB posture):
+  * - every metric is one hash-aggregate over the scored stream (confusion
+  *   counts, calibration bins, regression moments) — partial+final agg,
+  *   no driver round trips, no per-row state;
+  * - AUC uses the Mann-Whitney rank-sum over (slice, score) GROUPS with
+  *   exact average-rank tie handling: ranks come from a window over the
+  *   ~10⁴ distinct 4-decimal scores per slice, never over raw rows, so the
+  *   window input is bounded regardless of table size;
+  * - rank sums are half-integers and count products stay < 2^52 ⇒ every
+  *   aggregate is associativity-exact (bit-identical under any merge order);
+  * - lift deciles window-partition by slice (no single-partition sort) and
+  *   error sums are 1e-3-quantized to integers before aggregation.
+  */
+object QueriesMl {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared deterministic scorer ---------------------------------------
+  private def scored(s: SparkSession, d: String): DataFrame = {
+    val id = col("event_id")
+    val p = Rand.u01(id, 9101)
+    val lab = when(Rand.u01(id, 9202) < p, 1).otherwise(0)
+    val raw = p + (Rand.u01(id, 9303) - lit(0.5)) * lit(0.6)
+    Tables.events(s, d).select(
+      col("event_id"), col("event_type"), col("value"),
+      lab.cast("int").as("label"),
+      round(greatest(lit(0.0), least(lit(1.0), raw)), 4).as("score"))
+  }
+
+  private val scoredSql: String = {
+    val p = Rand.u01Sql("event_id", 9101)
+    val u2 = Rand.u01Sql("event_id", 9202)
+    val u3 = Rand.u01Sql("event_id", 9303)
+    s"""scored AS (
+          SELECT event_id, event_type, value,
+                 CASE WHEN ($u2) < ($p) THEN 1 ELSE 0 END AS label,
+                 round(greatest(0.0, least(1.0, ($p) + (($u3) - 0.5) * 0.6)), 4)
+                   AS score
+          FROM events)"""
+  }
+
+  // ---- confusion matrix with slice rollup --------------------------------
+  // Per-slice + overall confusion counts in ONE aggregate (ROLLUP = the
+  // grouping-sets lattice ((slice),()) — no second pass for the ALL row).
+  private val confusion: Q = (s, d) =>
+    scored(s, d).withColumn("pred", (col("score") >= 0.5).cast("int"))
+      .rollup("event_type")
+      .agg(
+        sum(when(col("label") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("label") === 0 && col("pred") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("label") === 1 && col("pred") === 0, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("label") === 0 && col("pred") === 0, 1L).otherwise(0L)).as("tn"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("slice"),
+        col("tp"), col("fp"), col("fn"), col("tn"))
+
+  private val confusionSql =
+    s"""WITH $scoredSql,
+        p AS (SELECT event_type, label,
+                     CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS pred
+              FROM scored)
+        SELECT coalesce(event_type, 'ALL') AS slice,
+               CAST(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM p GROUP BY ROLLUP (event_type)"""
+
+  // ---- precision / recall / F1 / accuracy per slice ----------------------
+  // Counts are exact integers, the ratios exact-rational divisions — both
+  // engines produce bit-identical doubles before the canonical round.
+  private val prf1: Q = (s, d) => {
+    val t = scored(s, d).withColumn("pred", (col("score") >= 0.5).cast("int"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("label") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("label") === 0 && col("pred") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("label") === 1 && col("pred") === 0, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("label") === 0 && col("pred") === 0, 1L).otherwise(0L)).as("tn"))
+    val prec = col("tp").cast("double") / (col("tp") + col("fp")).cast("double")
+    val rec = col("tp").cast("double") / (col("tp") + col("fn")).cast("double")
+    t.select(col("event_type"),
+      (col("tp") + col("fp") + col("fn") + col("tn")).as("n"),
+      round((col("tp") + col("tn")).cast("double") /
+        (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"), 6).as("accuracy"),
+      round(prec, 6).as("precision_"),
+      round(rec, 6).as("recall_"),
+      round(lit(2.0) * prec * rec / (prec + rec), 6).as("f1"))
+  }
+
+  private val prf1Sql =
+    s"""WITH $scoredSql,
+        p AS (SELECT event_type, label,
+                     CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS pred
+              FROM scored),
+        c AS (SELECT event_type,
+                     CAST(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                     CAST(sum(CASE WHEN label = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                     CAST(sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              FROM p GROUP BY 1)
+        SELECT event_type, tp + fp + fn + tn AS n,
+               round(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS accuracy,
+               round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision_,
+               round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS recall_,
+               round(2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+                         * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+                     / ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+                        + (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))), 6) AS f1
+        FROM c"""
+
+  // ---- exact AUC (Mann-Whitney rank-sum, average-rank ties) --------------
+  // AUC = (Σ_{positives} avgrank − P(P+1)/2) / (P·N). Ranks are computed
+  // over (slice, score) GROUPS: cum(n) − (n−1)/2 is the average rank of a
+  // tie group, so ties contribute exactly ½ — the textbook estimator, not
+  // the tie-breaking approximation. All terms are half-integers < 2^52 ⇒
+  // exact under any aggregation order.
+  private val auc: Q = (s, d) => {
+    val g = scored(s, d).groupBy("event_type", "score")
+      .agg(count(lit(1)).as("n"), sum("label").cast("long").as("pos"))
+    val w = Window.partitionBy("event_type").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = g.withColumn("ar",
+      sum(col("n")).over(w).cast("double") -
+        (col("n").cast("double") - lit(1.0)) / lit(2.0))
+    r.groupBy("event_type")
+      .agg(sum(col("pos")).as("pos"), (sum(col("n")) - sum(col("pos"))).as("neg"),
+        sum(col("pos").cast("double") * col("ar")).as("srp"))
+      .select(col("event_type"), col("pos"), col("neg"),
+        round((col("srp") - (col("pos") * (col("pos") + 1) / 2).cast("double")) /
+          (col("pos") * col("neg")).cast("double"), 6).as("auc"))
+  }
+
+  private val aucSql =
+    s"""WITH $scoredSql,
+        g AS (SELECT event_type, score, count(*) AS n,
+                     CAST(sum(label) AS BIGINT) AS pos
+              FROM scored GROUP BY 1, 2),
+        r AS (SELECT event_type, n, pos,
+                     CAST(sum(n) OVER (PARTITION BY event_type ORDER BY score
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS DOUBLE)
+                       - (CAST(n AS DOUBLE) - 1.0) / 2.0 AS ar
+              FROM g),
+        a AS (SELECT event_type, CAST(sum(pos) AS BIGINT) AS pos,
+                     CAST(sum(n) - sum(pos) AS BIGINT) AS neg,
+                     sum(CAST(pos AS DOUBLE) * ar) AS srp
+              FROM r GROUP BY 1)
+        SELECT event_type, pos, neg,
+               round((srp - CAST(pos * (pos + 1) // 2 AS DOUBLE))
+                     / CAST(pos * neg AS DOUBLE), 6) AS auc
+        FROM a"""
+
+  // ---- calibration / reliability bins ------------------------------------
+  // Fixed decile bins on the score (data-independent edges ⇒ one pass).
+  // Mean score is 1e-4-quantized to integers before summing (exact under
+  // partial-agg merge), positive rate is an exact integer ratio.
+  private val calibration: Q = (s, d) => {
+    val t = scored(s, d).withColumn("bin",
+      least(lit(9L), floor(col("score") * 10).cast("long")))
+    val s4 = sum(round(col("score") * 10000, 0).cast("long")).cast("double")
+    val ms = s4 / lit(10000.0) / count(lit(1)).cast("double")
+    val pr = sum("label").cast("double") / count(lit(1)).cast("double")
+    t.groupBy("bin").agg(count(lit(1)).as("n"),
+      round(ms, 6).as("mean_score"), round(pr, 6).as("pos_rate"),
+      round(abs(ms - pr), 6).as("cal_gap"))
+  }
+
+  private val calibrationSql =
+    s"""WITH $scoredSql
+        SELECT least(9, CAST(floor(score * 10) AS BIGINT)) AS bin,
+               count(*) AS n,
+               round(CAST(CAST(sum(CAST(round(score * 10000, 0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                     / 10000.0 / CAST(count(*) AS DOUBLE), 6) AS mean_score,
+               round(CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pos_rate,
+               round(abs(CAST(CAST(sum(CAST(round(score * 10000, 0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                         / 10000.0 / CAST(count(*) AS DOUBLE)
+                         - CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6) AS cal_gap
+        FROM scored GROUP BY 1"""
+
+  // ---- regression metrics per slice (the reference's CV scoring) ---------
+  // ME / MAE / MSE / RMSE of a deterministic predictor against `value`
+  // (variography_uncertainty.py:714–719 computes exactly these four for
+  // each cross-validation fold). Errors are 1e-3-quantized to integers:
+  // sums and sums-of-squares stay < 2^63 at sf0.1 ×1000, so the aggregate
+  // is exact under any merge order.
+  private val regMetrics: Q = (s, d) => {
+    val pred = col("value") * (lit(0.8) + lit(0.4) * Rand.u01(col("event_id"), 9404))
+    val err3 = round((pred - col("value")) * 1000, 0).cast("long")
+    scored(s, d).withColumn("e3", err3)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("e3")).cast("double") / 1000.0 / count(lit(1)).cast("double"), 6).as("me"),
+        round(sum(abs(col("e3"))).cast("double") / 1000.0 / count(lit(1)).cast("double"), 6).as("mae"),
+        round(sum(col("e3") * col("e3")).cast("double") / 1e6 / count(lit(1)).cast("double"), 6).as("mse"),
+        round(sqrt(sum(col("e3") * col("e3")).cast("double") / 1e6 / count(lit(1)).cast("double")), 6).as("rmse"))
+  }
+
+  private val regMetricsSql = {
+    val u = Rand.u01Sql("event_id", 9404)
+    s"""WITH $scoredSql,
+        e AS (SELECT event_type,
+                     CAST(round((value * (0.8 + 0.4 * ($u)) - value) * 1000, 0) AS BIGINT) AS e3
+              FROM scored)
+        SELECT event_type, count(*) AS n,
+               round(CAST(CAST(sum(e3) AS BIGINT) AS DOUBLE) / 1000.0 / CAST(count(*) AS DOUBLE), 6) AS me,
+               round(CAST(CAST(sum(abs(e3)) AS BIGINT) AS DOUBLE) / 1000.0 / CAST(count(*) AS DOUBLE), 6) AS mae,
+               round(CAST(CAST(sum(e3 * e3) AS BIGINT) AS DOUBLE) / 1e6 / CAST(count(*) AS DOUBLE), 6) AS mse,
+               round(sqrt(CAST(CAST(sum(e3 * e3) AS BIGINT) AS DOUBLE) / 1e6 / CAST(count(*) AS DOUBLE)), 6) AS rmse
+        FROM e GROUP BY 1"""
+  }
+
+  // ---- decile lift / cumulative capture ----------------------------------
+  // ntile(10) by score within each slice (windows partition by slice — no
+  // global sort), then per-decile positive rate and cumulative capture of
+  // all positives. The second window runs over 10 rows per slice.
+  private val lift: Q = (s, d) => {
+    val t = scored(s, d).withColumn("decile",
+      ntile(10).over(Window.partitionBy("event_type")
+        .orderBy(col("score").desc, col("event_id").asc)).cast("long"))
+    val g = t.groupBy("event_type", "decile")
+      .agg(count(lit(1)).as("n"), sum("label").cast("long").as("pos"))
+    val wCum = Window.partitionBy("event_type").orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    g.select(col("event_type"), col("decile"), col("n"), col("pos"),
+      round(col("pos").cast("double") / col("n").cast("double"), 6).as("pos_rate"),
+      round(sum(col("pos")).over(wCum).cast("double") /
+        sum(col("pos")).over(wAll).cast("double"), 6).as("capture"))
+  }
+
+  private val liftSql =
+    s"""WITH $scoredSql,
+        t AS (SELECT event_type, label,
+                     CAST(ntile(10) OVER (PARTITION BY event_type
+                            ORDER BY score DESC, event_id ASC) AS BIGINT) AS decile
+              FROM scored),
+        g AS (SELECT event_type, decile, count(*) AS n,
+                     CAST(sum(label) AS BIGINT) AS pos
+              FROM t GROUP BY 1, 2)
+        SELECT event_type, decile, n, pos,
+               round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+               round(CAST(sum(pos) OVER (PARTITION BY event_type ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     / CAST(sum(pos) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS capture
+        FROM g"""
+
+  val queries: Map[String, Q] = Map(
+    "m_confusion" -> confusion,
+    "m_prf1" -> prf1,
+    "m_auc" -> auc,
+    "m_calibration" -> calibration,
+    "m_reg_metrics" -> regMetrics,
+    "m_lift_deciles" -> lift,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m_confusion" -> confusionSql,
+    "m_prf1" -> prf1Sql,
+    "m_auc" -> aucSql,
+    "m_calibration" -> calibrationSql,
+    "m_reg_metrics" -> regMetricsSql,
+    "m_lift_deciles" -> liftSql,
+  )
+}
