@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+import graft.Tables
+
+/** SQL-front-door and join/window widening (round 2, batch 2).
+  *
+  * - `q_sql_*` run ONE shared ANSI SQL text through BOTH engines:
+  *   `spark.sql` over registered temp views on the Spark side, DuckDB on
+  *   the oracle side. This exercises Catalyst's subquery machinery
+  *   (EXISTS/NOT EXISTS decorrelation into semi/anti joins, scalar
+  *   subquery → subquery broadcast, IN → semi join) — plans the DataFrame
+  *   API can't reach. Rounding inside shared SQL uses the explicit
+  *   floor form (`floor(x*100 + 0.5)`), the one spelling both engines
+  *   evaluate identically.
+  * - `o_salted_join` routes a real query through ops.SkewJoin so the
+  *   oracle gate itself proves salting is semantics-preserving: the
+  *   oracle SQL is the PLAIN join. At 100 TB the salt fans hot keys
+  *   across `nSalts` reducers; here the gate pins the rewrite's output
+  *   to the unsalted truth.
+  * - `w_range_frame` is the value-RANGE window frame (1-hour sliding
+  *   count/sum per user ordered by event time) — the frame kind rows-
+  *   based frames can't express, and the batch twin of a sliding
+  *   stream aggregate. Peers with equal timestamps land in the same
+  *   frame, so the result is partitioning- and tie-order-independent.
+  * - `r_quadkey_rollup` assigns each pixel a 7-level quadkey (bit-
+  *   interleaved col/row — the hierarchical spatial key a 100-TB pixel
+  *   store would partition and Z-order by) and aggregates levels 2/4/6
+  *   in one ROLLUP pass: prefix-hierarchy pruning as a grouping lattice.
+  */
+object QueriesSql {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cents(c: Column) = round(c * 100, 0).cast("long")
+
+  /** Register the tables a shared-SQL query reads, then run the text. */
+  private def runSql(s: SparkSession, d: String, tables: Seq[String],
+                     sql: String): DataFrame = {
+    tables.foreach(t => Tables.t(s, d, t).createOrReplaceTempView(t))
+    s.sql(sql)
+  }
+
+  // ---- correlated EXISTS / NOT EXISTS -----------------------------------
+  // Customers with at least one big order and no small failed order:
+  // Catalyst decorrelates both subqueries into a left-semi and a
+  // left-anti hash join on c_custkey (no per-row re-execution).
+  private val existsSql =
+    """SELECT c_mktsegment, count(*) AS n_cust
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 250000.0)
+         AND NOT EXISTS (SELECT 1 FROM orders o2
+                         WHERE o2.o_custkey = c.c_custkey
+                           AND o2.o_orderstatus = 'F'
+                           AND o2.o_totalprice < 50000.0)
+       GROUP BY c_mktsegment"""
+
+  private val sqlExists: Q = (s, d) =>
+    runSql(s, d, Seq("customer", "orders"), existsSql)
+
+  // ---- scalar subquery + IN subquery ------------------------------------
+  // Orders above the mean price from customers in good standing. The mean
+  // is cents-exact (integer sum in BOTH engines) so the comparison
+  // threshold is the identical double on each side.
+  private val scalarInSql =
+    """SELECT o_orderpriority, count(*) AS n,
+              CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+       FROM orders
+       WHERE o_totalprice > (SELECT sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 / count(*)
+                             FROM orders)
+         AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0.0)
+       GROUP BY o_orderpriority"""
+
+  private val sqlScalarIn: Q = (s, d) =>
+    runSql(s, d, Seq("customer", "orders"), scalarInSql)
+
+  // ---- salted skew join, gate-checked against the plain join ------------
+  private val saltedJoin: Q = (s, d) => {
+    val big = Tables.lineitem(s, d).select(
+      col("l_partkey").as("pk"), col("l_extendedprice"),
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("uniq"))
+    val small = Tables.part(s, d).select(
+      col("p_partkey").as("pk"), col("p_name"))
+    graft.ops.SkewJoin.saltedJoin(big, small, "pk", "uniq", 8)
+      .groupBy((col("pk") % 50).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("total"))
+  }
+
+  private val saltedJoinSql =
+    """SELECT l_partkey % 50 AS bucket, count(*) AS n,
+              (CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+                / 100.0) AS total
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY 1"""
+
+  // ---- value-RANGE window frame (1-hour sliding per user) ---------------
+  // Ordered by integer epoch seconds (exact in both engines:
+  // nanos // 1e9); the frame is [t−3600 s, t]. Sums are cents-exact.
+  private val rangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("sec"))
+      .rangeBetween(-3600, 0)
+    Tables.events(s, d)
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", (sum(cents(col("value"))).over(w)) / 100.0)
+      .filter(col("event_id") % 211 === 0)
+      .select("user_id", "event_id", "sec", "n_1h", "sum_1h")
+  }
+
+  private val rangeFrameSql =
+    """SELECT user_id, event_id, sec, n_1h, sum_1h
+       FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec,
+                    count(*) OVER w AS n_1h,
+                    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+                      / 100.0 AS sum_1h
+             FROM events
+             WINDOW w AS (PARTITION BY user_id
+                          ORDER BY epoch_ns(ts) // 1000000000
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+       WHERE event_id % 211 = 0"""
+
+  // ---- quadkey hierarchy rollup -----------------------------------------
+  // Each 128×128 grid cell gets a 7-digit base-4 quadkey (bit-interleave
+  // of row/col, coarse digit first); ROLLUP over the level-2/4/6 prefixes
+  // aggregates the hierarchy in one pass.
+  private def qkDigit(k: Int): Column = {
+    val shift = 1 << (6 - k) // col,row < 128 ⇒ double division is exact
+    (((col("row") / shift).cast("long") % 2) * 2 +
+      ((col("col") / shift).cast("long") % 2)).cast("string")
+  }
+
+  private val quadkeyRollup: Q = (s, d) => {
+    val qk = concat((0 to 6).map(qkDigit): _*)
+    graft.raster.PixelGrid.grid(s, d, 0)
+      .withColumn("qk", qk)
+      .withColumn("p2", substring(col("qk"), 1, 2))
+      .withColumn("p4", substring(col("qk"), 1, 4))
+      .withColumn("p6", substring(col("qk"), 1, 6))
+      .rollup("p2", "p4", "p6")
+      .agg(count(lit(1)).as("n_cells"),
+        (sum(round(col("value") * 1e6, 0).cast("long")) / 1e6).as("total_value"))
+      .select(coalesce(col("p2"), lit("*")).as("p2"),
+        coalesce(col("p4"), lit("*")).as("p4"),
+        coalesce(col("p6"), lit("*")).as("p6"),
+        col("n_cells"), col("total_value"))
+  }
+
+  private val quadkeyRollupSql = {
+    val digits = (0 to 6).map { k =>
+      val sh = 1 << (6 - k)
+      s"""CAST((("row" // $sh) % 2) * 2 + ((col // $sh) % 2) AS VARCHAR)"""
+    }.mkString(" || ")
+    s"""WITH g AS (${graft.raster.PixelGrid.gridSql(0)}),
+        q AS (SELECT value, $digits AS qk FROM g),
+        p AS (SELECT value, substr(qk, 1, 2) AS p2, substr(qk, 1, 4) AS p4,
+                     substr(qk, 1, 6) AS p6
+              FROM q)
+        SELECT coalesce(p2, '*') AS p2, coalesce(p4, '*') AS p4,
+               coalesce(p6, '*') AS p6, count(*) AS n_cells,
+               (CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+                 / 1e6) AS total_value
+        FROM p GROUP BY ROLLUP (p2, p4, p6)"""
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sql_exists" -> sqlExists,
+    "q_sql_scalar_in" -> sqlScalarIn,
+    "o_salted_join" -> saltedJoin,
+    "w_range_frame" -> rangeFrame,
+    "r_quadkey_rollup" -> quadkeyRollup,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sql_exists" -> existsSql,
+    "q_sql_scalar_in" -> scalarInSql,
+    "o_salted_join" -> saltedJoinSql,
+    "w_range_frame" -> rangeFrameSql,
+    "r_quadkey_rollup" -> quadkeyRollupSql,
+  )
+}
