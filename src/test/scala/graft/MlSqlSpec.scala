@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{QueriesMl, QueriesSql}
+
+/** Plan + second-method validation for the ML-metrics and SQL-front-door
+  * packs. The oracle gate proves value parity with DuckDB; these prove
+  * (a) the PLANS are the scale-safe ones (subqueries decorrelate to hash
+  * joins, metric windows partition by slice), and (b) the rank-sum AUC is
+  * the Mann-Whitney statistic by direct O(P·N) pair comparison — a second
+  * method the oracle can't provide (both engines could share a bug).
+  */
+class MlSqlSpec extends SparkSuite {
+
+  private def planOf(qs: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame],
+                     name: String): String =
+    qs(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("q_sql_exists: EXISTS/NOT EXISTS decorrelate to semi/anti hash joins") {
+    val p = planOf(QueriesSql.queries, "q_sql_exists")
+    assert(p.contains("LeftSemi"), s"EXISTS should plan a left-semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS should plan a left-anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"decorrelation must not fall back to a nested loop:\n$p")
+  }
+
+  test("q_sql_scalar_in: scalar subquery evaluates once (Subquery), IN becomes a join") {
+    val p = planOf(QueriesSql.queries, "q_sql_scalar_in")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      s"mean should be a one-shot scalar subquery:\n$p")
+    assert(p.contains("LeftSemi"), s"IN should plan a semi join:\n$p")
+  }
+
+  test("m_auc / m_lift_deciles: metric windows partition by slice (no global sort)") {
+    for (q <- Seq("m_auc", "m_lift_deciles")) {
+      val p = planOf(QueriesMl.queries, q)
+      assert(!p.contains("SinglePartition"),
+        s"$q must not move all rows to one partition:\n$p")
+    }
+  }
+
+  test("rank-sum AUC equals brute-force pair-counting AUC (ties = 1/2)") {
+    // Direct Mann-Whitney: over all (positive, negative) pairs count
+    // score_p > score_n as 1, ties as 1/2. O(P·N) — fine at sf0.001.
+    val rows = QueriesMl.queries("m_auc")(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getDouble(3))).toMap
+
+    val scored = spark.read.parquet(s"$sf001/events.parquet")
+      .select(col("event_id"), col("event_type"))
+      .withColumn("p", graft.rng.Rand.u01(col("event_id"), 9101))
+      .withColumn("label",
+        when(graft.rng.Rand.u01(col("event_id"), 9202) < col("p"), 1).otherwise(0))
+      .withColumn("raw",
+        col("p") + (graft.rng.Rand.u01(col("event_id"), 9303) - lit(0.5)) * lit(0.6))
+      .withColumn("score",
+        graft.functions.Canon.round(greatest(lit(0.0), least(lit(1.0), col("raw"))), 4))
+      .select("event_type", "label", "score").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+
+    for ((slice, auc) <- rows) {
+      val pos = scored.collect { case (s, 1, sc) if s == slice => sc }
+      val neg = scored.collect { case (s, 0, sc) if s == slice => sc }
+      var wins = 0.0
+      for (sp <- pos; sn <- neg)
+        wins += (if (sp > sn) 1.0 else if (sp == sn) 0.5 else 0.0)
+      val brute = wins / (pos.length.toDouble * neg.length.toDouble)
+      assert(math.abs(brute - auc) < 1e-6,
+        s"$slice: rank-sum AUC $auc != brute-force $brute")
+    }
+  }
+
+  test("m_confusion: ALL row equals the sum of the slice rows") {
+    val rows = QueriesMl.queries("m_confusion")(spark, sf001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val all = rows.collect { case ("ALL", t) => t }.head
+    val slices = rows.filter(_._1 != "ALL").map(_._2)
+    val summed = slices.reduce((a, b) =>
+      (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+    assert(summed == all, s"slice sum $summed != ALL $all")
+  }
+
+  test("o_salted_join: salted result equals the plain unsalted join result") {
+    val salted = QueriesSql.queries("o_salted_join")(spark, sf001)
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val pt = spark.read.parquet(s"$sf001/part.parquet")
+    val plain = li.join(pt, li("l_partkey") === pt("p_partkey"))
+      .groupBy((col("l_partkey") % 50).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (sum(graft.functions.Canon.round(col("l_extendedprice") * 100, 0)
+          .cast("long")) / 100.0).as("total"))
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.sameElements(plain), "salted join diverged from plain join")
+  }
+}
