@@ -32,21 +32,26 @@ object QueriesExt {
   // training-data filtering; each is a two-level aggregation, so the
   // shuffle carries (doc_id, token) partial counts — map-side combine does
   // the heavy lifting at scale.
+  // All tokens of a document live in ONE row, so none of these metrics
+  // needs a token shuffle: distinct/top-word multiplicities come from
+  // higher-order array functions over the in-row token array — the whole
+  // query is a shuffle-free projection (the earlier explode→groupBy form
+  // shuffled every (doc, token) pair twice). The per-row work is
+  // O(words · distinct words), fine at document sizes; at 100 TB the win
+  // is that plan shape: zero exchanges, embarrassingly parallel.
   private val repetition: Q = (s, d) => {
-    val wc = Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-    val ws = wc.groupBy("doc_id").agg(sum("c").as("nw"),
-      count(lit(1)).as("ndw"), max("c").as("topw"))
-    val gc = Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextOps.shingles(col("text"), 2)).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-    val gs = gc.groupBy("doc_id").agg(sum("c").as("ng"), count(lit(1)).as("ndg"))
-    ws.join(gs, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("nw").as("n_words"),
-        round(col("ndw").cast("double") / col("nw"), 6).as("distinct_word_ratio"),
-        round(col("topw").cast("double") / col("nw"), 6).as("top_word_ratio"),
-        round(coalesce(lit(1.0) - col("ndg").cast("double") / col("ng"), lit(0.0)), 6)
+    val w = TextOps.words(col("text"))
+    val dw = array_distinct(w)
+    val g = TextOps.shingles(col("text"), 2)
+    val topw = array_max(transform(dw, x => size(filter(w, y => y === x))))
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(w).cast("long").as("n_words"),
+        round(size(dw).cast("double") / size(w).cast("double"), 6)
+          .as("distinct_word_ratio"),
+        round(topw.cast("double") / size(w).cast("double"), 6)
+          .as("top_word_ratio"),
+        round(when(size(g) === 0, lit(0.0)).otherwise(
+          lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double")), 6)
           .as("dup_2gram_ratio"))
   }
 

@@ -63,9 +63,44 @@ object QueriesIngest {
           .as("approx_median_price"),
         count(lit(1)).as("n_rows"))
 
+  // frame sampling over video payloads: up to 4 evenly-strided byte
+  // offsets per payload, each yielding an 8-byte "frame header" slice
+  // (hex view of the opaque binary — the slice a real demuxer would seek
+  // to). A pure per-row generate+project: no shuffle, embarrassingly
+  // parallel, and the byte math is identical in both engines because it
+  // runs on the hex string of the UTF-8 payload bytes.
+  private val frameSample: Q = (s, d) => {
+    val v = Tables.documents(s, d).filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("media_id"),
+        hex(encode(col("text"), "UTF-8")).as("hx"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"))
+    v.withColumn("stride", greatest(lit(1L), (col("byte_len") / 4).cast("long")))
+      .withColumn("frame_idx", explode(sequence(lit(0L), lit(3L))))
+      .filter(col("frame_idx") * col("stride") < col("byte_len"))
+      .select(col("media_id"), col("frame_idx"),
+        (col("frame_idx") * col("stride")).as("offset_bytes"),
+        expr("substr(hx, CAST(frame_idx * stride * 2 + 1 AS INT), 16)").as("hdr_hex"),
+        col("byte_len"))
+  }
+
+  private val frameSampleSql =
+    """WITH v AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+                  FROM documents WHERE doc_id % 3 = 2),
+        f AS (SELECT media_id, hx, byte_len,
+                     greatest(1, byte_len // 4) AS stride,
+                     unnest(range(4)) AS frame_idx
+              FROM v)
+        SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(frame_idx * stride AS BIGINT) AS offset_bytes,
+               substr(hx, frame_idx * stride * 2 + 1, 16) AS hdr_hex,
+               byte_len
+        FROM f WHERE frame_idx * stride < byte_len"""
+
   val queries: Map[String, Q] = Map(
     "i_pointcloud_grid" -> pointcloudGrid,
     "i_multimodal_meta" -> multimodalMeta,
+    "i_frame_sample" -> frameSample,
     "a_count_distinct" -> countDistinctQ,
     "a_approx_sketches" -> approxStats,
   )
@@ -73,6 +108,7 @@ object QueriesIngest {
   val oracle: Map[String, String] = Map(
     "i_pointcloud_grid" -> pointcloudGridSql,
     "i_multimodal_meta" -> multimodalMetaSql,
+    "i_frame_sample" -> frameSampleSql,
     "a_count_distinct" -> countDistinctSql,
   )
 }

@@ -16,7 +16,11 @@ object QueriesStream {
   private val dedupFirst: Q = (s, d) =>
     StreamOps.dedupKeepFirst(Tables.events(s, d))
 
+  private val hourlyUsers: Q = (s, d) =>
+    StreamOps.hourlyUsers(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
+    "st_hourly_users" -> hourlyUsers,
     "st_hourly_window" -> hourly,
     "st_sliding_rms" -> sliding,
     "st_sessionize" -> sessions,
@@ -24,6 +28,7 @@ object QueriesStream {
   )
 
   val oracle: Map[String, String] = Map(
+    "st_hourly_users" -> StreamOps.hourlyUsersSql,
     "st_hourly_window" -> StreamOps.hourlyAggSql,
     "st_sliding_rms" -> StreamOps.slidingRmsSql,
     "st_sessionize" -> StreamOps.sessionizeSql,

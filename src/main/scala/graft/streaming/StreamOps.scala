@@ -36,6 +36,22 @@ object StreamOps {
               round(max(value), 6) AS max_value
        FROM events GROUP BY 1, 2"""
 
+  /** Exact distinct users per hourly window. The batch twin of the
+    * streaming form `dropDuplicates("user_id", window) → count` —
+    * COUNT(DISTINCT) itself isn't incremental, so the streaming path
+    * dedups first and counts the survivors; both compute this result. */
+  def hourlyUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("w.start").as("hour_start"), col("n_events"), col("n_users"))
+
+  val hourlyUsersSql: String =
+    """SELECT date_trunc('hour', ts) AS hour_start, count(*) AS n_events,
+              count(DISTINCT user_id) AS n_users
+       FROM events GROUP BY 1"""
+
   /** Sliding 2-hour window advancing hourly (each event lands in 2
     * windows) — RMS + uncorrelated-term shape from §2.4 over streams. */
   def slidingRms(events: DataFrame): DataFrame =
