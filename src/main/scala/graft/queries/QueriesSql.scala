@@ -167,12 +167,88 @@ object QueriesSql {
         FROM p GROUP BY ROLLUP (p2, p4, p6)"""
   }
 
+  // ---- NMAD robust dispersion per zone ----------------------------------
+  // NMAD = 1.4826 · median(|Δz − median(Δz)|): the robust error-spread
+  // statistic standard in DEM differencing (insensitive to the outliers
+  // that inflate σ). Two exact order statistics per zone: zone medians
+  // broadcast back onto the Δz stream, then the median of absolute
+  // deviations. Zones are level-2 quadkeys ⇒ bounded group count; the
+  // interpolated percentile arithmetic is bit-identical across engines
+  // (same lower+(upper−lower)·frac form, proven by r_bias_remove).
+  private val nmad: Q = (s, d) => {
+    import graft.raster.PixelGrid
+    val dz = PixelGrid.difference(
+      PixelGrid.grid(s, d, 0), PixelGrid.grid(s, d, 1))
+      .withColumn("zone", concat(qkDigit(0), qkDigit(1)))
+    val med = dz.groupBy("zone")
+      .agg(percentile(col("dz"), lit(0.5)).as("med"))
+    dz.join(broadcast(med), "zone")
+      .select(col("zone"), col("med"), abs(col("dz") - col("med")).as("adev"))
+      .groupBy("zone")
+      .agg(count(lit(1)).as("n"), round(min("med"), 6).as("med_dz"),
+        round(percentile(col("adev"), lit(0.5)) * 1.4826, 6).as("nmad"))
+  }
+
+  private val nmadSql = {
+    val zd = (0 to 1).map { k =>
+      val sh = 1 << (6 - k)
+      s"""CAST((("row" // $sh) % 2) * 2 + ((col // $sh) % 2) AS VARCHAR)"""
+    }.mkString(" || ")
+    s"""WITH a AS (${graft.raster.PixelGrid.gridSql(0)}),
+        b AS (${graft.raster.PixelGrid.gridSql(1)}),
+        dz AS (SELECT a.col, a."row", round(b.value - a.value, 6) AS dz
+               FROM a JOIN b ON a.col = b.col AND a."row" = b."row"),
+        z AS (SELECT dz, $zd AS zone FROM dz),
+        m AS (SELECT zone, quantile_cont(dz, 0.5) AS med FROM z GROUP BY 1)
+        SELECT zone, count(*) AS n, round(min(med), 6) AS med_dz,
+               round(quantile_cont(abs(dz - med), 0.5) * 1.4826, 6) AS nmad
+        FROM z JOIN m USING (zone) GROUP BY 1"""
+  }
+
+  // ---- bigram language-model scoring (perplexity-style quality filter) --
+  // A unigram-of-bigrams LM trained on the whole corpus, broadcast back
+  // onto each document's bigrams; the per-doc mean negative log-likelihood
+  // is the perplexity-filter score used to drop gibberish from training
+  // data. Per-bigram log-probs are 1e-6-quantized to integers at the
+  // source (floor(x·1e6 + 0.5) — one libm call per DISTINCT bigram, not
+  // per token), so the doc-level sums are exact under any merge order.
+  private val charlmPpl: Q = (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.text.TextOps.shingles(col("text"), 2)).as("g"))
+    val lm = grams.groupBy("g").agg(count(lit(1)).as("c"))
+    val lp = lm.crossJoin(broadcast(lm.agg(sum("c").as("tot"))))
+      .select(col("g"),
+        floor(log(col("c").cast("double") / col("tot").cast("double")) * 1e6
+          + 0.5).cast("long").as("lp6"))
+    grams.join(broadcast(lp), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        round(-sum(col("lp6")).cast("double") / 1e6 /
+          count(lit(1)).cast("double"), 6).as("avg_nll"))
+  }
+
+  private val charlmPplSql =
+    s"""WITH gr AS (SELECT doc_id,
+                           unnest(${graft.text.TextOps.shinglesSql("text", 2)}) AS g
+                    FROM documents),
+        lm AS (SELECT g, count(*) AS c FROM gr GROUP BY 1),
+        t AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM lm),
+        lp AS (SELECT g, CAST(floor(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6
+                               + 0.5) AS BIGINT) AS lp6
+               FROM lm, t)
+        SELECT doc_id, count(*) AS n_grams,
+               round(-CAST(sum(lp6) AS BIGINT) / 1e6 / count(*), 6) AS avg_nll
+        FROM gr JOIN lp USING (g) GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
     "q_sql_exists" -> sqlExists,
     "q_sql_scalar_in" -> sqlScalarIn,
     "o_salted_join" -> saltedJoin,
     "w_range_frame" -> rangeFrame,
     "r_quadkey_rollup" -> quadkeyRollup,
+    "a_nmad" -> nmad,
+    "x_charlm_ppl" -> charlmPpl,
   )
 
   val oracle: Map[String, String] = Map(
@@ -181,5 +257,7 @@ object QueriesSql {
     "o_salted_join" -> saltedJoinSql,
     "w_range_frame" -> rangeFrameSql,
     "r_quadkey_rollup" -> quadkeyRollupSql,
+    "a_nmad" -> nmadSql,
+    "x_charlm_ppl" -> charlmPplSql,
   )
 }
