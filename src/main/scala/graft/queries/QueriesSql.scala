@@ -213,9 +213,12 @@ object QueriesSql {
   // source (floor(x·1e6 + 0.5) — one libm call per DISTINCT bigram, not
   // per token), so the doc-level sums are exact under any merge order.
   private val charlmPpl: Q = (s, d) => {
+    // persist: the bigram stream feeds both the LM aggregate and the
+    // scoring join — without the cache the corpus-wide explode runs twice
     val grams = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(graft.text.TextOps.shingles(col("text"), 2)).as("g"))
+      .persist()
     val lm = grams.groupBy("g").agg(count(lit(1)).as("c"))
     val lp = lm.crossJoin(broadcast(lm.agg(sum("c").as("tot"))))
       .select(col("g"),
