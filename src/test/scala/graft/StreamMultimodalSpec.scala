@@ -56,6 +56,41 @@ class StreamMultimodalSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup-then-count equals batch COUNT(DISTINCT) per hour") {
+    // COUNT(DISTINCT) is not incremental; the streaming form is
+    // dropDuplicates((user_id, hour)) → count per hour. Proves the twin
+    // computes the batch answer.
+    val batch = StreamOps.hourlyUsers(Tables.events(spark, sf001))
+      .select("hour_start", "n_users").orderBy("hour_start").collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft-husers").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      java.nio.file.Paths.get(dir.getAbsolutePath, "events.parquet"))
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+    val raw = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val events =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      else raw
+    val q = events.withWatermark("ts", "2 hours")
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+      .dropDuplicates("user_id", "hour_start")
+      .groupBy(col("hour_start"))
+      .agg(count(lit(1)).as("n_users"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("husers_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("husers_test").orderBy("hour_start").collect()
+      assert(streamed.length == batch.length,
+        s"rows ${streamed.length} vs ${batch.length}")
+      streamed.zip(batch).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+    } finally q.stop()
+  }
+
   test("multimodal decode: schema, determinism, null payload dropped") {
     val media = Multimodal.mediaFromDocuments(spark, sf001)
     val feats = Multimodal.decodeFeatures(media)
