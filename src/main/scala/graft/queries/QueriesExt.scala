@@ -40,8 +40,12 @@ object QueriesExt {
   // that wins at 100 TB (the earlier explode→groupBy form shuffled every
   // (doc, token) pair twice).
   private val repetition: Q = (s, d) => {
-    val w = TextOps.words(col("text"))
-    val g = TextOps.shingles(col("text"), 2)
+    // materialize the split ONCE as an attribute: every metric below
+    // references the token array several times, and an inline split would
+    // be re-evaluated per reference (and per shingle element) — that
+    // re-evaluation, not the metric math, was 2/3 of the query's cost
+    val w = col("w")
+    val g = TextOps.shinglesOf(w, 2)
     // longest equal-run in the sorted token array = max word multiplicity
     val topw = aggregate(array_sort(w),
       struct(lit("\u0000").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
@@ -53,6 +57,7 @@ object QueriesExt {
       },
       acc => acc.getField("best"))
     Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
       .select(col("doc_id"), size(w).cast("long").as("n_words"),
         round(size(array_distinct(w)).cast("double") / size(w).cast("double"), 6)
           .as("distinct_word_ratio"),

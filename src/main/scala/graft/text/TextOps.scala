@@ -27,6 +27,17 @@ object TextOps {
         i => concat_ws(" ", slice(words(text), i, lit(k)))))
       .otherwise(array().cast("array<string>"))
 
+  /** k-shingles from an ALREADY-SPLIT token array attribute. Use this when
+    * the caller materializes `words(text)` once: `shingles(text, k)`
+    * re-evaluates the split per element inside its transform lambda, which
+    * is O(tokens) splits of the full text per row — measured 2× the whole
+    * query cost in x_repetition before the rewrite. */
+  def shinglesOf(w: Column, k: Int): Column =
+    when(size(w) >= k,
+      transform(sequence(lit(1), size(w) - (k - 1)),
+        i => concat_ws(" ", slice(w, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
   def shinglesSql(textExpr: String, k: Int = 3): String =
     s"""list_transform(
         generate_series(1, greatest(len(string_split($textExpr, ' ')) - ${k - 1}, 0)),
