@@ -216,8 +216,9 @@ object QueriesSql {
     // persist: the bigram stream feeds both the LM aggregate and the
     // scoring join — without the cache the corpus-wide explode runs twice
     val grams = Tables.documents(s, d)
+      .select(col("doc_id"), graft.text.TextOps.words(col("text")).as("w"))
       .select(col("doc_id"),
-        explode(graft.text.TextOps.shingles(col("text"), 2)).as("g"))
+        explode(graft.text.TextOps.shinglesOf(col("w"), 2)).as("g"))
       .persist()
     val lm = grams.groupBy("g").agg(count(lit(1)).as("c"))
     val lp = lm.crossJoin(broadcast(lm.agg(sum("c").as("tot"))))

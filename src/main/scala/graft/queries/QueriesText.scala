@@ -39,7 +39,10 @@ object QueriesText {
     * clustering, and fingerprint queries within a session. */
   private def shingleTable(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextOps.shingles(col("text"))).as("sh"))
+      // words materialized first: shinglesOf slices an attribute array
+      // instead of re-splitting the text per shingle element
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .select(col("doc_id"), explode(TextOps.shinglesOf(col("w"), 3)).as("sh"))
       .persist()
 
   private def signatures(s: SparkSession, d: String): DataFrame =
@@ -184,8 +187,11 @@ object QueriesText {
     def base = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast("int").as("lb"), col("text"))
-    val sh = base.select(col("doc_id"), col("lang"), col("lb"),
-      explode(TextOps.shingles(col("text"))).as("sh")).distinct()
+    val sh = base
+      .select(col("doc_id"), col("lang"), col("lb"),
+        TextOps.words(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"), col("lb"),
+        explode(TextOps.shinglesOf(col("w"), 3)).as("sh")).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val r = sh.toDF("r_doc_id", "r_lang", "r_lb", "r_sh")
     val inter = sh.join(r,
