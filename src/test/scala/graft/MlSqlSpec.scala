@@ -69,6 +69,33 @@ class MlSqlSpec extends SparkSuite {
     }
   }
 
+  test("m_auc matches MLlib BinaryClassificationMetrics.areaUnderROC") {
+    // Third method: MLlib's exact ROC integration (numBins = 0) over the
+    // same (score, label) pairs must agree with the rank-sum form —
+    // MLlib's trapezoidal ROC area IS the tie-averaged Mann-Whitney
+    // statistic, so agreement is exact up to float noise.
+    val rows = QueriesMl.queries("m_auc")(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getDouble(3))).toMap
+    val scored = spark.read.parquet(s"$sf001/events.parquet")
+      .select(col("event_id"), col("event_type"))
+      .withColumn("p", graft.rng.Rand.u01(col("event_id"), 9101))
+      .withColumn("label",
+        when(graft.rng.Rand.u01(col("event_id"), 9202) < col("p"), 1.0).otherwise(0.0))
+      .withColumn("raw",
+        col("p") + (graft.rng.Rand.u01(col("event_id"), 9303) - lit(0.5)) * lit(0.6))
+      .withColumn("score",
+        graft.functions.Canon.round(greatest(lit(0.0), least(lit(1.0), col("raw"))), 4))
+    for ((slice, auc) <- rows) {
+      val rdd = scored.filter(col("event_type") === slice)
+        .select("score", "label").rdd
+        .map(r => (r.getDouble(0), r.getDouble(1)))
+      val mllibAuc = new org.apache.spark.mllib.evaluation
+        .BinaryClassificationMetrics(rdd, 0).areaUnderROC()
+      assert(math.abs(mllibAuc - auc) < 1e-6,
+        s"$slice: MLlib AUC $mllibAuc != rank-sum $auc")
+    }
+  }
+
   test("m_confusion: ALL row equals the sum of the slice rows") {
     val rows = QueriesMl.queries("m_confusion")(spark, sf001).collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
