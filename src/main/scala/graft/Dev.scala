@@ -11,6 +11,7 @@ object Dev {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
       .config("spark.ui.enabled", "false")
