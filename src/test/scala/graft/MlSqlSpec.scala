@@ -106,6 +106,50 @@ class MlSqlSpec extends SparkSuite {
     assert(summed == all, s"slice sum $summed != ALL $all")
   }
 
+  test("ANN recall: IVF multi-probe top-k covers most of the exact top-k") {
+    // approximation-quality gate: for each probe query, what fraction of
+    // the brute-force cosine top-k does the IVF (2-probe) path return?
+    // Thresholds are loose lower bounds — bucketed ANN trades recall for
+    // candidate count by design — but a broken bucketing would crater them.
+    import graft.queries.QueriesAnn
+    def pairs(q: String) = SparkEntry.queries(q)(spark, sf001).collect()
+      .map(r => (r.getLong(r.fieldIndex("q_id")),
+        r.getLong(r.fieldIndex("vec_id")))).toSet
+    val exact = pairs("n_cosine_topk")
+    val ivf1 = pairs("n_ivf_topk")
+    val ivf2 = pairs("n_ivf_multiprobe")
+    val r1 = ivf1.intersect(exact).size.toDouble / exact.size
+    val r2 = ivf2.intersect(exact).size.toDouble / exact.size
+    assert(r2 >= r1, s"multi-probe recall $r2 below single-probe $r1")
+    assert(r2 >= 0.5, s"2-probe IVF recall $r2 suspiciously low")
+    assert(exact.size == ivf1.size && exact.size == ivf2.size,
+      "all paths must return k results per query")
+  }
+
+  test("a_nmad: zone NMAD matches a driver-side computation") {
+    val rows = graft.queries.QueriesSql.queries("a_nmad")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toList
+    val dz = graft.raster.PixelGrid.difference(
+      graft.raster.PixelGrid.grid(spark, sf001, 0),
+      graft.raster.PixelGrid.grid(spark, sf001, 1))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      val pos = 0.5 * (n - 1); val lo = s(pos.toInt); val hi = s(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - math.floor(pos))
+    }
+    def zone(c: Int, r: Int): String =
+      s"${((r >> 6) & 1) * 2 + ((c >> 6) & 1)}${((r >> 5) & 1) * 2 + ((c >> 5) & 1)}"
+    val byZone = dz.groupBy { case (c, r, _) => zone(c, r) }
+    for ((z, n, nmad) <- rows) {
+      val vals = byZone(z).map(_._3).toSeq
+      assert(vals.length == n)
+      val med = median(vals)
+      val expect = 1.4826 * median(vals.map(v => math.abs(v - med)))
+      assert(math.abs(expect - nmad) < 1e-6, s"$z: $nmad vs driver $expect")
+    }
+  }
+
   test("o_salted_join: salted result equals the plain unsalted join result") {
     val salted = QueriesSql.queries("o_salted_join")(spark, sf001)
       .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

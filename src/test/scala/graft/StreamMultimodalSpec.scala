@@ -91,6 +91,58 @@ class StreamMultimodalSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch join") {
+    // purchases joined to the same user's clicks within the following
+    // hour — the canonical stream-stream interval join, state bounded by
+    // the watermark + time-range condition. Must equal the batch join.
+    import org.apache.spark.sql.DataFrame
+    def loadStream(dir: String): DataFrame = {
+      val schema = spark.read.parquet(dir).schema
+      val raw = spark.readStream.schema(schema).parquet(dir)
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      java.nio.file.Paths.get(dir.getAbsolutePath, "events.parquet"))
+
+    val batchEvents = Tables.events(spark, sf001)
+    val bp = batchEvents.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val bc = batchEvents.filter(col("event_type") === "click")
+      .select(col("user_id").as("u2"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+    val batch = bp.join(bc, col("u") === col("u2") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .select("p_id", "c_id").orderBy("p_id", "c_id").collect().toSeq
+
+    val sp = loadStream(dir.getAbsolutePath)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val sc = loadStream(dir.getAbsolutePath)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("u2"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val q = sp.join(sc, col("u") === col("u2") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .select("p_id", "c_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_test")
+        .orderBy("p_id", "c_id").collect().toSeq
+      assert(streamed.length == batch.length,
+        s"rows ${streamed.length} vs ${batch.length}")
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("multimodal decode: schema, determinism, null payload dropped") {
     val media = Multimodal.mediaFromDocuments(spark, sf001)
     val feats = Multimodal.decodeFeatures(media)
