@@ -34,16 +34,18 @@ object DedupCluster {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      // candidate label per node: min of own label and neighbors' labels
+      // candidate label per node: min of own label and neighbors' labels.
+      // The change flag rides in the checkpointed frame so convergence
+      // detection is a scan of materialized rows, not another join.
       val nbr = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min("label").as("nlabel"))
       val next = labels.join(nbr, Seq("id"), "left_outer")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label")).as("chg"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("chg")).count()
+      labels = next.select("id", "label")
       converged = changed == 0
       it += 1
     }

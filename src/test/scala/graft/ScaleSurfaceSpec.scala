@@ -62,6 +62,28 @@ class ScaleSurfaceSpec extends SparkSuite {
     }
   }
 
+  test("connected components: long path converges to one min-labeled cluster") {
+    // a 40-node path has propagation diameter 39 — exercises multi-round
+    // convergence, not just the 1-2 rounds near-dup clusters need
+    import spark.implicits._
+    val path = (0L until 39L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val cc = graft.text.DedupCluster.connectedComponents(path, maxIter = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.length == 40)
+    assert(cc.forall(_._2 == 0L), "all nodes must take the min label 0")
+    // two disjoint triangles stay separate
+    val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 12L), (12L, 10L))
+      .toDF("a_id", "b_id")
+    val cc2 = graft.text.DedupCluster.connectedComponents(tri)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(0L, 1L, 2L).forall(cc2(_) == 0L))
+    assert(Seq(10L, 11L, 12L).forall(cc2(_) == 10L))
+    // non-convergence must throw, not silently split components
+    intercept[IllegalStateException] {
+      graft.text.DedupCluster.connectedComponents(path, maxIter = 3)
+    }
+  }
+
   test("m_auc and o_salted_join are invariant to input partitioning") {
     // shuffle partitions and table partitioning must not change results —
     // the determinism contract every query claims
