@@ -318,7 +318,49 @@ object QueriesAnn {
                                   ORDER BY du ASC, vec_id ASC) AS rank
         FROM adc QUALIFY rank <= $TOPK"""
 
+  // ---- clustering quality: per-cluster cosine inertia -------------------
+  // Σ(1 − best_csim) per cluster — the objective a k-means/IVF trainer
+  // watches per step. best_csim is the already-rounded assignment
+  // similarity, so each cost term is 1e-6-quantized to an exact integer
+  // (round lands the ±ulp of (1−csim)·1e6 on the integer) and the
+  // aggregate is exact under any merge order.
+  private val inertia: Q = (s, d) => {
+    val e = emb(s, d)
+    val cents = e.filter(col("vec_id") < NCENTROIDS).toDF("c_id", "cv")
+    val best = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("c_id"),
+        round(Similarity.cosine(col("cv"), col("v")), 6).as("csim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)))
+      .filter(col("crn") === 1)
+      .select(col("c_id").as("cluster"),
+        round((lit(1.0) - col("csim")) * 1e6, 0).cast("long").as("cost6"))
+    best.groupBy("cluster")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("cost6")).cast("double") / 1e6, 6).as("total_cost"),
+        round(sum(col("cost6")).cast("double") / 1e6 /
+          count(lit(1)).cast("double"), 6).as("mean_cost"))
+  }
+
+  private val inertiaSql =
+    s"""WITH e AS ($embSqlCte),
+        cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NCENTROIDS),
+        best AS (
+          SELECT c_id AS cluster,
+                 CAST(round((1.0 - csim) * 1e6, 0) AS BIGINT) AS cost6
+          FROM (SELECT e.vec_id, c.c_id,
+                       round(${Similarity.cosineSql("cv", "v")}, 6) AS csim
+                FROM e, cents c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, c_id ASC) = 1)
+        SELECT cluster, count(*) AS n_vectors,
+               round(CAST(CAST(sum(cost6) AS BIGINT) AS DOUBLE) / 1e6, 6) AS total_cost,
+               round(CAST(CAST(sum(cost6) AS BIGINT) AS DOUBLE) / 1e6
+                     / CAST(count(*) AS DOUBLE), 6) AS mean_cost
+        FROM best GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
+    "n_inertia" -> inertia,
     "n_pq_adc" -> pqAdc,
     "n_cosine_topk" -> cosineTopk,
     "x_dedup_embcos" -> dedupEmbcos,
@@ -329,6 +371,7 @@ object QueriesAnn {
   )
 
   val oracle: Map[String, String] = Map(
+    "n_inertia" -> inertiaSql,
     "n_pq_adc" -> pqAdcSql,
     "n_cosine_topk" -> cosineTopkSql,
     "x_dedup_embcos" -> dedupEmbcosSql,

@@ -163,6 +163,44 @@ object QueriesText {
         WHERE bit_count(xor(l.simhash, r.simhash)) <= 3"""
   }
 
+  // ---- MinHash containment (asymmetric near-dup) ------------------------
+  // containment(A,B) = |A∩B| / |A| over shingle SETS, for the LSH
+  // candidate pairs: the asymmetric twin of Jaccard that catches a short
+  // document embedded verbatim in a longer one (Jaccard dilutes with the
+  // size ratio; containment stays ≈1). Exact set intersection via a
+  // (pair ⋈ shingles) equi-join — the pair space is the LSH candidates,
+  // never rows².
+  private val containment: Q = (s, d) => {
+    val cand = dedupMinhash(s, d).select("a_id", "b_id")
+    val sh = shingleTable(s, d).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.toDF("a_id", "sh"), "a_id")
+      .join(sh.toDF("b_id", "sh"), Seq("b_id", "sh"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("a_id", "a_sz"), "a_id")
+      .join(sizes.toDF("b_id", "b_sz"), "b_id")
+      .select(col("a_id"), col("b_id"), col("inter"),
+        round(col("inter").cast("double") / col("a_sz").cast("double"), 6).as("cont_a"),
+        round(col("inter").cast("double") / col("b_sz").cast("double"), 6).as("cont_b"))
+  }
+
+  private val containmentSql =
+    s"""WITH cand AS (SELECT a_id, b_id FROM ($dedupMinhashSql)),
+        shd AS (SELECT DISTINCT doc_id, sh
+                FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("text")}) AS sh
+                      FROM documents)),
+        sz AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+        i AS (SELECT a_id, b_id, count(*) AS inter
+              FROM cand JOIN shd a ON a.doc_id = cand.a_id
+                        JOIN shd b ON b.doc_id = cand.b_id AND b.sh = a.sh
+              GROUP BY 1, 2)
+        SELECT a_id, b_id, inter,
+               round(CAST(inter AS DOUBLE) / CAST(sa.sz AS DOUBLE), 6) AS cont_a,
+               round(CAST(inter AS DOUBLE) / CAST(sb.sz AS DOUBLE), 6) AS cont_b
+        FROM i JOIN sz sa ON sa.doc_id = i.a_id JOIN sz sb ON sb.doc_id = i.b_id"""
+
   // ---- transitive near-dup clustering over the LSH pairs ----------------
   // cluster_id = min doc id reachable through candidate edges (iterative
   // min-label propagation; recursive-CTE transitive closure in the oracle)
@@ -312,6 +350,7 @@ object QueriesText {
   val queries: Map[String, Q] = Map(
     "x_dedup_exact" -> dedupExact,
     "x_dedup_minhash_lsh" -> dedupMinhash,
+    "x_dedup_containment" -> containment,
     "x_dedup_clusters" -> dedupClusters,
     "x_dedup_simhash" -> dedupSimhash,
     "x_jaccard_3gram" -> jaccard,
@@ -324,6 +363,7 @@ object QueriesText {
   val oracle: Map[String, String] = Map(
     "x_dedup_exact" -> dedupExactSql,
     "x_dedup_minhash_lsh" -> dedupMinhashSql,
+    "x_dedup_containment" -> containmentSql,
     "x_dedup_clusters" -> dedupClustersSql,
     "x_dedup_simhash" -> dedupSimhashSql,
     "x_jaccard_3gram" -> jaccardSql,
