@@ -245,7 +245,45 @@ object QueriesSql {
                round(-CAST(sum(lp6) AS BIGINT) / 1e6 / count(*), 6) AS avg_nll
         FROM gr JOIN lp USING (g) GROUP BY 1"""
 
+  // ---- area-scaled correlated uncertainty per zone ----------------------
+  // The reference's closed-form shortcut (ApplyUncertainty.compute_spatial
+  // _uncertainties, variography_uncertainty.py:1670–1737):
+  // σ_corr = √(2·sill)/√n · √(π·a²/(5·res²)) — the effective-samples
+  // correction for spatial correlation over an area with n cells at
+  // resolution `res` and model range `a`. One aggregate per zone; every
+  // term is scalar math on exact integer counts, so parity is free.
+  private val areaScaled: Q = (s, d) => {
+    val m = graft.functions.Spherical.canonical
+    val fac = math.sqrt(math.Pi * m.ranges.max * m.ranges.max / 5.0) // res = 1
+    graft.raster.PixelGrid.grid(s, d, 0)
+      .withColumn("zone", concat(qkDigit(0), qkDigit(1)))
+      .groupBy("zone")
+      .agg(count(lit(1)).as("n_cells"),
+        round(lit(math.sqrt(2.0 * m.totalSill)) /
+          sqrt(count(lit(1)).cast("double")), 6).as("sigma_corr_raw"),
+        round(lit(math.sqrt(2.0 * m.totalSill) * fac) /
+          sqrt(count(lit(1)).cast("double")), 6).as("sigma_corr_area"))
+  }
+
+  private val areaScaledSql = {
+    val m = graft.functions.Spherical.canonical
+    val fac = math.sqrt(math.Pi * m.ranges.max * m.ranges.max / 5.0)
+    val zd = (0 to 1).map { k =>
+      val sh = 1 << (6 - k)
+      s"""CAST((("row" // $sh) % 2) * 2 + ((col // $sh) % 2) AS VARCHAR)"""
+    }.mkString(" || ")
+    s"""WITH g AS (${graft.raster.PixelGrid.gridSql(0)}),
+        z AS (SELECT $zd AS zone FROM g)
+        SELECT zone, count(*) AS n_cells,
+               round(${math.sqrt(2.0 * m.totalSill)} /
+                     sqrt(CAST(count(*) AS DOUBLE)), 6) AS sigma_corr_raw,
+               round(${math.sqrt(2.0 * m.totalSill) * fac} /
+                     sqrt(CAST(count(*) AS DOUBLE)), 6) AS sigma_corr_area
+        FROM z GROUP BY 1"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "u_area_scaled" -> areaScaled,
     "q_sql_exists" -> sqlExists,
     "q_sql_scalar_in" -> sqlScalarIn,
     "o_salted_join" -> saltedJoin,
@@ -256,6 +294,7 @@ object QueriesSql {
   )
 
   val oracle: Map[String, String] = Map(
+    "u_area_scaled" -> areaScaledSql,
     "q_sql_exists" -> existsSql,
     "q_sql_scalar_in" -> scalarInSql,
     "o_salted_join" -> saltedJoinSql,
