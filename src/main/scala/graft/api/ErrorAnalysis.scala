@@ -62,6 +62,22 @@ class ErrorAnalysis(spark: SparkSession, meta: GridMeta = GridMeta()) {
   def removeBias(dz: DataFrame, bias: Double): DataFrame =
     dz.withColumn("value", col("value") - lit(bias))
 
+  /** Robust dispersion of Δz inside a polygon:
+    * NMAD = 1.4826 · median(|v − median(v)|) — the outlier-insensitive
+    * σ-equivalent standard in DEM differencing practice (beside the
+    * reference's classical std/RMS surfaces). Two exact interpolated
+    * order statistics; nothing table-sized reaches the driver. */
+  def nmad(dz: DataFrame, wkt: String): Double = {
+    val verts = Geom.polyLit(Geom.wktToPoints(wkt))
+    val in = dz.filter(Geom.pointInPolygon(col("x"), col("y"), verts))
+      .select(col("value")).persist()
+    try {
+      val med = in.agg(percentile(col("value"), lit(0.5))).head().getDouble(0)
+      1.4826 * in.select(abs(col("value") - lit(med)).as("a"))
+        .agg(percentile(col("a"), lit(0.5))).head().getDouble(0)
+    } finally { in.unpersist(); () }
+  }
+
   /** Multi-run empirical variogram over the (debiased) Δz pixels:
     * seeded sample → neighbor-cell band join → Matheron bins → cross-run
     * reduction. Returns the small (bin-level) DataFrame. */

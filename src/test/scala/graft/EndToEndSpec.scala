@@ -78,6 +78,13 @@ class EndToEndSpec extends SparkSuite {
     assert(math.abs(total - math.sqrt(uncorr * uncorr + corr * corr)) < 1e-12)
     // correlated term is bounded by the total sill's scale
     assert(corr <= math.sqrt(totalSill) + 1e-9)
+
+    // 4. robust dispersion: NMAD of the (near-Gaussian) debiased field
+    // tracks its σ within a loose band, and never exceeds the raw std
+    // wildly — the sanity envelope robust stats must live in
+    val nmad = ea.nmad(debiased, stableWkt)
+    val sd = math.sqrt(fieldVar)
+    assert(nmad > 0.4 * sd && nmad < 1.6 * sd, s"nmad $nmad vs sd $sd")
     dz.unpersist()
   }
 }
