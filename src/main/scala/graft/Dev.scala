@@ -20,7 +20,17 @@ object Dev {
     val df = if (name == "entry") SparkEntry.entry(spark)
              else SparkEntry.queries(name)(spark, dir)
     if (args.contains("--explain")) df.explain("formatted")
-    df.show(50, false)
+    if (args.contains("--time")) {
+      // bench-shaped timing: warmup pass, then min of 2 noop-sink runs
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      println(f"TIME $name ${math.min(once(), once())}%.3f sec (min of 2, warm)")
+    } else df.show(50, false)
     spark.stop()
   }
 }

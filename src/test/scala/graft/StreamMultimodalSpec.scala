@@ -143,6 +143,92 @@ class StreamMultimodalSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join flushes null matches on watermark") {
+    // left-outer stream joins emit unmatched rows only once the watermark
+    // passes their join window. A static file never advances the final
+    // watermark past its own max event, so the null-matches would be held
+    // back; feeding a far-future sentinel in a SECOND batch
+    // (maxFilesPerTrigger=1) pushes the watermark and flushes the state.
+    import org.apache.spark.sql.DataFrame
+    val events = Tables.events(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssoj").toFile
+    dir.deleteOnExit()
+    // ONE file for the real data: parquet parts would become separate
+    // microbatches, and rows in part k+1 below the watermark advanced by
+    // part k are late input that stream-stream joins rightly drop
+    events.coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(dir, "batch1").getAbsolutePath)
+    // sentinel: one event 10 days after the LATEST event, in its own file
+    events.orderBy(col("ts").desc).limit(1)
+      .withColumn("ts", col("ts") + expr("INTERVAL 10 DAYS"))
+      .withColumn("event_id", lit(-1L))
+      .write.mode("overwrite")
+      .parquet(new java.io.File(dir, "batch2").getAbsolutePath)
+    val stage = java.nio.file.Files.createTempDirectory("graft-ssoj-in").toFile
+    stage.deleteOnExit()
+    def copyParts(sub: String, prefix: String): Unit = {
+      val src = new java.io.File(dir, sub)
+      src.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) =>
+          java.nio.file.Files.copy(f.toPath,
+            new java.io.File(stage, s"$prefix$i.parquet").toPath)
+        }
+    }
+    copyParts("batch1", "a")
+    copyParts("batch2", "b")
+
+    val schema = spark.read.parquet(stage.getAbsolutePath).schema
+    def side(t: String, idAs: String, tsAs: String): DataFrame = {
+      val raw = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(stage.getAbsolutePath)
+      val e =
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      e.filter(col("event_type") === t && col("event_id") =!= -1L ||
+          col("event_id") === -1L) // sentinel flows through both sides
+        .select(col("user_id").as(s"${idAs}_u"), col("event_id").as(idAs),
+          col("ts").as(tsAs))
+    }
+    val sp = side("purchase", "p_id", "p_ts").withWatermark("p_ts", "1 minute")
+    val sc = side("error", "c_id", "c_ts").withWatermark("c_ts", "1 minute")
+    val q = sp.join(sc,
+        col("p_id_u") === col("c_id_u") &&
+        col("c_ts") >= col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("p_id"), col("c_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssoj_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssoj_test")
+        .filter(col("p_id") =!= -1L)
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -999L else r.getLong(1)))
+        .sorted.toSeq
+      val bp = events.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_id_u"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"))
+      val bc = events.filter(col("event_type") === "error")
+        .select(col("user_id").as("c_id_u"), col("event_id").as("c_id"),
+          col("ts").as("c_ts"))
+      val batch = bp.join(bc,
+          col("p_id_u") === col("c_id_u") &&
+          col("c_ts") >= col("p_ts") &&
+          col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+        .select(col("p_id"), col("c_id"))
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -999L else r.getLong(1)))
+        .sorted.toSeq
+      assert(streamed.nonEmpty && streamed.count(_._2 == -999L) > 0,
+        "outer null-matches must be flushed")
+      assert(streamed == batch,
+        s"stream ${streamed.length} rows vs batch ${batch.length}")
+    } finally q.stop()
+  }
+
   test("multimodal decode: schema, determinism, null payload dropped") {
     val media = Multimodal.mediaFromDocuments(spark, sf001)
     val feats = Multimodal.decodeFeatures(media)
