@@ -282,7 +282,72 @@ object QueriesSql {
         FROM z GROUP BY 1"""
   }
 
+  // ---- funnel-stage progression -----------------------------------------
+  // Highest ORDERED stage per user (view → first click after the first
+  // view → first purchase after that click), then users per stage: the
+  // standard conversion-funnel aggregate. One groupBy(user) with
+  // conditional-min aggregates — no self-joins, no window over raw events.
+  // Event-time comparisons run on exact integer microseconds
+  // (floor(nanos/1000) in BOTH engines) so nano-vs-micro truncation can't
+  // flip an ordering at the boundary.
+  private val funnel: Q = (s, d) => {
+    val us = unix_micros(col("ts"))
+    val stages = Tables.events(s, d).groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", us)).as("t_view"),
+        min(when(col("event_type") === "click", us)).as("t_click"),
+        min(when(col("event_type") === "purchase", us)).as("t_purchase"))
+    val stage = when(col("t_view").isNull, 0L)
+      .when(col("t_click").isNull || col("t_click") <= col("t_view"), 1L)
+      .when(col("t_purchase").isNull || col("t_purchase") <= col("t_click"), 2L)
+      .otherwise(3L)
+    stages.select(stage.as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+  }
+
+  private val funnelSql =
+    """WITH st AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) // 1000 END) AS t_view,
+                 min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END) AS t_click,
+                 min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END) AS t_purchase
+          FROM events GROUP BY 1),
+        sg AS (
+          SELECT CASE WHEN t_view IS NULL THEN 0
+                      WHEN t_click IS NULL OR t_click <= t_view THEN 1
+                      WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
+                      ELSE 3 END AS stage
+          FROM st)
+        SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users
+        FROM sg GROUP BY 1"""
+
+  // ---- cohort retention ---------------------------------------------------
+  // cohort = first active day per user; retention cell (cohort, offset) =
+  // distinct users of that cohort active `offset` days later. Two
+  // aggregates: first-day per user (broadcast back), then the distinct
+  // count per cell — the shuffle carries (user, day) pairs, never events.
+  private val retention: Q = (s, d) => {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(broadcast(cohorts), "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val retentionSql =
+    """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        cohorts AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
+        SELECT cohort_day,
+               CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset,
+               count(DISTINCT days.user_id) AS n_users
+        FROM days JOIN cohorts ON days.user_id = cohorts.user_id
+        GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
+    "st_funnel_stages" -> funnel,
+    "st_retention_cohort" -> retention,
     "u_area_scaled" -> areaScaled,
     "q_sql_exists" -> sqlExists,
     "q_sql_scalar_in" -> sqlScalarIn,
@@ -294,6 +359,8 @@ object QueriesSql {
   )
 
   val oracle: Map[String, String] = Map(
+    "st_funnel_stages" -> funnelSql,
+    "st_retention_cohort" -> retentionSql,
     "u_area_scaled" -> areaScaledSql,
     "q_sql_exists" -> existsSql,
     "q_sql_scalar_in" -> scalarInSql,
