@@ -103,6 +103,23 @@ class ScaleSurfaceSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("results are invariant to AQE on/off") {
+    // adaptive execution changes physical plans (coalesced partitions,
+    // runtime join strategy switches) — results must not move
+    val probes = Seq("v_variogram", "m_auc", "r_zonal_stats", "x_dedup_minhash_lsh")
+    def runAll(): Map[String, Seq[String]] = probes.map { q =>
+      q -> SparkEntry.queries(q)(spark, sf001).collect().map(_.toString).sorted.toSeq
+    }.toMap
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val base = runAll()
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled",
+        (!prev.toBoolean).toString)
+      val flipped = runAll()
+      probes.foreach(q => assert(flipped(q) == base(q), s"$q moved under AQE flip"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("frame sample offsets stay in payload bounds with full stride coverage") {
     val rows = graft.SparkEntry.queries("i_frame_sample")(spark, sf001).collect()
     assert(rows.nonEmpty)
