@@ -201,6 +201,41 @@ object QueriesText {
                round(CAST(inter AS DOUBLE) / CAST(sb.sz AS DOUBLE), 6) AS cont_b
         FROM i JOIN sz sa ON sa.doc_id = i.a_id JOIN sz sb ON sb.doc_id = i.b_id"""
 
+  // ---- novelty / boilerplate scoring ------------------------------------
+  // Per doc over its DISTINCT shingles: novelty = fraction unique to this
+  // doc in the corpus (df = 1), boilerplate = fraction appearing in > 5%
+  // of documents. The two ends of the curation dial: near-zero novelty =
+  // duplicated/templated text, high boilerplate = navigation chrome. The
+  // shingle→df aggregate is vocabulary-sized and broadcasts back onto the
+  // per-doc stream (same shape as TF-IDF's df side).
+  private val novelty: Q = (s, d) => {
+    val sh = shingleTable(s, d).distinct()
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    sh.join(broadcast(df), "sh").crossJoin(broadcast(nDocs))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        round(sum(when(col("df") === 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("novelty"),
+        round(sum(when(col("df").cast("double") >
+            col("n_docs").cast("double") * 0.05, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("boilerplate"))
+  }
+
+  private val noveltySql =
+    s"""WITH shd AS (SELECT DISTINCT doc_id, sh
+                     FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("text")}) AS sh
+                           FROM documents)),
+        dfq AS (SELECT sh, count(*) AS df FROM shd GROUP BY 1),
+        nd AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, count(*) AS n_shingles,
+               round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     / CAST(count(*) AS DOUBLE), 6) AS novelty,
+               round(CAST(sum(CASE WHEN CAST(df AS DOUBLE) >
+                       CAST(n_docs AS DOUBLE) * 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+                     / CAST(count(*) AS DOUBLE), 6) AS boilerplate
+        FROM shd JOIN dfq USING (sh), nd GROUP BY 1"""
+
   // ---- transitive near-dup clustering over the LSH pairs ----------------
   // cluster_id = min doc id reachable through candidate edges (iterative
   // min-label propagation; recursive-CTE transitive closure in the oracle)
@@ -351,6 +386,7 @@ object QueriesText {
     "x_dedup_exact" -> dedupExact,
     "x_dedup_minhash_lsh" -> dedupMinhash,
     "x_dedup_containment" -> containment,
+    "x_novelty" -> novelty,
     "x_dedup_clusters" -> dedupClusters,
     "x_dedup_simhash" -> dedupSimhash,
     "x_jaccard_3gram" -> jaccard,
@@ -364,6 +400,7 @@ object QueriesText {
     "x_dedup_exact" -> dedupExactSql,
     "x_dedup_minhash_lsh" -> dedupMinhashSql,
     "x_dedup_containment" -> containmentSql,
+    "x_novelty" -> noveltySql,
     "x_dedup_clusters" -> dedupClustersSql,
     "x_dedup_simhash" -> dedupSimhashSql,
     "x_jaccard_3gram" -> jaccardSql,
