@@ -72,4 +72,40 @@ class PropertySpec extends SparkSuite {
     val vals = re.select("value").distinct().as[Double].collect()
     assert(vals.toSeq == Seq(7.25))
   }
+
+  test("bbox rule is sound and tight for random polygons") {
+    // soundness on random data: for any polygon, the rule-injected bbox
+    // keeps exactly the rows the plain PIP filter keeps; and the bbox is
+    // tight (equals the vertex extremes)
+    import graft.geom.Geom
+    import graft.plans.PipBboxPrefilter
+    val polyGen = for {
+      n <- Gen.choose(3, 8)
+      cx <- Gen.choose(20.0, 100.0)
+      cy <- Gen.choose(20.0, 100.0)
+      r <- Gen.choose(5.0, 19.0)
+    } yield (0 until n).map { i =>
+      val a = 2 * math.Pi * i / n
+      // irrational-ish offsets keep vertices off the data lattice
+      (cx + r * math.cos(a) + 0.137, cy + r * math.sin(a) + 0.261)
+    } :+ { val a0 = 0.0; (cx + r * math.cos(a0) + 0.137, cy + r * math.sin(a0) + 0.261) }
+    val px = PixelGrid.withXY(PixelGrid.grid(spark, sf001, 0)).persist()
+    val prev = spark.experimental.extraOptimizations
+    try {
+      samples(polyGen, 12).foreach { pts =>
+        val verts = Geom.polyLit(pts)
+        spark.experimental.extraOptimizations = prev
+        val base = px.filter(Geom.pointInPolygon(col("x"), col("y"), verts))
+          .select("col", "row").collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+        spark.experimental.extraOptimizations = prev :+ PipBboxPrefilter
+        val q = px.filter(Geom.pointInPolygon(col("x"), col("y"), verts))
+        val ruled = q.select("col", "row").collect()
+          .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+        assert(ruled == base, s"rule changed results for polygon $pts")
+        val opt = q.queryExecution.optimizedPlan.toString
+        val minx = pts.map(_._1).min
+        assert(opt.contains(s">= $minx"), s"tight bbox min-x $minx missing:\n$opt")
+      }
+    } finally { spark.experimental.extraOptimizations = prev; px.unpersist() }
+  }
 }
