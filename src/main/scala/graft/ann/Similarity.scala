@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`) — the
   * 100-TB ANN surface: brute-force cosine top-k as the exactness baseline,
-  * IVF (centroid-bucketed) as the scale path. Dot products are pure
-  * higher-order-function expressions (`zip_with` + `aggregate`), fully
-  * codegen'd — no UDFs, no driver-side vectors.
+  * IVF (centroid-bucketed) as the scale path. Dot products and cosine run
+  * as native codegen kernels ([[DotProduct]]/[[CosineSim]] — no UDFs, no
+  * materialized product arrays, no driver-side vectors).
   *
   * Scale design: brute force is a broadcast(queries)×candidates join —
   * fine for query batches. IVF turns search into an equi-join on the
