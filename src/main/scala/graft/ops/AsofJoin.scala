@@ -48,7 +48,7 @@ object AsofJoin {
     l.unionByName(r)
       .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         Seq(col(s"_m.$ts").as(s"asof_$ts")) ++
         payload.map(c => col(s"_m.$c").as(s"asof_$c")): _*)
   }

@@ -68,7 +68,7 @@ object QueriesText {
       concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)
     val banded = sig.select(col("*"),
       posexplode(bandVals).as(Seq("band_id", "band_val")))
-    val right = banded.toDF(banded.columns.map("r_" + _): _*)
+    val right = banded.toDF(banded.columns.toIndexedSeq.map("r_" + _): _*)
     val eq = (0 until NHASH).map(i =>
       when(col(s"mh$i") === col(s"r_mh$i"), 1).otherwise(0)).reduce(_ + _)
     banded.join(right, col("band_id") === col("r_band_id") &&
