@@ -150,6 +150,43 @@ class MlSqlSpec extends SparkSuite {
     }
   }
 
+  test("funnel and retention match an imperative driver-side recompute") {
+    // second method with a different algorithm shape: collect raw events
+    // and fold them imperatively — guards against a conceptual bug
+    // mirrored into both declarative formulations
+    val events = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    val byUser = events.groupBy(_._1)
+    val stages = byUser.values.map { es =>
+      def first(t: String): Option[Long] =
+        es.filter(_._2 == t).map(_._3).minOption
+      (first("view"), first("click"), first("purchase")) match {
+        case (None, _, _) => 0L
+        case (Some(v), c, _) if c.forall(_ <= v) => 1L
+        case (Some(v), Some(c), p) if p.forall(_ <= c) => 2L
+        case _ => 3L
+      }
+    }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val q = graft.queries.QueriesSql.queries("st_funnel_stages")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(q == stages, s"funnel $q != driver $stages")
+
+    val days = events.map { case (u, _, t) =>
+      (u, java.time.Instant.ofEpochSecond(Math.floorDiv(t, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate)
+    }.distinct
+    val cohort = days.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val cells = days.groupBy { case (u, d) =>
+      (cohort(u), java.time.temporal.ChronoUnit.DAYS.between(cohort(u), d))
+    }.map { case (k, v) => k -> v.map(_._1).distinct.size.toLong }
+    val rq = graft.queries.QueriesSql.queries("st_retention_cohort")(spark, sf001)
+      .collect().map(r => ((r.getDate(0).toLocalDate, r.getLong(1)), r.getLong(2))).toMap
+    assert(rq == cells, s"retention differs: ${rq.size} vs ${cells.size} cells")
+  }
+
   test("o_salted_join: salted result equals the plain unsalted join result") {
     val salted = QueriesSql.queries("o_salted_join")(spark, sf001)
       .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
