@@ -201,6 +201,45 @@ object QueriesText {
                round(CAST(inter AS DOUBLE) / CAST(sb.sz AS DOUBLE), 6) AS cont_b
         FROM i JOIN sz sa ON sa.doc_id = i.a_id JOIN sz sb ON sb.doc_id = i.b_id"""
 
+  // ---- winnowing fingerprints (MOSS) ------------------------------------
+  // The document-fingerprint selection scheme of Schleimer/Wilkerson/
+  // Aiken: hash every k-shingle, slide a window of W consecutive hashes,
+  // keep each window's minimum — guaranteeing any match of length
+  // ≥ W+k−1 shares a fingerprint while storing ~2/(W+1) of the hashes.
+  // One partitionBy(doc) window with a bounded ROWS frame (per-doc
+  // shingle counts are document-sized) → distinct selected hashes.
+  private val WINN = 4
+  private val winnow: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .select(col("doc_id"),
+        posexplode(TextOps.shinglesOf(col("w"), 3)).as(Seq("pos", "sh")))
+      .withColumn("h", md5(col("sh")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(WINN - 1), 0)
+    sh.withColumn("wmin", min(col("h")).over(win))
+      .filter(col("pos") >= WINN - 1)
+      .groupBy("doc_id")
+      .agg(countDistinct(col("wmin")).as("n_fingerprints"),
+        min(col("wmin")).as("fp_min"),
+        count(lit(1)).as("n_windows"))
+  }
+
+  private val winnowSql =
+    s"""WITH sh AS (SELECT doc_id,
+                           generate_subscripts(g, 1) - 1 AS pos,
+                           md5(unnest(g)) AS h
+                    FROM (SELECT doc_id, ${TextOps.shinglesSql("text")} AS g
+                          FROM documents)),
+        wm AS (SELECT doc_id, pos,
+                      min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN ${WINN - 1} PRECEDING
+                                            AND CURRENT ROW) AS wmin
+               FROM sh)
+        SELECT doc_id, count(DISTINCT wmin) AS n_fingerprints,
+               min(wmin) AS fp_min, count(*) AS n_windows
+        FROM wm WHERE pos >= ${WINN - 1} GROUP BY 1"""
+
   // ---- novelty / boilerplate scoring ------------------------------------
   // Per doc over its DISTINCT shingles: novelty = fraction unique to this
   // doc in the corpus (df = 1), boilerplate = fraction appearing in > 5%
@@ -387,6 +426,7 @@ object QueriesText {
     "x_dedup_minhash_lsh" -> dedupMinhash,
     "x_dedup_containment" -> containment,
     "x_novelty" -> novelty,
+    "x_winnow" -> winnow,
     "x_dedup_clusters" -> dedupClusters,
     "x_dedup_simhash" -> dedupSimhash,
     "x_jaccard_3gram" -> jaccard,
@@ -401,6 +441,7 @@ object QueriesText {
     "x_dedup_minhash_lsh" -> dedupMinhashSql,
     "x_dedup_containment" -> containmentSql,
     "x_novelty" -> noveltySql,
+    "x_winnow" -> winnowSql,
     "x_dedup_clusters" -> dedupClustersSql,
     "x_dedup_simhash" -> dedupSimhashSql,
     "x_jaccard_3gram" -> jaccardSql,
