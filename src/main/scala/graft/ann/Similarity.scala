@@ -25,7 +25,8 @@ object Similarity {
     * earlier `aggregate(zip_with(...))` spelling, ~2× faster: no product
     * array is materialized and the loop inlines into the stage). */
   def dot(a: Column, b: Column): Column =
-    toCol(DotProduct(toExpr(a), toExpr(b)))
+    toCol(DotProduct(toExpr(a.cast("array<double>")),
+      toExpr(b.cast("array<double>"))))
 
   def dotSql(a: String, b: String): String =
     s"list_dot_product($a, $b)"
@@ -36,7 +37,8 @@ object Similarity {
   /** Cosine similarity of two double-array columns — one-pass codegen
     * kernel, bit-identical to `dot(a,b)/(norm(a)·norm(b))`. */
   def cosine(a: Column, b: Column): Column =
-    toCol(CosineSim(toExpr(a), toExpr(b)))
+    toCol(CosineSim(toExpr(a.cast("array<double>")),
+      toExpr(b.cast("array<double>"))))
   def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
 }

@@ -134,6 +134,17 @@ object QueriesSql {
       ((col("col") / shift).cast("long") % 2)).cast("string")
   }
 
+  /** Oracle twin of [[qkDigit]] — ONE definition for all three quadkey
+    * queries (a drifted copy would break engine/oracle parity for only
+    * some of them, the hardest gate failure to localize). */
+  private def qkDigitSql(k: Int): String = {
+    val sh = 1 << (6 - k)
+    s"""CAST((("row" // $sh) % 2) * 2 + ((col // $sh) % 2) AS VARCHAR)"""
+  }
+
+  private def qkPrefixSql(levels: Int): String =
+    (0 until levels).map(qkDigitSql).mkString(" || ")
+
   private val quadkeyRollup: Q = (s, d) => {
     val qk = concat((0 to 6).map(qkDigit): _*)
     graft.raster.PixelGrid.grid(s, d, 0)
@@ -151,10 +162,7 @@ object QueriesSql {
   }
 
   private val quadkeyRollupSql = {
-    val digits = (0 to 6).map { k =>
-      val sh = 1 << (6 - k)
-      s"""CAST((("row" // $sh) % 2) * 2 + ((col // $sh) % 2) AS VARCHAR)"""
-    }.mkString(" || ")
+    val digits = qkPrefixSql(7)
     s"""WITH g AS (${graft.raster.PixelGrid.gridSql(0)}),
         q AS (SELECT value, $digits AS qk FROM g),
         p AS (SELECT value, substr(qk, 1, 2) AS p2, substr(qk, 1, 4) AS p4,
@@ -190,10 +198,7 @@ object QueriesSql {
   }
 
   private val nmadSql = {
-    val zd = (0 to 1).map { k =>
-      val sh = 1 << (6 - k)
-      s"""CAST((("row" // $sh) % 2) * 2 + ((col // $sh) % 2) AS VARCHAR)"""
-    }.mkString(" || ")
+    val zd = qkPrefixSql(2)
     s"""WITH a AS (${graft.raster.PixelGrid.gridSql(0)}),
         b AS (${graft.raster.PixelGrid.gridSql(1)}),
         dz AS (SELECT a.col, a."row", round(b.value - a.value, 6) AS dz
@@ -213,13 +218,14 @@ object QueriesSql {
   // source (floor(x·1e6 + 0.5) — one libm call per DISTINCT bigram, not
   // per token), so the doc-level sums are exact under any merge order.
   private val charlmPpl: Q = (s, d) => {
-    // persist: the bigram stream feeds both the LM aggregate and the
-    // scoring join — without the cache the corpus-wide explode runs twice
+    // The bigram stream feeds both the LM aggregate and the scoring join;
+    // it recomputes once per consumer (a persist here would leak a
+    // corpus-sized cache for the rest of the session — with the token
+    // array materialized the re-explode is cheap, measured ≈ equal).
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), graft.text.TextOps.words(col("text")).as("w"))
       .select(col("doc_id"),
         explode(graft.text.TextOps.shinglesOf(col("w"), 2)).as("g"))
-      .persist()
     val lm = grams.groupBy("g").agg(count(lit(1)).as("c"))
     val lp = lm.crossJoin(broadcast(lm.agg(sum("c").as("tot"))))
       .select(col("g"),
@@ -268,10 +274,7 @@ object QueriesSql {
   private val areaScaledSql = {
     val m = graft.functions.Spherical.canonical
     val fac = math.sqrt(math.Pi * m.ranges.max * m.ranges.max / 5.0)
-    val zd = (0 to 1).map { k =>
-      val sh = 1 << (6 - k)
-      s"""CAST((("row" // $sh) % 2) * 2 + ((col // $sh) % 2) AS VARCHAR)"""
-    }.mkString(" || ")
+    val zd = qkPrefixSql(2)
     s"""WITH g AS (${graft.raster.PixelGrid.gridSql(0)}),
         z AS (SELECT $zd AS zone FROM g)
         SELECT zone, count(*) AS n_cells,
@@ -283,54 +286,75 @@ object QueriesSql {
   }
 
   // ---- funnel-stage progression -----------------------------------------
-  // Highest ORDERED stage per user (view → first click after the first
-  // view → first purchase after that click), then users per stage: the
-  // standard conversion-funnel aggregate. One groupBy(user) with
-  // conditional-min aggregates — no self-joins, no window over raw events.
-  // Event-time comparisons run on exact integer microseconds
-  // (floor(nanos/1000) in BOTH engines) so nano-vs-micro truncation can't
-  // flip an ordering at the boundary.
+  // Highest ORDERED stage per user within a 24-hour attribution window:
+  // first view → first click STRICTLY AFTER that view (within 24 h) →
+  // first purchase STRICTLY AFTER that click (within 24 h). The
+  // sequential dependency needs three chained conditional minima (a
+  // one-pass global-min formulation misclassifies users whose first-ever
+  // click precedes their first view but who also clicked after it — a
+  // review-caught bug, guarded by the imperative recompute in MlSqlSpec).
+  // All joins are user-keyed equi-joins on user-sized aggregates; event
+  // times compare as exact integer microseconds (floor(nanos/1000) in
+  // BOTH engines).
+  private val ATTRIB_US = 24L * 3600 * 1000000 // 24-hour conversion window
   private val funnel: Q = (s, d) => {
-    val us = unix_micros(col("ts"))
-    val stages = Tables.events(s, d).groupBy("user_id")
-      .agg(
-        min(when(col("event_type") === "view", us)).as("t_view"),
-        min(when(col("event_type") === "click", us)).as("t_click"),
-        min(when(col("event_type") === "purchase", us)).as("t_purchase"))
-    val stage = when(col("t_view").isNull, 0L)
-      .when(col("t_click").isNull || col("t_click") <= col("t_view"), 1L)
-      .when(col("t_purchase").isNull || col("t_purchase") <= col("t_click"), 2L)
-      .otherwise(3L)
-    stages.select(stage.as("stage"))
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t_view"))
+    val c = e.join(v, "user_id")
+      .filter(col("event_type") === "click" && col("us") > col("t_view") &&
+        col("us") <= col("t_view") + ATTRIB_US)
+      .groupBy("user_id").agg(min("us").as("t_click"))
+    val p = e.join(c, "user_id")
+      .filter(col("event_type") === "purchase" && col("us") > col("t_click") &&
+        col("us") <= col("t_click") + ATTRIB_US)
+      .groupBy("user_id").agg(min("us").as("t_purchase"))
+    e.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left").join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(when(col("t_view").isNull, 0L)
+        .when(col("t_click").isNull, 1L)
+        .when(col("t_purchase").isNull, 2L)
+        .otherwise(3L).as("stage"))
       .groupBy("stage").agg(count(lit(1)).as("n_users"))
   }
 
   private val funnelSql =
-    """WITH st AS (
-          SELECT user_id,
-                 min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) // 1000 END) AS t_view,
-                 min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END) AS t_click,
-                 min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END) AS t_purchase
-          FROM events GROUP BY 1),
-        sg AS (
-          SELECT CASE WHEN t_view IS NULL THEN 0
-                      WHEN t_click IS NULL OR t_click <= t_view THEN 1
-                      WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
-                      ELSE 3 END AS stage
-          FROM st)
-        SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users
-        FROM sg GROUP BY 1"""
+    s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+                  FROM events),
+        v AS (SELECT user_id, min(us) AS t_view FROM e
+              WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(us) AS t_click
+              FROM e JOIN v USING (user_id)
+              WHERE event_type = 'click' AND us > t_view
+                AND us <= t_view + $ATTRIB_US GROUP BY 1),
+        p AS (SELECT e.user_id, min(us) AS t_purchase
+              FROM e JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND us > t_click
+                AND us <= t_click + $ATTRIB_US GROUP BY 1),
+        u AS (SELECT DISTINCT user_id FROM e)
+        SELECT CAST(CASE WHEN t_view IS NULL THEN 0
+                         WHEN t_click IS NULL THEN 1
+                         WHEN t_purchase IS NULL THEN 2
+                         ELSE 3 END AS BIGINT) AS stage,
+               count(*) AS n_users
+        FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+               LEFT JOIN p USING (user_id)
+        GROUP BY 1"""
 
   // ---- cohort retention ---------------------------------------------------
   // cohort = first active day per user; retention cell (cohort, offset) =
-  // distinct users of that cohort active `offset` days later. Two
-  // aggregates: first-day per user (broadcast back), then the distinct
-  // count per cell — the shuffle carries (user, day) pairs, never events.
+  // distinct users of that cohort active `offset` days later. The cohort
+  // day comes from a user-partitioned window min over the deduplicated
+  // (user, day) stream — NOT a broadcast of the per-user aggregate, which
+  // is unbounded (one row per user) and would not survive a 100-TB user
+  // base. One shuffle of (user, day) pairs, never events.
   private val retention: Q = (s, d) => {
     val days = Tables.events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-    val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
-    days.join(broadcast(cohorts), "user_id")
+    days.withColumn("cohort_day",
+        min("day").over(Window.partitionBy("user_id")))
       .groupBy(col("cohort_day"),
         datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))

@@ -160,14 +160,20 @@ class MlSqlSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
 
     val byUser = events.groupBy(_._1)
+    val W = 24L * 3600 * 1000000 // the query's 24-hour attribution window
     val stages = byUser.values.map { es =>
-      def first(t: String): Option[Long] =
-        es.filter(_._2 == t).map(_._3).minOption
-      (first("view"), first("click"), first("purchase")) match {
-        case (None, _, _) => 0L
-        case (Some(v), c, _) if c.forall(_ <= v) => 1L
-        case (Some(v), Some(c), p) if p.forall(_ <= c) => 2L
-        case _ => 3L
+      // strict order: first view, first click AFTER it (within W), first
+      // purchase AFTER that click (within W)
+      es.filter(_._2 == "view").map(_._3).minOption match {
+        case None => 0L
+        case Some(v) =>
+          es.filter(e => e._2 == "click" && e._3 > v && e._3 <= v + W)
+            .map(_._3).minOption match {
+            case None => 1L
+            case Some(c) =>
+              if (es.exists(e =>
+                e._2 == "purchase" && e._3 > c && e._3 <= c + W)) 3L else 2L
+          }
       }
     }.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
     val q = graft.queries.QueriesSql.queries("st_funnel_stages")(spark, sf001)
