@@ -210,47 +210,6 @@ object QueriesSql {
         FROM z JOIN m USING (zone) GROUP BY 1"""
   }
 
-  // ---- bigram language-model scoring (perplexity-style quality filter) --
-  // A unigram-of-bigrams LM trained on the whole corpus, broadcast back
-  // onto each document's bigrams; the per-doc mean negative log-likelihood
-  // is the perplexity-filter score used to drop gibberish from training
-  // data. Per-bigram log-probs are 1e-6-quantized to integers at the
-  // source (floor(x·1e6 + 0.5) — one libm call per DISTINCT bigram, not
-  // per token), so the doc-level sums are exact under any merge order.
-  private val charlmPpl: Q = (s, d) => {
-    // The bigram stream feeds both the LM aggregate and the scoring join;
-    // it recomputes once per consumer (a persist here would leak a
-    // corpus-sized cache for the rest of the session — with the token
-    // array materialized the re-explode is cheap, measured ≈ equal).
-    val grams = Tables.documents(s, d)
-      .select(col("doc_id"), graft.text.TextOps.words(col("text")).as("w"))
-      .select(col("doc_id"),
-        explode(graft.text.TextOps.shinglesOf(col("w"), 2)).as("g"))
-    val lm = grams.groupBy("g").agg(count(lit(1)).as("c"))
-    val lp = lm.crossJoin(broadcast(lm.agg(sum("c").as("tot"))))
-      .select(col("g"),
-        floor(log(col("c").cast("double") / col("tot").cast("double")) * 1e6
-          + 0.5).cast("long").as("lp6"))
-    grams.join(broadcast(lp), "g")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        round(-sum(col("lp6")).cast("double") / 1e6 /
-          count(lit(1)).cast("double"), 6).as("avg_nll"))
-  }
-
-  private val charlmPplSql =
-    s"""WITH gr AS (SELECT doc_id,
-                           unnest(${graft.text.TextOps.shinglesSql("text", 2)}) AS g
-                    FROM documents),
-        lm AS (SELECT g, count(*) AS c FROM gr GROUP BY 1),
-        t AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM lm),
-        lp AS (SELECT g, CAST(floor(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6
-                               + 0.5) AS BIGINT) AS lp6
-               FROM lm, t)
-        SELECT doc_id, count(*) AS n_grams,
-               round(-CAST(sum(lp6) AS BIGINT) / 1e6 / count(*), 6) AS avg_nll
-        FROM gr JOIN lp USING (g) GROUP BY 1"""
-
   // ---- area-scaled correlated uncertainty per zone ----------------------
   // The reference's closed-form shortcut (ApplyUncertainty.compute_spatial
   // _uncertainties, variography_uncertainty.py:1670–1737):
@@ -379,7 +338,6 @@ object QueriesSql {
     "w_range_frame" -> rangeFrame,
     "r_quadkey_rollup" -> quadkeyRollup,
     "a_nmad" -> nmad,
-    "x_charlm_ppl" -> charlmPpl,
   )
 
   val oracle: Map[String, String] = Map(
@@ -392,6 +350,5 @@ object QueriesSql {
     "w_range_frame" -> rangeFrameSql,
     "r_quadkey_rollup" -> quadkeyRollupSql,
     "a_nmad" -> nmadSql,
-    "x_charlm_ppl" -> charlmPplSql,
   )
 }

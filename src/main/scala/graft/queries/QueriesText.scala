@@ -201,6 +201,43 @@ object QueriesText {
                round(CAST(inter AS DOUBLE) / CAST(sb.sz AS DOUBLE), 6) AS cont_b
         FROM i JOIN sz sa ON sa.doc_id = i.a_id JOIN sz sb ON sb.doc_id = i.b_id"""
 
+  // ---- n-gram language-model scoring (perplexity-style quality filter) --
+  // A unigram-of-3-grams LM trained on the whole corpus, broadcast back
+  // onto each document's shingles; the per-doc mean negative
+  // log-likelihood is the perplexity-filter score used to drop gibberish
+  // from training data. Per-gram log-probs are 1e-6-quantized to integers
+  // at the source (floor(x*1e6 + 0.5) — one libm call per DISTINCT gram,
+  // not per token), so doc-level sums are exact under any merge order.
+  // Reuses the SESSION-SHARED persisted shingle table (minhash/
+  // clustering/fingerprint/winnowing), so the corpus explode runs once
+  // with no query-private cache.
+  private val charlmPpl: Q = (s, d) => {
+    val grams = shingleTable(s, d).withColumnRenamed("sh", "g")
+    val lm = grams.groupBy("g").agg(count(lit(1)).as("c"))
+    val lp = lm.crossJoin(broadcast(lm.agg(sum("c").as("tot"))))
+      .select(col("g"),
+        floor(log(col("c").cast("double") / col("tot").cast("double")) * 1e6
+          + 0.5).cast("long").as("lp6"))
+    grams.join(broadcast(lp), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        round(-sum(col("lp6")).cast("double") / 1e6 /
+          count(lit(1)).cast("double"), 6).as("avg_nll"))
+  }
+
+  private val charlmPplSql =
+    s"""WITH gr AS (SELECT doc_id,
+                           unnest(${TextOps.shinglesSql("text")}) AS g
+                    FROM documents),
+        lm AS (SELECT g, count(*) AS c FROM gr GROUP BY 1),
+        t AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM lm),
+        lp AS (SELECT g, CAST(floor(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6
+                               + 0.5) AS BIGINT) AS lp6
+               FROM lm, t)
+        SELECT doc_id, count(*) AS n_grams,
+               round(-CAST(sum(lp6) AS BIGINT) / 1e6 / count(*), 6) AS avg_nll
+        FROM gr JOIN lp USING (g) GROUP BY 1"""
+
   // ---- winnowing fingerprints (MOSS) ------------------------------------
   // The document-fingerprint selection scheme of Schleimer/Wilkerson/
   // Aiken: hash every k-shingle, slide a window of W consecutive hashes,
@@ -427,6 +464,7 @@ object QueriesText {
     "x_dedup_containment" -> containment,
     "x_novelty" -> novelty,
     "x_winnow" -> winnow,
+    "x_charlm_ppl" -> charlmPpl,
     "x_dedup_clusters" -> dedupClusters,
     "x_dedup_simhash" -> dedupSimhash,
     "x_jaccard_3gram" -> jaccard,
@@ -442,6 +480,7 @@ object QueriesText {
     "x_dedup_containment" -> containmentSql,
     "x_novelty" -> noveltySql,
     "x_winnow" -> winnowSql,
+    "x_charlm_ppl" -> charlmPplSql,
     "x_dedup_clusters" -> dedupClustersSql,
     "x_dedup_simhash" -> dedupSimhashSql,
     "x_jaccard_3gram" -> jaccardSql,
