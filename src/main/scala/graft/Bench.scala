@@ -49,9 +49,6 @@ object Bench {
       }
     val p1 = pass().toMap
     val results = pass().map { case (k, v) => k -> math.min(v, p1(k)) }
-    // millisecond precision keeps the whole line under the harness's
-    // output-tail window (round 1's full-precision line was truncated
-    // mid-JSON and recorded as unparseable)
     def f3(v: Double): String = "%.3f".format(v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
@@ -60,13 +57,37 @@ object Bench {
       else failed.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
         .mkString(""""failed":{""", ",", "},")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","ok":${failed.isEmpty},$errs"queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // belt-and-braces copy the harness tail can't truncate
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","ok":${failed.isEmpty},$errs"queries":$qs,"sf":"$sfDir"}"""
+    // full-detail copy the harness tail can't truncate
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SELF.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    println(full)
+    // The harness records only the LAST ~2000 chars of output and parses
+    // the JSON line found there; the 116-query full line is ~2.7k chars,
+    // so rounds 1–2 recorded "parsed: null". Print LAST a compact line
+    // that provably fits: slowest queries first, 2-decimal secs, greedy
+    // fill to a 1600-char budget, remainder summarized as other_n/other_sec.
+    val byTime = results.sortBy(-_._2)
+    val budget = 1600
+    val head = new StringBuilder(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","ok":${failed.isEmpty},$errs"n_queries":${results.size},"queries":{""")
+    val tail0 = s"""},"sf":"$sfDir"}"""
+    val included = scala.collection.mutable.Set[String]()
+    var first = true
+    byTime.foreach { case (k, v) =>
+      val entry = (if (first) "" else ",") + "\"" + k + "\":" + "%.2f".format(v)
+      // reserve ~55 chars for the other_n/other_sec suffix + close
+      if (head.length + entry.length + tail0.length + 55 <= budget) {
+        head.append(entry); included += k; first = false
+      }
+    }
+    val rest = byTime.filterNot { case (k, _) => included(k) }
+    val otherSec = rest.map(_._2).sum
+    val compact = head.toString + "}" +
+      s""","other_n":${rest.size},"other_sec":${f3(otherSec)},"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

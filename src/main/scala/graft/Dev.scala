@@ -17,15 +17,16 @@ object Dev {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = if (name == "entry") SparkEntry.entry(spark)
-             else SparkEntry.queries(name)(spark, dir)
+    // one dispatch for both paths: "entry" is not a key in `queries`
+    def build() = if (name == "entry") SparkEntry.entry(spark)
+                  else SparkEntry.queries(name)(spark, dir)
+    val df = build()
     if (args.contains("--explain")) df.explain("formatted")
     if (args.contains("--time")) {
       // bench-shaped timing: warmup pass, then min of 2 noop-sink runs
       def once(): Double = {
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
+        build().write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       once()

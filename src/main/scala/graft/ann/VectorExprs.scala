@@ -1,9 +1,10 @@
 package graft.ann
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native codegen vector kernels (SURVEY.md §2.11 preference order: a
   * Catalyst `Expression` with `doGenCode` beats higher-order functions).
@@ -16,11 +17,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * gate stays green with no tolerance.
   *
   * Robustness contract:
-  * - construction goes through Similarity.dot/cosine, which cast both
-  *   sides to array<double> at the Column level, so a raw `array<float>`
-  *   embedding column is widened instead of being reinterpreted
-  *   byte-wise by `getDouble` (silent garbage) — do not build these
-  *   expressions directly on un-cast inputs;
+  * - both expressions enforce `array<double>` inputs via
+  *   checkInputDataTypes, so constructing one directly on an
+  *   `array<float>` (or non-array) column fails analysis instead of
+  *   `getDouble` silently reading garbage; Similarity.dot/cosine cast
+  *   at the Column level before construction;
   * - mismatched lengths yield NULL (the HOF spelling's behavior via
   *   zip_with's null padding) rather than a silently truncated value —
   *   a short/corrupt vector surfaces as a null similarity, not a
@@ -31,6 +32,8 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.requireDoubleArrays(prettyName, left, right)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
@@ -77,6 +80,8 @@ case class DotProduct(left: Expression, right: Expression)
   * HOF spelling bit-for-bit while reading each vector once. */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprs.requireDoubleArrays(prettyName, left, right)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
@@ -125,4 +130,21 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** Shared analysis-time type gate for the vector kernels: both children
+  * must already BE array<double> — no implicit widening here, because a
+  * silent cast would hide a caller that skipped Similarity's documented
+  * Column-level cast (the bug class this guard exists to surface). */
+object VectorExprs {
+  def requireDoubleArrays(
+      name: String, left: Expression, right: Expression): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$name requires two array<double> inputs (cast via " +
+            s"Similarity.dot/cosine), got ${l.catalogString} and ${r.catalogString}")
+    }
 }

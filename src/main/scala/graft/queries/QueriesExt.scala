@@ -57,6 +57,10 @@ object QueriesExt {
       },
       acc => acc.getField("best"))
     Tables.documents(s, d)
+      // NULL text emits no row — matches the oracle's unnest form (which
+      // produces nothing to group) independent of fixture data; without
+      // this the in-row form would emit a row with NULL metrics
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), TextOps.words(col("text")).as("w"))
       .select(col("doc_id"), size(w).cast("long").as("n_words"),
         round(size(array_distinct(w)).cast("double") / size(w).cast("double"), 6)

@@ -212,34 +212,44 @@ object QueriesSql {
 
   // ---- area-scaled correlated uncertainty per zone ----------------------
   // The reference's closed-form shortcut (ApplyUncertainty.compute_spatial
-  // _uncertainties, variography_uncertainty.py:1670–1737):
-  // σ_corr = √(2·sill)/√n · √(π·a²/(5·res²)) — the effective-samples
-  // correction for spatial correlation over an area with n cells at
-  // resolution `res` and model range `a`. One aggregate per zone; every
-  // term is scalar math on exact integer counts, so parity is free.
-  private val areaScaled: Q = (s, d) => {
+  // _uncertainties, variography_uncertainty.py:1670–1737): one correlated
+  // term per (sill_i, range_i) component, σ_i = √(2·sill_i)/√n ·
+  // √(π·a_i²/(5·res²)), summed in QUADRATURE; the nugget is excluded
+  // (uncorrelated by definition — it feeds the RMS term instead). With n
+  // factored out both sums collapse to a per-model constant over √n:
+  //   raw  = √(Σ_i 2·sill_i)/√n
+  //   area = √(Σ_i 2·sill_i·π·a_i²/(5·res²))/√n
+  // One aggregate per zone; every term is scalar math on exact integer
+  // counts, so parity is free.
+  private def areaScaledConsts: (Double, Double) = {
     val m = graft.functions.Spherical.canonical
-    val fac = math.sqrt(math.Pi * m.ranges.max * m.ranges.max / 5.0) // res = 1
+    val raw = math.sqrt(m.sills.map(2.0 * _).sum)
+    val area = math.sqrt(m.sills.zip(m.ranges).map { case (c, a) =>
+      2.0 * c * math.Pi * a * a / 5.0 // res = 1
+    }.sum)
+    (raw, area)
+  }
+  private val areaScaled: Q = (s, d) => {
+    val (raw, area) = areaScaledConsts
     graft.raster.PixelGrid.grid(s, d, 0)
       .withColumn("zone", concat(qkDigit(0), qkDigit(1)))
       .groupBy("zone")
       .agg(count(lit(1)).as("n_cells"),
-        round(lit(math.sqrt(2.0 * m.totalSill)) /
+        round(lit(raw) /
           sqrt(count(lit(1)).cast("double")), 6).as("sigma_corr_raw"),
-        round(lit(math.sqrt(2.0 * m.totalSill) * fac) /
+        round(lit(area) /
           sqrt(count(lit(1)).cast("double")), 6).as("sigma_corr_area"))
   }
 
   private val areaScaledSql = {
-    val m = graft.functions.Spherical.canonical
-    val fac = math.sqrt(math.Pi * m.ranges.max * m.ranges.max / 5.0)
+    val (raw, area) = areaScaledConsts
     val zd = qkPrefixSql(2)
     s"""WITH g AS (${graft.raster.PixelGrid.gridSql(0)}),
         z AS (SELECT $zd AS zone FROM g)
         SELECT zone, count(*) AS n_cells,
-               round(${math.sqrt(2.0 * m.totalSill)} /
+               round($raw /
                      sqrt(CAST(count(*) AS DOUBLE)), 6) AS sigma_corr_raw,
-               round(${math.sqrt(2.0 * m.totalSill) * fac} /
+               round($area /
                      sqrt(CAST(count(*) AS DOUBLE)), 6) AS sigma_corr_area
         FROM z GROUP BY 1"""
   }
