@@ -318,6 +318,103 @@ object QueriesAnn {
                                   ORDER BY du ASC, vec_id ASC) AS rank
         FROM adc QUALIFY rank <= $TOPK"""
 
+  // ---- composed IVF + PQ/ADC top-k (the production ANN shape) -----------
+  // The two scale levers COMPOSED, as a real 100-TB ANN service runs them:
+  // IVF routing prunes the candidate set to the query's nearest-centroid
+  // bucket (an equi-join on cluster id — the probe count is the recall
+  // lever, n_ivf_multiprobe), then the scan inside the bucket reads PQ
+  // CODES, not vectors (8 integer LUT lookups per candidate, the 8×
+  // payload cut of n_pq_adc). No full-vector distance is ever computed at
+  // query time; the only float work is the NQ×M×K LUT built against the
+  // broadcast codebooks. LUT entries are micros-scaled BIGINTs ⇒ the
+  // per-candidate sum is integer-exact and the ranking deterministic.
+  private val ivfpqTopk: Q = (s, d) => {
+    val e = emb(s, d)
+    val cents = e.filter(col("vec_id") < NCENTROIDS).toDF("c_id", "cv")
+    val assigned = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("c_id"),
+        round(Similarity.cosine(col("cv"), col("v")), 6).as("csim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("c_id").as("cluster"))
+    val subs = emb(s, d)
+      .withColumn("m", explode(sequence(lit(0), lit(PQM - 1))))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), col("m") * PQD + 1, lit(PQD)).as("sub"))
+    val cb = subs.filter(col("vec_id") < PQK)
+      .select(col("vec_id").as("k"), col("m"), col("sub").as("cw"))
+    val enc = subs.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("k"),
+        round(l2sq(col("sub"), col("cw")), 6).as("dd"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "m").orderBy(col("dd").asc, col("k").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("k").as("code"))
+    val lut = subs.filter(col("vec_id") < NQUERIES)
+      .join(broadcast(cb), "m")
+      .select(col("vec_id").as("lq_id"), col("m").as("lm"), col("k").as("lk"),
+        round(l2sq(col("sub"), col("cw")) * 1e6, 0).cast("long").as("du"))
+    val q = assigned.filter(col("vec_id") < NQUERIES)
+      .toDF("q_id", "q_cluster")
+    val cand = q.join(assigned,
+        col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("cluster"))
+    cand.join(enc, "vec_id")
+      .join(broadcast(lut), col("q_id") === col("lq_id") &&
+        col("m") === col("lm") && col("code") === col("lk"))
+      .groupBy("q_id", "cluster", "vec_id")
+      .agg(sum("du").as("du"))
+      .select(col("q_id"), col("cluster"), col("vec_id"),
+        round(col("du") / 1e6, 6).as("adist"), col("du"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("du").asc, col("vec_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= TOPK)
+      .drop("du")
+  }
+
+  private val ivfpqTopkSql =
+    s"""WITH e AS ($embSqlCte),
+        cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NCENTROIDS),
+        assigned AS (
+          SELECT vec_id, c_id AS cluster
+          FROM (SELECT e.vec_id, c.c_id,
+                       round(${Similarity.cosineSql("cv", "v")}, 6) AS csim
+                FROM e, cents c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, c_id ASC) = 1),
+        subs AS (SELECT vec_id, m,
+                        list_slice(v, m * $PQD + 1, m * $PQD + $PQD) AS sub
+                 FROM e, (SELECT unnest(range($PQM)) AS m)),
+        cb AS (SELECT vec_id AS k, m, sub AS cw FROM subs WHERE vec_id < $PQK),
+        enc AS (SELECT vec_id, m, k AS code FROM (
+                  SELECT s.vec_id, s.m, c.k,
+                         row_number() OVER (PARTITION BY s.vec_id, s.m
+                           ORDER BY round(${l2sqSql("s.sub", "c.cw")}, 6) ASC,
+                                    c.k ASC) AS rn
+                  FROM subs s JOIN cb c ON s.m = c.m)
+                WHERE rn = 1),
+        lut AS (SELECT s.vec_id AS q_id, s.m, c.k,
+                       CAST(round(${l2sqSql("s.sub", "c.cw")} * 1e6, 0) AS BIGINT) AS du
+                FROM subs s JOIN cb c ON s.m = c.m WHERE s.vec_id < $NQUERIES),
+        q AS (SELECT vec_id AS q_id, cluster AS q_cluster
+              FROM assigned WHERE vec_id < $NQUERIES),
+        cand AS (SELECT q.q_id, a.vec_id, a.cluster
+                 FROM q JOIN assigned a
+                   ON a.cluster = q.q_cluster AND a.vec_id <> q.q_id),
+        adc AS (SELECT cand.q_id, cand.cluster, cand.vec_id,
+                       CAST(sum(du) AS BIGINT) AS du
+                FROM cand
+                JOIN enc ON enc.vec_id = cand.vec_id
+                JOIN lut ON lut.q_id = cand.q_id AND lut.m = enc.m
+                        AND lut.k = enc.code
+                GROUP BY 1, 2, 3)
+        SELECT q_id, cluster, vec_id, round(du / 1e6, 6) AS adist,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY du ASC, vec_id ASC) AS rank
+        FROM adc QUALIFY rank <= $TOPK"""
+
   // ---- clustering quality: per-cluster cosine inertia -------------------
   // Σ(1 − best_csim) per cluster — the objective a k-means/IVF trainer
   // watches per step. best_csim is the already-rounded assignment
@@ -368,6 +465,7 @@ object QueriesAnn {
     "n_ivf_multiprobe" -> ivfMultiprobe,
     "n_emb_stats" -> embStats,
     "n_kmeans_step" -> kmeansStep,
+    "n_ivfpq_topk" -> ivfpqTopk,
   )
 
   val oracle: Map[String, String] = Map(
@@ -379,5 +477,6 @@ object QueriesAnn {
     "n_ivf_multiprobe" -> ivfMultiprobeSql,
     "n_emb_stats" -> embStatsSql,
     "n_kmeans_step" -> kmeansStepSql,
+    "n_ivfpq_topk" -> ivfpqTopkSql,
   )
 }

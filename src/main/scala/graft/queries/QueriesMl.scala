@@ -264,6 +264,109 @@ object QueriesMl {
                      / CAST(sum(pos) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS capture
         FROM g"""
 
+  // ---- ROC curve points per slice ----------------------------------------
+  // TPR/FPR at 2-decimal score thresholds: one hash-aggregate over
+  // (slice, bin) groups — ≤100 rows per slice into the cumulative window
+  // regardless of table size (same bounded-window posture as AUC). The
+  // cumulative-from-the-top sums ARE the confusion counts at threshold
+  // bin/100 (predict positive when score ≥ threshold); all counts are
+  // exact integers, the rates exact-rational divisions.
+  private val rocPoints: Q = (s, d) => {
+    val t = scored(s, d).withColumn("bin",
+      least(lit(99L), floor(col("score") * 100).cast("long")))
+    val g = t.groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"), sum("label").cast("long").as("pos"))
+    val wCum = Window.partitionBy("event_type").orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    g.select(col("event_type"), col("bin"),
+        sum(col("pos")).over(wCum).as("tp"),
+        (sum(col("n")).over(wCum) - sum(col("pos")).over(wCum)).as("fp"),
+        sum(col("pos")).over(wAll).as("p"),
+        (sum(col("n")).over(wAll) - sum(col("pos")).over(wAll)).as("nn"))
+      .select(col("event_type"), col("bin"), col("tp"), col("fp"),
+        round(col("tp").cast("double") / col("p").cast("double"), 6).as("tpr"),
+        round(col("fp").cast("double") / col("nn").cast("double"), 6).as("fpr"))
+  }
+
+  private val rocPointsSql =
+    s"""WITH $scoredSql,
+        t AS (SELECT event_type, least(99, CAST(floor(score * 100) AS BIGINT)) AS bin,
+                     label
+              FROM scored),
+        g AS (SELECT event_type, bin, count(*) AS n,
+                     CAST(sum(label) AS BIGINT) AS pos
+              FROM t GROUP BY 1, 2),
+        c AS (SELECT event_type, bin,
+                     CAST(sum(pos) OVER (PARTITION BY event_type ORDER BY bin DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+                     CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bin DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - sum(pos) OVER (PARTITION BY event_type ORDER BY bin DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+                     CAST(sum(pos) OVER (PARTITION BY event_type) AS BIGINT) AS p,
+                     CAST(sum(n) OVER (PARTITION BY event_type)
+                          - sum(pos) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+              FROM g)
+        SELECT event_type, bin, tp, fp,
+               round(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE), 6) AS tpr,
+               round(CAST(fp AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS fpr
+        FROM c"""
+
+  // ---- discriminative KS statistic per slice -----------------------------
+  // KS = max over thresholds |CDF_pos(t) − CDF_neg(t)| between the
+  // positive- and negative-class score distributions — the standard
+  // separation/drift statistic in model monitoring. The maximized
+  // difference is compared as the INTEGER |cp·N − cn·P| (cross-multiplied
+  // to a common P·N denominator; < 2^52 at any tested SF), so the argmax
+  // is exact — no float comparisons pick the winning threshold. Windows
+  // run over (slice, score) groups: bounded input at any table size.
+  private val ksScore: Q = (s, d) => {
+    val g = scored(s, d).groupBy("event_type", "score")
+      .agg(count(lit(1)).as("n"), sum("label").cast("long").as("pos"))
+    val wCum = Window.partitionBy("event_type").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    val c = g.select(col("event_type"), col("score"),
+      sum(col("pos")).over(wCum).as("cp"),
+      (sum(col("n")).over(wCum) - sum(col("pos")).over(wCum)).as("cn"),
+      sum(col("pos")).over(wAll).as("p"),
+      (sum(col("n")).over(wAll) - sum(col("pos")).over(wAll)).as("nn"))
+    c.withColumn("dnum", abs(col("cp") * col("nn") - col("cn") * col("p")))
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("dnum").desc, col("score").asc)))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("p").as("pos"), col("nn").as("neg"),
+        round(col("dnum").cast("double") /
+          (col("p") * col("nn")).cast("double"), 6).as("ks"),
+        col("score").as("ks_at"))
+  }
+
+  private val ksScoreSql =
+    s"""WITH $scoredSql,
+        g AS (SELECT event_type, score, count(*) AS n,
+                     CAST(sum(label) AS BIGINT) AS pos
+              FROM scored GROUP BY 1, 2),
+        c AS (SELECT event_type, score,
+                     CAST(sum(pos) OVER (PARTITION BY event_type ORDER BY score
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+                     CAST(sum(n) OVER (PARTITION BY event_type ORDER BY score
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - sum(pos) OVER (PARTITION BY event_type ORDER BY score
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+                     CAST(sum(pos) OVER (PARTITION BY event_type) AS BIGINT) AS p,
+                     CAST(sum(n) OVER (PARTITION BY event_type)
+                          - sum(pos) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+              FROM g),
+        k AS (SELECT event_type, score, p, nn, abs(cp * nn - cn * p) AS dnum,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY abs(cp * nn - cn * p) DESC, score ASC) AS rn
+              FROM c)
+        SELECT event_type, p AS pos, nn AS neg,
+               round(CAST(dnum AS DOUBLE) / CAST(p * nn AS DOUBLE), 6) AS ks,
+               score AS ks_at
+        FROM k WHERE rn = 1"""
+
   val queries: Map[String, Q] = Map(
     "m_confusion" -> confusion,
     "m_prf1" -> prf1,
@@ -271,6 +374,8 @@ object QueriesMl {
     "m_calibration" -> calibration,
     "m_reg_metrics" -> regMetrics,
     "m_lift_deciles" -> lift,
+    "m_roc_points" -> rocPoints,
+    "m_ks_score" -> ksScore,
   )
 
   val oracle: Map[String, String] = Map(
@@ -280,5 +385,7 @@ object QueriesMl {
     "m_calibration" -> calibrationSql,
     "m_reg_metrics" -> regMetricsSql,
     "m_lift_deciles" -> liftSql,
+    "m_roc_points" -> rocPointsSql,
+    "m_ks_score" -> ksScoreSql,
   )
 }

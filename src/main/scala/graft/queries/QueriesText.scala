@@ -458,7 +458,59 @@ object QueriesText {
               FROM documents)
         GROUP BY 1"""
 
+  // ---- block-level corpus dedup (the line-dedup of C4/RefinedWeb) -------
+  // Docs are cut into consecutive NON-overlapping 10-token blocks (the
+  // whitespace corpus has no newlines, so fixed token blocks stand in for
+  // lines); a block is duplicated when its text occurs in ≥2 DISTINCT
+  // documents. Per doc: block count, duplicated-block count, duplicated
+  // fraction — the signal a curation pipeline thresholds to drop
+  // boilerplate-heavy pages (or to strip the repeated blocks themselves).
+  // Scale shape: blocks group/join on their 16-byte md5, never the block
+  // text, so the shuffle carries fixed-width keys; both sides of the
+  // df-join are the same exploded table (no O(N²) pair space anywhere —
+  // this is dedup WITHOUT candidate pairs, unlike MinHash/SimHash).
+  // Docs with <10 tokens have no blocks and are absent, matching the
+  // oracle's empty generate_series.
+  private val BLK = 10
+  private val dedupBlocks: Q = (s, d) => {
+    val blocks = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .select(col("doc_id"),
+        when(size(col("w")) >= BLK,
+          transform(sequence(lit(1), (size(col("w")) / BLK).cast("int")),
+            i => md5(concat_ws(" ", slice(col("w"), (i - lit(1)) * BLK + 1, lit(BLK))))))
+          .otherwise(array().cast("array<string>")).as("bs"))
+      .select(col("doc_id"), explode(col("bs")).as("bk"))
+    val df = blocks.groupBy("bk")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    blocks.join(df, "bk")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_blocks"))
+      .select(col("doc_id"), col("n_blocks"), col("n_dup_blocks"),
+        round(col("n_dup_blocks").cast("double") /
+          col("n_blocks").cast("double"), 6).as("dup_fraction"))
+  }
+
+  private val dedupBlocksSql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents WHERE text IS NOT NULL),
+        b AS (SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(w) // $BLK, 0)),
+                       i -> md5(array_to_string(
+                              w[(i - 1) * $BLK + 1:(i - 1) * $BLK + $BLK], ' ')))) AS bk
+              FROM w),
+        df AS (SELECT bk, count(DISTINCT doc_id) AS ndocs FROM b GROUP BY 1)
+        SELECT doc_id, count(*) AS n_blocks,
+               CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+               round(CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+        FROM b JOIN df USING (bk) GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
+    "x_dedup_blocks" -> dedupBlocks,
     "x_dedup_exact" -> dedupExact,
     "x_dedup_minhash_lsh" -> dedupMinhash,
     "x_dedup_containment" -> containment,
@@ -475,6 +527,7 @@ object QueriesText {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_dedup_blocks" -> dedupBlocksSql,
     "x_dedup_exact" -> dedupExactSql,
     "x_dedup_minhash_lsh" -> dedupMinhashSql,
     "x_dedup_containment" -> containmentSql,

@@ -193,6 +193,90 @@ class MlSqlSpec extends SparkSuite {
     assert(rq == cells, s"retention differs: ${rq.size} vs ${cells.size} cells")
   }
 
+  // Shared driver-side scorer twin (same counter-RNG as QueriesMl.scored)
+  // for imperative second methods — a STRUCTURALLY different recompute, the
+  // only check that can catch a conceptual bug both engines share.
+  private def scoredRows(): Array[(String, Int, Double)] =
+    spark.read.parquet(s"$sf001/events.parquet")
+      .select(col("event_id"), col("event_type"))
+      .withColumn("p", graft.rng.Rand.u01(col("event_id"), 9101))
+      .withColumn("label",
+        when(graft.rng.Rand.u01(col("event_id"), 9202) < col("p"), 1).otherwise(0))
+      .withColumn("raw",
+        col("p") + (graft.rng.Rand.u01(col("event_id"), 9303) - lit(0.5)) * lit(0.6))
+      .withColumn("score",
+        graft.functions.Canon.round(greatest(lit(0.0), least(lit(1.0), col("raw"))), 4))
+      .select("event_type", "label", "score").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+
+  test("m_roc_points: every (tp, fp) point matches direct threshold counting") {
+    val scored = scoredRows()
+    val pts = QueriesMl.queries("m_roc_points")(spark, sf001).collect()
+    assert(pts.nonEmpty)
+    for (r <- pts) {
+      val (slice, bin, tp, fp) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val inSlice = scored.filter(_._1 == slice)
+      def b(sc: Double) = math.min(99L, math.floor(sc * 100).toLong)
+      val tpB = inSlice.count { case (_, l, sc) => l == 1 && b(sc) >= bin }.toLong
+      val fpB = inSlice.count { case (_, l, sc) => l == 0 && b(sc) >= bin }.toLong
+      assert(tp == tpB && fp == fpB,
+        s"$slice bin $bin: query ($tp,$fp) != brute ($tpB,$fpB)")
+    }
+  }
+
+  test("m_ks_score: KS equals direct two-sample CDF sweep") {
+    val scored = scoredRows()
+    val ks = QueriesMl.queries("m_ks_score")(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    for ((slice, (k, at)) <- ks) {
+      val pos = scored.collect { case (s, 1, sc) if s == slice => sc }.sorted
+      val neg = scored.collect { case (s, 0, sc) if s == slice => sc }.sorted
+      val thr = (pos ++ neg).distinct.sorted
+      var best = 0.0; var bestAt = Double.NaN
+      for (t <- thr) {
+        val d = math.abs(
+          pos.count(_ <= t).toDouble / pos.length -
+            neg.count(_ <= t).toDouble / neg.length)
+        if (d > best + 1e-12) { best = d; bestAt = t }
+      }
+      assert(math.abs(best - k) < 1e-6, s"$slice: KS $k != brute $best")
+      assert(math.abs(bestAt - at) < 1e-9, s"$slice: argmax $at != brute $bestAt")
+    }
+  }
+
+  test("n_ivfpq_topk: bucket-restricted ADC agrees with full-scan PQ ADC") {
+    import graft.queries.QueriesAnn
+    // same (q, vec) pair ⇒ same asymmetric distance whether the candidate
+    // came through the IVF route or the full PQ scan
+    val ivfpq = QueriesAnn.queries("n_ivfpq_topk")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val full = QueriesAnn.queries("n_pq_adc")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivfpq.nonEmpty)
+    val shared = ivfpq.keySet.intersect(full.keySet)
+    assert(shared.nonEmpty, "expected overlap between IVF-PQ and full PQ top-k")
+    for (k <- shared)
+      assert(ivfpq(k) == full(k), s"pair $k: adist ${ivfpq(k)} != ${full(k)}")
+  }
+
+  test("x_dedup_blocks matches an imperative block recount") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .collect { case r if !r.isNullAt(1) => (r.getLong(0), r.getString(1)) }
+    val blocks = docs.flatMap { case (id, text) =>
+      val w = text.split(" ", -1)
+      (0 until w.length / 10).map(i => (id, w.slice(i * 10, i * 10 + 10).mkString(" ")))
+    }
+    val docsPerBlock = blocks.groupBy(_._2).map { case (b, xs) =>
+      b -> xs.map(_._1).distinct.size }
+    val expected = blocks.groupBy(_._1).map { case (id, xs) =>
+      id -> (xs.size.toLong, xs.count(x => docsPerBlock(x._2) >= 2).toLong) }
+    val got = graft.queries.QueriesText.queries("x_dedup_blocks")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, s"block dedup differs: ${got.size} vs ${expected.size} docs")
+  }
+
   test("o_salted_join: salted result equals the plain unsalted join result") {
     val salted = QueriesSql.queries("o_salted_join")(spark, sf001)
       .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
