@@ -407,7 +407,36 @@ object QueriesCore {
        WINDOW w AS (PARTITION BY l_suppkey
                     ORDER BY l_shipdate, l_orderkey, l_linenumber)"""
 
+  // ---- calendar-spine gap detection -------------------------------------
+  // Hours of each active day with NO purchase events: a generated
+  // day×hour spine anti-joined against the observed (day, hour) set — the
+  // standard completeness check on an event feed (a 100-TB pipeline runs
+  // exactly this shape to catch ingestion holes). The spine is generated
+  // from the data's own distinct days (bounded: days × 24 rows), the
+  // anti-join is a broadcast-able equi-join, and no raw event row
+  // survives past the first DISTINCT.
+  private val hourGaps: Q = (s, d) => {
+    val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"), hour(col("ts")).as("hr"))
+      .distinct()
+    val spine = p.select("day").distinct()
+      .select(col("day"), explode(sequence(lit(0), lit(23))).as("hr"))
+    spine.join(p, Seq("day", "hr"), "left_anti")
+      .select(col("day"), col("hr").as("missing_hour"))
+  }
+
+  private val hourGapsSql =
+    """WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+                         CAST(hour(ts) AS INT) AS hr
+                  FROM events WHERE event_type = 'purchase'),
+        days AS (SELECT DISTINCT day FROM p),
+        spine AS (SELECT day, CAST(unnest(range(24)) AS INT) AS hr FROM days)
+        SELECT day, hr AS missing_hour FROM spine
+        WHERE NOT EXISTS (SELECT 1 FROM p
+                          WHERE p.day = spine.day AND p.hr = spine.hr)"""
+
   val queries: Map[String, Q] = Map(
+    "d_hour_gaps" -> hourGaps,
     "w_running_total" -> runningTotal,
     "w_lag_lead" -> lagLead,
     "o_asof_join" -> asofJoin,
@@ -436,6 +465,7 @@ object QueriesCore {
   )
 
   val oracle: Map[String, String] = Map(
+    "d_hour_gaps" -> hourGapsSql,
     "w_running_total" -> runningTotalSql,
     "w_lag_lead" -> lagLeadSql,
     "o_asof_join" -> asofJoinSql,

@@ -367,7 +367,37 @@ object QueriesMl {
                score AS ks_at
         FROM k WHERE rn = 1"""
 
+  // ---- Brier score per slice ---------------------------------------------
+  // mean((score − label)²) — the strictly-proper probabilistic-forecast
+  // score that complements AUC (discrimination) and the calibration bins
+  // (reliability). Scores are 4-decimal, so each squared error is
+  // 1e-8-quantized to an exact integer before summing (both engines
+  // compute the same x·x double and land on the same integer); the
+  // aggregate is exact under any merge order.
+  private val brier: Q = (s, d) => {
+    val e = col("score") - col("label").cast("double")
+    scored(s, d)
+      .withColumn("e8", round(e * e * 1e8, 0).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("label").cast("long").as("pos"),
+        round(sum(col("e8")).cast("double") / 1e8 /
+          count(lit(1)).cast("double"), 6).as("brier"))
+  }
+
+  private val brierSql =
+    s"""WITH $scoredSql,
+        e AS (SELECT event_type, label,
+                     CAST(round((score - CAST(label AS DOUBLE))
+                                * (score - CAST(label AS DOUBLE)) * 1e8, 0)
+                          AS BIGINT) AS e8
+              FROM scored)
+        SELECT event_type, count(*) AS n, CAST(sum(label) AS BIGINT) AS pos,
+               round(CAST(CAST(sum(e8) AS BIGINT) AS DOUBLE) / 1e8
+                     / CAST(count(*) AS DOUBLE), 6) AS brier
+        FROM e GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
+    "m_brier" -> brier,
     "m_confusion" -> confusion,
     "m_prf1" -> prf1,
     "m_auc" -> auc,
@@ -379,6 +409,7 @@ object QueriesMl {
   )
 
   val oracle: Map[String, String] = Map(
+    "m_brier" -> brierSql,
     "m_confusion" -> confusionSql,
     "m_prf1" -> prf1Sql,
     "m_auc" -> aucSql,

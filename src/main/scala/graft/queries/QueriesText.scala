@@ -509,7 +509,30 @@ object QueriesText {
                      / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
         FROM b JOIN df USING (bk) GROUP BY 1"""
 
+  // ---- language-ID confusion vs the labeled lang column -----------------
+  // Curation QA for the classifier itself: confusion counts of predicted
+  // vs labeled language, plus each cell's share of its actual-language
+  // row count (exact integer ratio; the share window runs over ≤|langs|²
+  // aggregated rows, never documents).
+  private val langConfusion: Q = (s, d) =>
+    langid(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("lang")).cast("double"), 6))
+
+  private val langConfusionSql =
+    s"""WITH pred AS ($langidSql)
+        SELECT lang, predicted_lang, n,
+               round(CAST(n AS DOUBLE) /
+                     CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS share
+        FROM (SELECT d.lang, p.predicted_lang, count(*) AS n
+              FROM pred p JOIN documents d USING (doc_id)
+              GROUP BY 1, 2)"""
+
   val queries: Map[String, Q] = Map(
+    "x_lang_confusion" -> langConfusion,
     "x_dedup_blocks" -> dedupBlocks,
     "x_dedup_exact" -> dedupExact,
     "x_dedup_minhash_lsh" -> dedupMinhash,
@@ -527,6 +550,7 @@ object QueriesText {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_lang_confusion" -> langConfusionSql,
     "x_dedup_blocks" -> dedupBlocksSql,
     "x_dedup_exact" -> dedupExactSql,
     "x_dedup_minhash_lsh" -> dedupMinhashSql,

@@ -277,6 +277,41 @@ class MlSqlSpec extends SparkSuite {
     assert(got == expected, s"block dedup differs: ${got.size} vs ${expected.size} docs")
   }
 
+  test("m_brier matches a direct mean-squared recompute") {
+    val scored = scoredRows()
+    val rows = QueriesMl.queries("m_brier")(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    for ((slice, brier) <- rows) {
+      val xs = scored.filter(_._1 == slice)
+      val direct = xs.map { case (_, l, sc) =>
+        val e = sc - l; e * e }.sum / xs.length
+      assert(math.abs(direct - brier) < 1e-6, s"$slice: $brier != $direct")
+    }
+  }
+
+  test("d_hour_gaps matches an imperative spine sweep") {
+    val present = graft.Tables.events(spark, sf001)
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"), hour(col("ts")).as("hr"))
+      .distinct().collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getInt(1))).toSet
+    val days = present.map(_._1)
+    val expected = for (d <- days; h <- 0 until 24; if !present((d, h))) yield (d, h)
+    val got = graft.queries.QueriesCore.queries("d_hour_gaps")(spark, sf001)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getInt(1))).toSet
+    assert(got == expected, s"gaps differ: ${got.size} vs ${expected.size}")
+  }
+
+  test("x_lang_confusion shares sum to 1 per actual language") {
+    val rows = graft.queries.QueriesText.queries("x_lang_confusion")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    for ((lang, g) <- rows.groupBy(_._1)) {
+      val share = g.map(_._3).sum
+      assert(math.abs(share - 1.0) < 1e-4, s"$lang shares sum to $share")
+    }
+  }
+
   test("o_salted_join: salted result equals the plain unsalted join result") {
     val salted = QueriesSql.queries("o_salted_join")(spark, sf001)
       .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
