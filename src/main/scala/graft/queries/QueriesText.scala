@@ -509,6 +509,53 @@ object QueriesText {
                      / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
         FROM b JOIN df USING (bk) GROUP BY 1"""
 
+  // ---- MinHash estimator quality vs exact Jaccard -----------------------
+  // For every LSH candidate pair: the 8-slot signature-agreement estimate
+  // next to the exact shingle-set Jaccard and their absolute error — the
+  // measurement a pipeline owner uses to TUNE the signature width and band
+  // shape before trusting the sketch at 100 TB (where only the estimate is
+  // affordable corpus-wide; the exact join runs on the candidate pairs
+  // alone, never rows²).
+  private val minhashEst: Q = (s, d) => {
+    val cand = dedupMinhash(s, d)
+    val sh = shingleTable(s, d).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand.select("a_id", "b_id")
+      .join(sh.toDF("a_id", "sh"), "a_id")
+      .join(sh.toDF("b_id", "sh"), Seq("b_id", "sh"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("a_id", "b_id"), "left_outer")
+      .join(sizes.toDF("a_id", "a_sz"), "a_id")
+      .join(sizes.toDF("b_id", "b_sz"), "b_id")
+      .withColumn("jaccard", round(coalesce(col("inter"), lit(0L)).cast("double") /
+        (col("a_sz") + col("b_sz") - coalesce(col("inter"), lit(0L))).cast("double"), 6))
+      .select(col("a_id"), col("b_id"), col("sim_est"), col("jaccard"),
+        round(abs(col("sim_est") - col("jaccard")), 6).as("abs_err"))
+  }
+
+  private val minhashEstSql =
+    s"""WITH cand AS ($dedupMinhashSql),
+        shd AS (SELECT DISTINCT doc_id, sh
+                FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("text")}) AS sh
+                      FROM documents)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+        inter AS (SELECT c.a_id, c.b_id, count(*) AS inter
+                  FROM cand c
+                  JOIN shd a ON a.doc_id = c.a_id
+                  JOIN shd b ON b.doc_id = c.b_id AND b.sh = a.sh
+                  GROUP BY 1, 2),
+        j AS (SELECT c.a_id, c.b_id, c.sim_est,
+                     round(CAST(coalesce(i.inter, 0) AS DOUBLE) /
+                           CAST(sa.sz + sb.sz - coalesce(i.inter, 0) AS DOUBLE), 6)
+                       AS jaccard
+              FROM cand c
+              LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+              JOIN sizes sa ON sa.doc_id = c.a_id
+              JOIN sizes sb ON sb.doc_id = c.b_id)
+        SELECT a_id, b_id, sim_est, jaccard,
+               round(abs(sim_est - jaccard), 6) AS abs_err
+        FROM j"""
+
   // ---- language-ID confusion vs the labeled lang column -----------------
   // Curation QA for the classifier itself: confusion counts of predicted
   // vs labeled language, plus each cell's share of its actual-language
@@ -532,6 +579,7 @@ object QueriesText {
               GROUP BY 1, 2)"""
 
   val queries: Map[String, Q] = Map(
+    "x_minhash_est" -> minhashEst,
     "x_lang_confusion" -> langConfusion,
     "x_dedup_blocks" -> dedupBlocks,
     "x_dedup_exact" -> dedupExact,
@@ -550,6 +598,7 @@ object QueriesText {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_minhash_est" -> minhashEstSql,
     "x_lang_confusion" -> langConfusionSql,
     "x_dedup_blocks" -> dedupBlocksSql,
     "x_dedup_exact" -> dedupExactSql,

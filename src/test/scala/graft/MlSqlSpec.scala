@@ -312,6 +312,28 @@ class MlSqlSpec extends SparkSuite {
     }
   }
 
+  test("x_minhash_est: exact Jaccard column matches driver-side set math") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val rows = graft.queries.QueriesText.queries("x_minhash_est")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    for ((a, b, est, jac, err) <- rows) {
+      val sa = shingles(docs(a)); val sb = shingles(docs(b))
+      val inter = (sa intersect sb).size.toDouble
+      val direct = inter / (sa.size + sb.size - inter)
+      assert(math.abs(direct - jac) < 1e-6, s"($a,$b): jaccard $jac != $direct")
+      assert(math.abs(math.abs(est - jac) - err) < 1e-6, s"($a,$b): err $err")
+    }
+  }
+
   test("o_salted_join: salted result equals the plain unsalted join result") {
     val salted = QueriesSql.queries("o_salted_join")(spark, sf001)
       .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
