@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Canon.round
 import graft.Tables
@@ -82,6 +82,56 @@ object QueriesVario {
         SELECT round(avg(med), 6) AS mean_median,
                round(stddev_pop(med), 6) AS median_uncertainty
         FROM meds"""
+
+  // §2.7 Poisson bootstrap — the 100-TB form of the reference's resample
+  // loop (variography_uncertainty.py:289–316). Index-join resampling (our
+  // v_bootstrap_median, faithful at small n) needs a row-number over the
+  // data; at scale the standard trick is per-row Poisson(1) weights: each
+  // replicate's multiset is {row × k_r}, k_r ~ Poisson(1) from the counter
+  // RNG — ONE pass over the data, no index, no shuffle beyond the final
+  // per-replicate aggregate. Inverse-CDF thresholds are shared decimal
+  // literals, so both engines draw identical k from identical dyadic u.
+  private val POISSON_REPS = 20
+  private val poissonCum: Seq[Double] = {
+    val e1 = math.exp(-1.0)
+    // cumulative P(K <= j) for K ~ Poisson(1), j = 0..7: term_j = e⁻¹/j!
+    // (j starts at 0 — an off-by-one here skews mean k from 1 to 3.3 and
+    // BOTH engines would share it; the bootstrap-sanity test in MlSqlSpec
+    // is what actually guards these constants, not the oracle gate)
+    Seq.iterate((e1, e1, 0.0), 8) { case (cum, term, j) =>
+      val jn = j + 1.0; val t = term / jn; (cum + t, t, jn)
+    }.map(_._1)
+  }
+  private val poissonBoot: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select((col("l_orderkey") * 8 + col("l_linenumber")).as("rk"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("q2"))
+      .withColumn("rep", explode(sequence(lit(0), lit(POISSON_REPS - 1))))
+    val u = Rand.u01(col("rk") * 32 + col("rep"), 51)
+    val k = poissonCum.zipWithIndex.foldRight(lit(8): Column) {
+      case ((c, j), rest) => when(u < c, j).otherwise(rest) }.cast("long")
+    li.withColumn("k", k)
+      .groupBy("rep")
+      .agg(sum("k").as("n_eff"),
+        round(sum(col("k") * col("q2")).cast("double") / 100.0 /
+          sum("k").cast("double"), 6).as("wmean_qty"))
+  }
+
+  private val poissonBootSql = {
+    val u = Rand.u01Sql("rk * 32 + rep", 51)
+    val k = poissonCum.zipWithIndex.reverse
+      .foldLeft("8") { case (rest, (c, j)) =>
+        s"CASE WHEN ($u) < $c THEN $j ELSE $rest END" }
+    s"""WITH li AS (SELECT l_orderkey * 8 + l_linenumber AS rk,
+                           CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q2,
+                           CAST(rep AS INT) AS rep
+                    FROM lineitem, (SELECT unnest(range($POISSON_REPS)) AS rep)),
+        w AS (SELECT rep, q2, CAST($k AS BIGINT) AS k FROM li)
+        SELECT rep, CAST(sum(k) AS BIGINT) AS n_eff,
+               round(CAST(CAST(sum(k * q2) AS BIGINT) AS DOUBLE) / 100.0 /
+                     CAST(CAST(sum(k) AS BIGINT) AS DOUBLE), 6) AS wmean_qty
+        FROM w GROUP BY 1"""
+  }
 
   // §2.9+§2.3 Monte-Carlo correlated uncertainty: zip-join of paired
   // uniform draws in a rectangle, mean covariance → σ_corr
@@ -258,6 +308,7 @@ object QueriesVario {
     "v_variogram" -> variogram,
     "v_cross_run" -> crossRun,
     "v_bootstrap_median" -> bootstrapMedian,
+    "v_poisson_boot" -> poissonBoot,
     "u_mc_correlated" -> mcCorrelated,
     "u_analytical_disk" -> analyticalDisk,
     "u_brute_force" -> bruteForce,
@@ -273,6 +324,7 @@ object QueriesVario {
     "v_variogram" -> variogramSql,
     "v_cross_run" -> crossRunSql,
     "v_bootstrap_median" -> bootstrapMedianSql,
+    "v_poisson_boot" -> poissonBootSql,
     "u_mc_correlated" -> mcCorrelatedSql,
     "u_analytical_disk" -> analyticalDiskSql,
     "u_brute_force" -> bruteForceSql,

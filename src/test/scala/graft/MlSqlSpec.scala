@@ -334,6 +334,28 @@ class MlSqlSpec extends SparkSuite {
     }
   }
 
+  test("v_poisson_boot: replicates behave like a bootstrap of the mean") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(col("l_quantity").cast("double")).collect().map(_.getDouble(0))
+    val n = li.length.toDouble
+    val mean = li.sum / n
+    val sd = math.sqrt(li.map(q => (q - mean) * (q - mean)).sum / n)
+    val se = sd / math.sqrt(n)
+    val reps = graft.queries.QueriesVario.queries("v_poisson_boot")(spark, sf001)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(reps.length == 20)
+    // effective sizes concentrate around n (Poisson(1) weights sum ~ n)
+    for ((nEff, _) <- reps)
+      assert(math.abs(nEff - n) < 6 * math.sqrt(n), s"n_eff $nEff vs n $n")
+    // replicate means center on the true mean and spread like the SE
+    val wm = reps.map(_._2)
+    val mm = wm.sum / wm.length
+    assert(math.abs(mm - mean) < 4 * se, s"mean of means $mm vs $mean (se $se)")
+    val repSd = math.sqrt(wm.map(x => (x - mm) * (x - mm)).sum / wm.length)
+    assert(repSd > 0.3 * se && repSd < 3 * se,
+      s"replicate sd $repSd should approximate the SE $se")
+  }
+
   test("o_salted_join: salted result equals the plain unsalted join result") {
     val salted = QueriesSql.queries("o_salted_join")(spark, sf001)
       .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
