@@ -36,7 +36,7 @@ object SparkEntry {
     QueriesCore.queries ++ QueriesRaster.queries ++ QueriesVario.queries ++
       QueriesText.queries ++ QueriesAnn.queries ++ QueriesStream.queries ++
       QueriesIngest.queries ++ QueriesExt.queries ++ QueriesExt2.queries ++
-      QueriesMl.queries ++ QueriesSql.queries
+      QueriesMl.queries ++ QueriesSql.queries ++ QueriesPipe.queries
 
   /** Equivalent ANSI SQL per query, runnable by DuckDB on the same
     * parquet tables. `round(e, d)` is canonicalized into the cross-engine
@@ -45,6 +45,6 @@ object SparkEntry {
     (QueriesCore.oracle ++ QueriesRaster.oracle ++ QueriesVario.oracle ++
       QueriesText.oracle ++ QueriesAnn.oracle ++ QueriesStream.oracle ++
       QueriesIngest.oracle ++ QueriesExt.oracle ++ QueriesExt2.oracle ++
-      QueriesMl.oracle ++ QueriesSql.oracle)
+      QueriesMl.oracle ++ QueriesSql.oracle ++ QueriesPipe.oracle)
       .map { case (k, v) => k -> graft.functions.Canon.fixSqlRounds(v) }
 }

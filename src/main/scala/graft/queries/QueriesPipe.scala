@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+import graft.Tables
+import graft.text.TextOps
+
+/** Composed training-data-pipeline surfaces: the C4-style keep/drop
+  * cleaning decision, BM25 retrieval, graph centrality (PageRank), and
+  * streaming-semantics batch twins (late-data accounting, left-outer
+  * interval enrichment join).
+  *
+  * Scale notes: the cleaning pipeline is one shuffle (prefix-hash dup
+  * groups) plus pure projection; BM25 shuffles once on doc_id for term
+  * counts with the 3-row corpus-stats side broadcast back; PageRank is
+  * the canonical edge-partitioned iteration (one shuffle per step, rank
+  * state never leaves the cluster); the streaming twins are per-user
+  * window/join shapes whose state is bounded exactly like their
+  * Structured-Streaming counterparts (watermark ↔ window frame).
+  */
+object QueriesPipe {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- x_pipeline_keep: C4-style composed cleaning decision ------------
+  // One ordered rule chain per document — the composition a real corpus
+  // cleaner runs as a single pass (header-prefix dedup, length floor,
+  // stopword-density floor, language allowlist). First matching rule
+  // wins; survivors are 'keep'. Dup groups key on the first-8-word
+  // prefix hash (boilerplate headers), not full text, so the rule fires
+  // on header-duplicated docs even when bodies differ.
+  private val pipelineKeep: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextOps.words(col("text")).as("w"), col("text"))
+      .select(col("doc_id"), col("lang"), size(col("w")).as("nw"),
+        (size(filter(col("w"), x => x.isin(TextOps.stopwords: _*)))
+          .cast("double") / size(col("w"))).as("sr"),
+        md5(concat_ws(" ", slice(col("w"), 1, 8))).as("ph"))
+    val keeper = docs.withColumn("keep_id", min("doc_id").over(
+      Window.partitionBy("ph")))
+    keeper.select(col("doc_id"),
+      when(col("doc_id") =!= col("keep_id"), "duplicate")
+        .when(col("nw") < 20, "too_short")
+        .when(col("sr") < 0.02, "low_stopword")
+        .when(!col("lang").isin("en", "es", "fr"), "lang_filter")
+        .otherwise("keep").as("reason"),
+      col("nw").as("n_words"), round(col("sr"), 6).as("stopword_ratio"))
+      .withColumn("keep", col("reason") === "keep")
+  }
+
+  private val pipelineKeepSql = {
+    val stop = TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH m AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        docs AS (SELECT doc_id, lang, len(w) AS nw,
+                        CAST(len(list_filter(w, x -> list_contains($stop, x))) AS DOUBLE)
+                          / len(w) AS sr,
+                        md5(array_to_string(w[1:8], ' ')) AS ph
+                 FROM m),
+        k AS (SELECT docs.*, min(doc_id) OVER (PARTITION BY ph) AS keep_id FROM docs)
+        SELECT doc_id,
+               CASE WHEN doc_id <> keep_id THEN 'duplicate'
+                    WHEN nw < 20 THEN 'too_short'
+                    WHEN sr < 0.02 THEN 'low_stopword'
+                    WHEN lang NOT IN ('en', 'es', 'fr') THEN 'lang_filter'
+                    ELSE 'keep' END AS reason,
+               nw AS n_words, round(sr, 6) AS stopword_ratio,
+               (CASE WHEN doc_id <> keep_id THEN 'duplicate'
+                     WHEN nw < 20 THEN 'too_short'
+                     WHEN sr < 0.02 THEN 'low_stopword'
+                     WHEN lang NOT IN ('en', 'es', 'fr') THEN 'lang_filter'
+                     ELSE 'keep' END) = 'keep' AS keep
+        FROM k"""
+  }
+
+  // ---- x_bm25_topk: BM25 retrieval over the corpus ---------------------
+  // Okapi BM25 (k1 = 1.2, b = 0.75) for a fixed 3-term query. Corpus
+  // stats (N, avgdl, per-term df) are tiny and broadcast; the only
+  // data-sized shuffle is the (doc, term) tf count. Parity: idf goes
+  // through ln() — a transcendental, so it is 1e-6-quantized to an
+  // integer AT SOURCE (the x_charlm_ppl pattern); per-(doc,term) scores
+  // are likewise floored to 1e-6 integers so the cross-term sum is exact
+  // under any merge order.
+  private val BM25_TERMS = Seq("spark", "table", "join")
+
+  private val bm25TopK: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).as("dl"), col("w"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(BM25_TERMS: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(corpus))
+      .select(col("term"), col("avgdl"),
+        floor(log((col("n_docs").cast("double") - col("df").cast("double") + 0.5)
+          / (col("df").cast("double") + 0.5) + 1.0) * 1e6)
+          .cast("long").as("idf_q"))
+    val scored = tf.join(broadcast(df), "term")
+      .select(col("doc_id"),
+        floor((col("idf_q").cast("double") / 1e6) *
+          ((col("tf").cast("double") * 2.2) /
+            (col("tf").cast("double") +
+              lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+          * 1e6).cast("long").as("score_q"))
+      .groupBy("doc_id").agg(sum("score_q").as("sq"))
+    // TakeOrdered top-10 FIRST (distributed partial top-k per partition,
+    // merged on the driver), THEN the rank window over only 10 rows — a
+    // global row_number before the cut would single-partition every
+    // scored doc at scale
+    scored
+      .select(col("doc_id"),
+        round(col("sq").cast("double") / 1e6, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      .select("rank", "doc_id", "bm25")
+  }
+
+  private val bm25TopKSql = {
+    val terms = BM25_TERMS.map(t => s"'$t'").mkString(", ")
+    s"""WITH docs AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                             string_split(text, ' ') AS w
+                      FROM documents),
+        corpus AS (SELECT count(*) AS n_docs,
+                          CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs),
+        tf AS (SELECT doc_id, dl, term, count(*) AS tf
+               FROM (SELECT doc_id, dl, unnest(w) AS term FROM docs)
+               WHERE term IN ($terms)
+               GROUP BY 1, 2, 3),
+        idf AS (SELECT term, avgdl,
+                       CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                                     / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_q
+                FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1), corpus),
+        scored AS (SELECT doc_id,
+                          sum(CAST(floor((CAST(idf_q AS DOUBLE) / 1e6) *
+                                ((CAST(tf AS DOUBLE) * 2.2) /
+                                 (CAST(tf AS DOUBLE) +
+                                  1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+                                * 1e6) AS BIGINT)) AS sq
+                   FROM tf JOIN idf USING (term)
+                   GROUP BY 1)
+        SELECT CAST(row_number() OVER (ORDER BY CAST(sq AS DOUBLE) / 1e6 DESC, doc_id ASC) AS INT) AS rank,
+               doc_id, round(CAST(sq AS DOUBLE) / 1e6, 6) AS bm25
+        FROM scored
+        QUALIFY rank <= 10"""
+  }
+
+  // ---- g_pagerank: 3 unrolled power iterations on the order graph ------
+  // Nodes: customers (2k) and suppliers (2k+1); undirected edges from
+  // DISTINCT (custkey, suppkey) pairs through orders ⋈ lineitem. Each
+  // iteration is the canonical edge-partitioned PageRank step: one join
+  // of the rank vector to edges on src, one groupBy-sum shuffle on dst —
+  // the plan shape that scales to billions of edges (GraphX/Pregel run
+  // the same shuffle). Per-edge contributions are floored to 1e-9
+  // integers so the incoming sum is exact under any merge order; every
+  // node has degree ≥ 1 (edges are symmetric), so no dangling mass.
+  private val PR_ITERS = 3
+
+  private def prStep(edges: DataFrame, deg: DataFrame, r: DataFrame): DataFrame =
+    edges.join(r, "src").join(deg, "src")
+      .select(col("dst"),
+        floor(lit(1e9) * (col("r") / col("deg").cast("double")))
+          .cast("long").as("c"))
+      .groupBy("dst").agg(sum("c").as("s"))
+      .select(col("dst").as("src"),
+        (lit(0.15) + lit(0.85) * (col("s").cast("double") / 1e9)).as("r"))
+
+  private val pagerank: Q = (s, d) => {
+    val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("cust"),
+        (col("l_suppkey") * 2 + 1).as("supp"))
+      .distinct()
+    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+      .persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val r0 = deg.select(col("src"), lit(1.0).as("r"))
+    val rN = (1 to PR_ITERS).foldLeft(r0)((r, _) => prStep(edges, deg, r))
+    rN.select(col("src").as("node"), round(col("r"), 6).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("node").asc).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pagerank").desc, col("node").asc)))
+      .select("rank", "node", "pagerank")
+  }
+
+  private val pagerankSql = {
+    def step(rin: String, rout: String) =
+      s"""$rout AS (SELECT dst AS src,
+                           0.15 + 0.85 * (CAST(s AS DOUBLE) / 1e9) AS r
+                    FROM (SELECT e.dst,
+                                 sum(CAST(floor(1e9 * (r.r / CAST(deg.deg AS DOUBLE))) AS BIGINT)) AS s
+                          FROM edges e JOIN $rin r ON e.src = r.src
+                                       JOIN deg ON deg.src = e.src
+                          GROUP BY 1))"""
+    val steps = (1 to PR_ITERS).map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS cust,
+                              l.l_suppkey * 2 + 1 AS supp
+                       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        edges AS (SELECT cust AS src, supp AS dst FROM pairs
+                  UNION ALL
+                  SELECT supp AS src, cust AS dst FROM pairs),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        r0 AS (SELECT src, 1.0 AS r FROM deg),
+        $steps
+        SELECT CAST(row_number() OVER (ORDER BY round(r, 6) DESC, src ASC) AS INT) AS rank,
+               src AS node, round(r, 6) AS pagerank
+        FROM r$PR_ITERS
+        QUALIFY rank <= 20"""
+  }
+
+  // ---- st_late_events: watermark-lateness accounting -------------------
+  // Batch twin of the streaming question "how late does this source
+  // deliver?": per user, arrival order is event_id; the frontier is the
+  // max event-time already seen (exactly the per-key watermark a
+  // streaming job would carry), and an event is late by (frontier − ts)
+  // when positive. Lateness stays in exact integer microseconds. The
+  // window partitions by user — no global sort, scales with user count.
+  private val lateEvents: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("frontier", max("us").over(w))
+      .withColumn("late_us",
+        when(col("frontier") > col("us"), col("frontier") - col("us"))
+          .otherwise(lit(0L)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max("late_us").as("max_late_us"),
+        sum("late_us").as("total_late_us"))
+  }
+
+  private val lateEventsSql =
+    """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                         max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS frontier
+                  FROM events),
+        l AS (SELECT user_id,
+                     CASE WHEN frontier > us THEN frontier - us ELSE 0 END AS late_us
+              FROM t)
+        SELECT user_id, count(*) AS n_events,
+               sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS n_late,
+               max(late_us) AS max_late_us, sum(late_us) AS total_late_us
+        FROM l GROUP BY 1"""
+
+  // ---- st_join_enrich: left-outer interval join batch twin -------------
+  // Every 'view' enriched with the same user's first 'click' within the
+  // following hour, or NULL — the batch twin of the stream-stream LEFT
+  // OUTER interval join proven live in StreamMultimodalSpec (state
+  // bounded by watermark + range condition there; by the equi-key +
+  // range predicate here). The join is an equi hash join on user_id with
+  // the time range as residual condition — never a nested loop.
+  private val joinEnrich: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        col("us").as("cus"))
+    views.join(clicks,
+        col("user_id") === col("cu") &&
+          col("cus") >= col("us") && col("cus") < col("us") + 3600L * 1000000L,
+        "left_outer")
+      .groupBy("view_id", "user_id")
+      .agg(min("click_id").as("first_click_id"),
+        count(col("click_id")).as("n_clicks_1h"))
+  }
+
+  private val joinEnrichSql =
+    """SELECT v.event_id AS view_id, v.user_id,
+              min(c.event_id) AS first_click_id,
+              count(c.event_id) AS n_clicks_1h
+       FROM events v
+       LEFT JOIN events c
+         ON c.user_id = v.user_id AND c.event_type = 'click'
+        AND epoch_us(c.ts) >= epoch_us(v.ts)
+        AND epoch_us(c.ts) < epoch_us(v.ts) + 3600000000
+       WHERE v.event_type = 'view'
+       GROUP BY 1, 2"""
+
+  val queries: Map[String, Q] = Map(
+    "x_pipeline_keep" -> pipelineKeep,
+    "x_bm25_topk" -> bm25TopK,
+    "g_pagerank" -> pagerank,
+    "st_late_events" -> lateEvents,
+    "st_join_enrich" -> joinEnrich)
+
+  val oracle: Map[String, String] = Map(
+    "x_pipeline_keep" -> pipelineKeepSql,
+    "x_bm25_topk" -> bm25TopKSql,
+    "g_pagerank" -> pagerankSql,
+    "st_late_events" -> lateEventsSql,
+    "st_join_enrich" -> joinEnrichSql)
+}

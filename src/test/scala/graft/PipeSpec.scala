@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.QueriesPipe
+
+/** Structurally-different second methods for the composed-pipeline
+  * queries: each recomputes the query's answer imperatively on the
+  * driver from the raw parquet (the oracle gate can't catch a conceptual
+  * bug both engine formulations share — these can).
+  */
+class PipeSpec extends SparkSuite {
+
+  private def docs(): Array[(Long, String, String)] =
+    spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  test("x_pipeline_keep matches an imperative rule-chain sweep") {
+    val stop = graft.text.TextOps.stopwords.toSet
+    val all = docs()
+    val prefixKeeper = all
+      .map { case (id, t, _) => id -> t.split(" ", -1).take(8).mkString(" ") }
+      .groupBy(_._2).map { case (_, g) => g.map(_._1).min -> g.map(_._1).toSet }
+      .flatMap { case (keep, ids) => ids.map(_ -> keep) }
+    val expected = all.map { case (id, t, lang) =>
+      val w = t.split(" ", -1)
+      val sr = w.count(stop) .toDouble / w.length
+      val reason =
+        if (id != prefixKeeper(id)) "duplicate"
+        else if (w.length < 20) "too_short"
+        else if (sr < 0.02) "low_stopword"
+        else if (!Set("en", "es", "fr")(lang)) "lang_filter"
+        else "keep"
+      id -> reason
+    }.toMap
+    val got = QueriesPipe.queries("x_pipeline_keep")(spark, sf001)
+      .select("doc_id", "reason", "keep").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(got.length == expected.size)
+    for ((id, reason, keep) <- got) {
+      assert(reason == expected(id), s"doc $id")
+      assert(keep == (reason == "keep"))
+    }
+    // the fixture must actually exercise every rule, or the chain order
+    // is untested
+    val fired = got.map(_._2).toSet
+    assert(fired == Set("duplicate", "too_short", "low_stopword",
+      "lang_filter", "keep"), s"rules fired: $fired")
+  }
+
+  test("x_bm25_topk matches a driver-side BM25 recompute") {
+    val all = docs()
+    val n = all.length
+    val dls = all.map { case (id, t, _) => id -> t.split(" ", -1).length }.toMap
+    val avgdl = dls.values.sum.toDouble / n
+    val terms = Seq("spark", "table", "join")
+    val tfs = for ((id, t, _) <- all; term <- terms;
+                   tf = t.split(" ", -1).count(_ == term) if tf > 0)
+      yield (id, term, tf)
+    val dfm = tfs.groupBy(_._2).map { case (k, g) => k -> g.length }
+    val idfQ = dfm.map { case (t, df) =>
+      t -> math.floor(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6).toLong }
+    val scores = tfs.groupBy(_._1).map { case (id, g) =>
+      id -> g.map { case (_, term, tf) =>
+        math.floor((idfQ(term) / 1e6) *
+          ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dls(id) / avgdl)))) * 1e6)
+          .toLong
+      }.sum
+    }
+    val expected = scores.toSeq
+      .map { case (id, sq) => (math.floor(sq / 1e6 * 1e6 + 0.5) / 1e6, id) }
+      .sortBy { case (s, id) => (-s, id) }.take(10)
+    val got = QueriesPipe.queries("x_bm25_topk")(spark, sf001)
+      .orderBy("rank").collect().map(r => (r.getDouble(2), r.getLong(1)))
+    assert(got.toSeq == expected,
+      s"got ${got.toSeq}\nexpected $expected")
+  }
+
+  test("g_pagerank conserves rank mass and matches a driver recompute") {
+    val edges = spark.read.parquet(s"$sf001/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(spark.read.parquet(s"$sf001/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = edges.flatMap { case (c, s) => Seq(c -> s, s -> c) }
+    val deg = sym.groupBy(_._1).map { case (k, g) => k -> g.length }
+    var r = deg.map { case (k, _) => k -> 1.0 }
+    for (_ <- 1 to 3) {
+      val contrib = r.map { case (k, v) =>
+        k -> math.floor(1e9 * (v / deg(k).toDouble)).toLong }
+      val in = sym.groupBy(_._2).map { case (dst, g) =>
+        dst -> g.map(e => contrib(e._1)).sum }
+      r = in.map { case (k, s) => k -> (0.15 + 0.85 * (s.toDouble / 1e9)) }
+    }
+    // mass conservation: Σr stays ≈ N (teleport + quantized transfer);
+    // each edge contribution loses < 1e-9 to the floor, so the deficit
+    // is bounded by 0.85 * |edges| * 1e-9 per iteration
+    val n = deg.size
+    assert(math.abs(r.values.sum - n) < 0.01 * n)
+    val expected = r.toSeq
+      .map { case (k, v) => (math.floor(v * 1e6 + 0.5) / 1e6, k) }
+      .sortBy { case (v, k) => (-v, k) }.take(20)
+    val got = QueriesPipe.queries("g_pagerank")(spark, sf001)
+      .orderBy("rank").collect().map(row => (row.getDouble(2), row.getLong(1)))
+    assert(got.toSeq == expected)
+  }
+
+  test("st_late_events matches an imperative per-user frontier sweep") {
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).map { case (u, g) =>
+      val ordered = g.sortBy(_._2)
+      var frontier = Long.MinValue
+      var nLate = 0L; var maxLate = 0L; var total = 0L
+      for ((_, _, us) <- ordered) {
+        if (frontier > us) {
+          val late = frontier - us
+          nLate += 1; maxLate = math.max(maxLate, late); total += late
+        }
+        frontier = math.max(frontier, us)
+      }
+      u -> ((ordered.length.toLong, nLate, maxLate, total))
+    }
+    val got = QueriesPipe.queries("st_late_events")(spark, sf001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+  }
+
+  test("st_join_enrich matches an imperative per-view click scan") {
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicksByUser = ev.filter(_._3 == "click").groupBy(_._2)
+    val expected = ev.filter(_._3 == "view").map { case (vid, u, _, vus) =>
+      val hits = clicksByUser.getOrElse(u, Array.empty)
+        .filter { case (_, _, _, cus) => cus >= vus && cus < vus + 3600000000L }
+      (vid, u) -> (if (hits.isEmpty) None else Some(hits.map(_._1).min),
+        hits.length.toLong)
+    }.toMap
+    val got = QueriesPipe.queries("st_join_enrich")(spark, sf001)
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1)) ->
+          ((if (r.isNullAt(2)) None else Some(r.getLong(2))), r.getLong(3))
+      }.toMap
+    assert(got == expected)
+  }
+}
