@@ -26,11 +26,19 @@ object DedupCluster {
     // iteration (and the final materialization) re-derives the whole
     // upstream pair pipeline, turning O(rounds) into O(rounds²) work.
     // (On a real cluster use reliable checkpointing instead of local.)
+    // No distinct() on the symmetric union: candidate pairs arrive
+    // deduplicated (LSH emits one row per (a,b) with a<b), and min-label
+    // propagation is idempotent under duplicate edges — a distinct here
+    // would only add a full edge-table shuffle.
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+      .localCheckpoint(true)
+    // Initial labels fuse the first propagation round: label₀ =
+    // min(id, min neighbor) straight off the edge aggregate — one
+    // groupBy instead of distinct-ids + join + aggregate.
+    var labels = edges.groupBy(col("src").as("id")).agg(min("dst").as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("label"))
+      .localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
