@@ -63,7 +63,10 @@ object QueriesText {
   // evaluated twice, not 2×BANDS times, and the join shuffles once on the
   // composite bucket key.
   private val dedupMinhash: Q = (s, d) => {
-    val sig = signatures(s, d)
+    // persist: both sides of the banded self-join read the signatures —
+    // one materialization instead of two 8-way min aggregates over the
+    // shingle table. (doc_id + 8 hex slices per doc: tiny.)
+    val sig = signatures(s, d).persist()
     val bandVals = array((0 until BANDS).map(b =>
       concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)
     val banded = sig.select(col("*"),
@@ -133,7 +136,10 @@ object QueriesText {
   }
 
   private val dedupSimhash: Q = (s, d) => {
-    val sh = simhashes(s, d)
+    // persist: the banded self-join references the signature frame on
+    // both sides — without it the whole (word-count ⋈ vocab → 32-sum)
+    // pipeline executes twice. The frame is (doc_id, long): tiny.
+    val sh = simhashes(s, d).persist()
     val bandVals = array((0 until 4).map(b =>
       shiftright(col("simhash"), 8 * b).bitwiseAND(255)): _*)
     val banded = sh.select(col("doc_id"), col("simhash"),
