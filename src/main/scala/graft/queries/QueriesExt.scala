@@ -149,17 +149,18 @@ object QueriesExt {
        FROM customer"""
 
   // ---- deterministic stratified sample ----------------------------------
-  // k rows per stratum, ranked by a content hash — the distributed analog
-  // of per-group reservoir sampling, reproducible across engines and
-  // partitionings. Strata counts are low (group-key cardinality), so the
-  // window partitions evenly; the hash ordering is data-derived, never
-  // partition-order dependent.
+  // k rows per stratum, ranked by the counter RNG keyed on row identity —
+  // the distributed analog of per-group reservoir sampling, reproducible
+  // across engines and partitionings. Strata counts are low (group-key
+  // cardinality), so the window partitions evenly; the rank key is
+  // data-derived, never partition-order dependent. (A LONG rank key:
+  // WindowGroupLimit's per-partition top-k sort compares integers, where
+  // the earlier md5-string key paid a digest + string compare per row.)
   private val STRATK = 20
   private val stratifiedSample: Q = (s, d) =>
     Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-        md5(concat(col("l_orderkey").cast("string"), lit("-"),
-          col("l_linenumber").cast("string"))).as("h"))
+        Rand.mix(col("l_orderkey") * 8 + col("l_linenumber"), 77).as("h"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("l_returnflag")
           .orderBy(col("h").asc, col("l_orderkey").asc, col("l_linenumber").asc))
@@ -171,8 +172,7 @@ object QueriesExt {
     s"""SELECT l_returnflag, rk, l_orderkey, l_linenumber FROM (
           SELECT l_returnflag, l_orderkey, l_linenumber,
                  row_number() OVER (PARTITION BY l_returnflag ORDER BY
-                   md5(CAST(l_orderkey AS VARCHAR) || '-' ||
-                       CAST(l_linenumber AS VARCHAR)) ASC,
+                   ${Rand.mixSql("l_orderkey * 8 + l_linenumber", 77)} ASC,
                    l_orderkey ASC, l_linenumber ASC) AS rk
           FROM lineitem)
         WHERE rk <= $STRATK"""

@@ -288,13 +288,15 @@ object QueriesText {
   // doc in the corpus (df = 1), boilerplate = fraction appearing in > 5%
   // of documents. The two ends of the curation dial: near-zero novelty =
   // duplicated/templated text, high boilerplate = navigation chrome. The
-  // shingle→df aggregate is vocabulary-sized and broadcasts back onto the
-  // per-doc stream (same shape as TF-IDF's df side).
+  // per-shingle df is a window count over the shingle key — unlike a
+  // broadcast of the df table (which is SHINGLE-cardinality, i.e. grows
+  // with the corpus and cannot broadcast at 100 TB), the window form is
+  // one hash-partitioned shuffle on sh at any scale.
   private val novelty: Q = (s, d) => {
     val sh = shingleTable(s, d).distinct()
-    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-    sh.join(broadcast(df), "sh").crossJoin(broadcast(nDocs))
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .crossJoin(broadcast(nDocs))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         round(sum(when(col("df") === 1, 1L).otherwise(0L)).cast("double") /
