@@ -273,7 +273,7 @@ object QueriesCore {
   private val stats11: Q = (s, d) =>
     Zonal.statsWithMode(() => Tables.lineitem(s, d)
       .select(col("l_returnflag").as("name"),
-        (col("l_extendedprice") / 1000.0).as("v")))
+        (col("l_extendedprice") / 1000.0).as("v")), share = false)
 
   private val stats11Sql = Zonal.statsSql(
     "SELECT l_returnflag AS name, l_extendedprice / 1000.0 AS v FROM lineitem")

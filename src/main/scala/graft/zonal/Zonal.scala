@@ -97,12 +97,19 @@ object Zonal {
       .select(col("name"), col("b").as("mode_v"))
   }
 
-  /** `build` is invoked twice so the stats and mode sides carry independent
-    * plans (fresh expression ids) — joining two derivations of the same
-    * DataFrame object trips Spark's ambiguous-self-join detection. */
-  def statsWithMode(build: () => DataFrame, v: String = "v"): DataFrame = {
-    val st = descriptiveStats(build(), v)
-    val md = modes(build(), v).withColumnRenamed("name", "mname")
+  /** The tagged table is persisted and shared: the stats and mode sides
+    * each consume it once, so the upstream zone-tagging pipeline runs
+    * once, not twice. (The final stats⋈modes join is a join of two
+    * derivations of the same frame — fine under the
+    * failAmbiguousSelfJoin=false every main and the test session set;
+    * `build` stays a thunk only for source compatibility.) */
+  def statsWithMode(build: () => DataFrame, v: String = "v",
+      share: Boolean = true): DataFrame = {
+    // share=false: when the tagged table is a bare column projection of
+    // one scan, caching it costs more than the modes side's re-scan
+    val z = if (share) build().persist() else build()
+    val st = descriptiveStats(if (share) z else build(), v)
+    val md = modes(z, v).withColumnRenamed("name", "mname")
     st.join(md, st("name") === md("mname")).drop("mname")
   }
 
