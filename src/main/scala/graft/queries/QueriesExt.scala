@@ -296,9 +296,13 @@ object QueriesExt {
     }.reduce(_ + _)
     val sig = e.select(Seq(col("vec_id"), col("v")) ++
       (0 until RPBANDS).map(b => bandVal(b).as(s"b$b")): _*)
+    // persist: both sides of the band self-join read the banded
+    // signatures — one pass of the 32 random-plane projections instead
+    // of two. (4 small rows per vector.)
     val banded = sig.select(col("vec_id"),
       posexplode(array((0 until RPBANDS).map(b => col(s"b$b")): _*))
         .as(Seq("band_id", "bval")))
+      .persist()
     val r = banded.toDF("r_vec_id", "r_band_id", "r_bval")
     val pairs = banded.join(r, col("band_id") === col("r_band_id") &&
         col("bval") === col("r_bval") && col("vec_id") < col("r_vec_id"))
