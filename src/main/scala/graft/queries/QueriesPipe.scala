@@ -288,17 +288,128 @@ object QueriesPipe {
        WHERE v.event_type = 'view'
        GROUP BY 1, 2"""
 
+  // ---- a_grouping_sets: explicit GROUPING SETS lattice -----------------
+  // The third grouping-lattice flavor next to ROLLUP (a_stats11 et al.)
+  // and CUBE (a_cube_status): a hand-picked set list — (priority,
+  // status), (priority), () — one aggregate pass, partial-agg friendly.
+  // Cents-exact sums; group keys are never NULL in the data, so the
+  // 'ALL' coalesce is unambiguous.
+  private val groupingSets: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(floor(col("o_totalprice") * 100 + 0.5)).cast("double") / 100.0,
+          6).as("sum_price"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_price"))
+
+  private val groupingSetsSql =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+              coalesce(o_orderstatus, 'ALL') AS status,
+              count(*) AS n,
+              round(CAST(sum(floor(o_totalprice * 100 + 0.5)) AS DOUBLE) / 100.0,
+                    6) AS sum_price
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                               (o_orderpriority), ())"""
+
+  // ---- o_interval_union: gaps-and-islands interval flattening ----------
+  // Union of overlapping per-user intervals [ts, ts + value seconds]:
+  // the sweep-line as two windows — an island starts where the interval
+  // begins after the running max end of every earlier interval; islands
+  // are cumulative starts; covered time is Σ(max end − min start) per
+  // island. All arithmetic in exact integer micros. Windows partition
+  // by user — no global sort at any scale.
+  private val intervalUnion: Q = (s, d) => {
+    val iv = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) +
+          floor(col("value") * 1e6 + 0.5).cast("long")).as("en"))
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("st").asc, col("en").asc, col("event_id").asc)
+    val swept = iv
+      .withColumn("pmax", max("en").over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new", when(col("pmax").isNull || col("st") > col("pmax"), 1L)
+        .otherwise(0L))
+      .withColumn("island", sum("new").over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)))
+    swept.groupBy("user_id", "island")
+      .agg(min("st").as("is_st"), max("en").as("is_en"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("is_en") - col("is_st")).as("covered_us"))
+  }
+
+  private val intervalUnionSql =
+    """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS st,
+                          epoch_us(ts) + CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS en
+                   FROM events),
+        swept AS (SELECT user_id, event_id, st, en,
+                         CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END AS new
+                  FROM (SELECT iv.*,
+                               max(en) OVER (PARTITION BY user_id
+                                 ORDER BY st ASC, en ASC, event_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                        FROM iv)),
+        isl AS (SELECT user_id, st, en,
+                       sum(new) OVER (PARTITION BY user_id
+                         ORDER BY st ASC, en ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                FROM swept),
+        per AS (SELECT user_id, island, min(st) AS is_st, max(en) AS is_en
+                FROM isl GROUP BY 1, 2)
+        SELECT user_id, count(*) AS n_islands,
+               sum(is_en - is_st) AS covered_us
+        FROM per GROUP BY 1"""
+
+  // ---- o_latest_by_key: CDC latest-wins compaction ---------------------
+  // The MERGE/upsert read shape: latest value per (user, event_type) by
+  // (ts, event_id) — what a CDC log compacts to. row_number (not
+  // max_by) so tie order is pinned identically in both engines; the
+  // WindowGroupLimit rank-pushdown prunes each partition to 1 row
+  // before the final shuffle.
+  private val latestByKey: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "event_type")
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        round(col("value"), 6).as("latest_value"))
+
+  private val latestByKeySql =
+    """SELECT user_id, event_type, event_id,
+              round(value, 6) AS latest_value
+       FROM (SELECT user_id, event_type, event_id, value,
+                    row_number() OVER (PARTITION BY user_id, event_type
+                      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+             FROM events)
+       WHERE rn = 1"""
+
   val queries: Map[String, Q] = Map(
     "x_pipeline_keep" -> pipelineKeep,
     "x_bm25_topk" -> bm25TopK,
     "g_pagerank" -> pagerank,
     "st_late_events" -> lateEvents,
-    "st_join_enrich" -> joinEnrich)
+    "st_join_enrich" -> joinEnrich,
+    "a_grouping_sets" -> groupingSets,
+    "o_interval_union" -> intervalUnion,
+    "o_latest_by_key" -> latestByKey)
 
   val oracle: Map[String, String] = Map(
     "x_pipeline_keep" -> pipelineKeepSql,
     "x_bm25_topk" -> bm25TopKSql,
     "g_pagerank" -> pagerankSql,
     "st_late_events" -> lateEventsSql,
-    "st_join_enrich" -> joinEnrichSql)
+    "st_join_enrich" -> joinEnrichSql,
+    "a_grouping_sets" -> groupingSetsSql,
+    "o_interval_union" -> intervalUnionSql,
+    "o_latest_by_key" -> latestByKeySql)
 }

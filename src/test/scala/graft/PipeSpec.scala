@@ -130,6 +130,43 @@ class PipeSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("o_interval_union matches an imperative interval merge") {
+    val iv = spark.read.parquet(s"$sf001/events.parquet")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("st"),
+        expr("ts div 1000 + CAST(floor(value * 1e6 + 0.5) AS LONG)").as("en"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = iv.groupBy(_._1).map { case (u, g) =>
+      val sorted = g.map { case (_, id, s, e) => (s, e, id) }.sortBy(identity)
+      // classic merge: extend the open island while intervals touch it
+      var islands = List.empty[(Long, Long)]
+      for ((s, e, _) <- sorted) islands match {
+        case (is, ie) :: rest if s <= ie =>
+          islands = (is, math.max(ie, e)) :: rest
+        case _ => islands = (s, e) :: islands
+      }
+      u -> ((islands.length.toLong, islands.map(i => i._2 - i._1).sum))
+    }
+    val got = QueriesPipe.queries("o_interval_union")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("o_latest_by_key matches an imperative latest-wins fold") {
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val expected = ev.groupBy(e => (e._1, e._2)).map { case (k, g) =>
+      val (_, _, id, _, v) = g.maxBy(e => (e._4, e._3))
+      k -> ((id, math.floor(v * 1e6 + 0.5) / 1e6))
+    }
+    val got = QueriesPipe.queries("o_latest_by_key")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+  }
+
   test("st_join_enrich matches an imperative per-view click scan") {
     val ev = spark.read.parquet(s"$sf001/events.parquet")
       .select(col("event_id"), col("user_id"), col("event_type"),
