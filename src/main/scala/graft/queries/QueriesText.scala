@@ -45,6 +45,13 @@ object QueriesText {
       .select(col("doc_id"), explode(TextOps.shinglesOf(col("w"), 3)).as("sh"))
       .persist()
 
+  /** DISTINCT (doc_id, shingle) — its own persist: the dedup shuffle
+    * otherwise re-runs per consumer (containment/est/novelty each read
+    * it up to three times: two join sides + sizes). CacheManager keys
+    * on the logical plan, so every call shares one materialization. */
+  private def shingleSet(s: SparkSession, d: String): DataFrame =
+    shingleTable(s, d).distinct().persist()
+
   private def signatures(s: SparkSession, d: String): DataFrame =
     shingleTable(s, d)
       .groupBy("doc_id")
@@ -178,7 +185,7 @@ object QueriesText {
   // never rows².
   private val containment: Q = (s, d) => {
     val cand = dedupMinhash(s, d).select("a_id", "b_id")
-    val sh = shingleTable(s, d).distinct()
+    val sh = shingleSet(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.toDF("a_id", "sh"), "a_id")
@@ -293,7 +300,7 @@ object QueriesText {
   // with the corpus and cannot broadcast at 100 TB), the window form is
   // one hash-partitioned shuffle on sh at any scale.
   private val novelty: Q = (s, d) => {
-    val sh = shingleTable(s, d).distinct()
+    val sh = shingleSet(s, d)
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     sh.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .crossJoin(broadcast(nDocs))
@@ -526,7 +533,7 @@ object QueriesText {
   // alone, never rows²).
   private val minhashEst: Q = (s, d) => {
     val cand = dedupMinhash(s, d)
-    val sh = shingleTable(s, d).distinct()
+    val sh = shingleSet(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand.select("a_id", "b_id")
       .join(sh.toDF("a_id", "sh"), "a_id")
