@@ -497,6 +497,9 @@ object QueriesText {
             i => md5(concat_ws(" ", slice(col("w"), (i - lit(1)) * BLK + 1, lit(BLK))))))
           .otherwise(array().cast("array<string>")).as("bs"))
       .select(col("doc_id"), explode(col("bs")).as("bk"))
+      // persist: consumed by the per-block df aggregate AND the join
+      // back — one md5-block explode pass instead of two
+      .persist()
     val df = blocks.groupBy("bk")
       .agg(countDistinct(col("doc_id")).as("ndocs"))
     blocks.join(df, "bk")
