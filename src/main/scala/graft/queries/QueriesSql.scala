@@ -338,12 +338,37 @@ object QueriesSql {
         FROM days JOIN cohorts ON days.user_id = cohorts.user_id
         GROUP BY 1, 2"""
 
+  // ---- shared-text SQL with window functions ----------------------------
+  // Top-3 customers per nation by balance plus each one's ppm share of
+  // the nation's total — ONE SQL text through both engines: ranking
+  // window + partition-total window in a CTE, integer-only outputs
+  // (cents / ppm), explicit floor-rounding per the shared-text rule,
+  // explicit BIGINT casts because DuckDB widens window sums to HUGEINT
+  // where Spark stays LONG.
+  private val windowSqlText =
+    """WITH ranked AS (
+         SELECT c_nationkey, c_custkey,
+                CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+                CAST(row_number() OVER (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rn,
+                CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                  OVER (PARTITION BY c_nationkey) AS BIGINT) AS tot_cents
+         FROM customer)
+       SELECT c_nationkey, rn, c_custkey, cents,
+              CAST(floor(CAST(cents AS DOUBLE) / CAST(tot_cents AS DOUBLE)
+                         * 1000000 + 0.5) AS BIGINT) AS share_ppm
+       FROM ranked WHERE rn <= 3"""
+
+  private val sqlWindow: Q = (s, d) =>
+    runSql(s, d, Seq("customer"), windowSqlText)
+
   val queries: Map[String, Q] = Map(
     "st_funnel_stages" -> funnel,
     "st_retention_cohort" -> retention,
     "u_area_scaled" -> areaScaled,
     "q_sql_exists" -> sqlExists,
     "q_sql_scalar_in" -> sqlScalarIn,
+    "q_sql_window" -> sqlWindow,
     "o_salted_join" -> saltedJoin,
     "w_range_frame" -> rangeFrame,
     "r_quadkey_rollup" -> quadkeyRollup,
@@ -356,6 +381,7 @@ object QueriesSql {
     "u_area_scaled" -> areaScaledSql,
     "q_sql_exists" -> existsSql,
     "q_sql_scalar_in" -> scalarInSql,
+    "q_sql_window" -> windowSqlText,
     "o_salted_join" -> saltedJoinSql,
     "w_range_frame" -> rangeFrameSql,
     "r_quadkey_rollup" -> quadkeyRollupSql,

@@ -21,6 +21,54 @@ import graft.text.TextOps
 object QueriesText {
   type Q = (SparkSession, String) => DataFrame
 
+  // ---- count-min sketch, exactly gated ---------------------------------
+  // A CMS whose d=4 hash rows derive from md5 hex digits is fully
+  // deterministic, so the sketch itself — not just its contract —
+  // hash-matches the oracle. Counters are d·w = 4×64 integers (broadcast
+  // side); words flow through one vocab-sized shuffle. Output: the
+  // top-20 true-count words with their CMS estimate and overcount
+  // (est ≥ true always; the gap is the sketch's collision error, the
+  // quantity you size w against at 100 TB).
+  private val CMSW = 64
+
+  private def cmsCell(j: Int): Column =
+    (TextOps.hexDigit(col("wmd5"), 2 * j + 1) * 16 +
+      TextOps.hexDigit(col("wmd5"), 2 * j + 2)) % CMSW
+
+  private val cmsEst: Q = (s, d) => {
+    val wc = Tables.documents(s, d)
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("wmd5", md5(col("w")))
+    val wcells = wc.select(col("w"), col("cnt"),
+      posexplode(array((0 until 4).map(cmsCell): _*)).as(Seq("j", "cell")))
+      .persist() // read by the counter aggregate AND the estimate join
+    val counters = wcells.groupBy("j", "cell").agg(sum("cnt").as("c"))
+    wcells.join(broadcast(counters), Seq("j", "cell"))
+      .groupBy("w", "cnt").agg(min("c").as("est"))
+      .select(col("w").as("word"), col("cnt").as("true_cnt"),
+        col("est").as("est_cnt"), (col("est") - col("cnt")).as("overcount"))
+      .orderBy(col("true_cnt").desc, col("word").asc).limit(20)
+  }
+
+  private val cmsEstSql = {
+    val cell = (j: String) =>
+      s"""((strpos('0123456789abcdef', substr(m, 2 * $j + 1, 1)) - 1) * 16 +
+           (strpos('0123456789abcdef', substr(m, 2 * $j + 2, 1)) - 1)) % $CMSW"""
+    s"""WITH wc AS (SELECT w, count(*) AS cnt
+                    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                    GROUP BY 1),
+        h AS (SELECT w, cnt, md5(w) AS m FROM wc),
+        cells AS (SELECT w, cnt, j, ${cell("j")} AS cell
+                  FROM h, (SELECT unnest(range(4)) AS j)),
+        counters AS (SELECT j, cell, sum(cnt) AS c FROM cells GROUP BY 1, 2),
+        est AS (SELECT w, cnt, min(c) AS est
+                FROM cells JOIN counters USING (j, cell) GROUP BY 1, 2)
+        SELECT w AS word, cnt AS true_cnt, CAST(est AS BIGINT) AS est_cnt,
+               CAST(est - cnt AS BIGINT) AS overcount
+        FROM est ORDER BY cnt DESC, w ASC LIMIT 20"""
+  }
+
   // ---- exact dedup: hash-groupBy, keep lowest doc_id -------------------
   private val dedupExact: Q = (s, d) =>
     Tables.documents(s, d)
@@ -600,6 +648,7 @@ object QueriesText {
     "x_minhash_est" -> minhashEst,
     "x_lang_confusion" -> langConfusion,
     "x_dedup_blocks" -> dedupBlocks,
+    "a_cms_est" -> cmsEst,
     "x_dedup_exact" -> dedupExact,
     "x_dedup_minhash_lsh" -> dedupMinhash,
     "x_dedup_containment" -> containment,
@@ -619,6 +668,7 @@ object QueriesText {
     "x_minhash_est" -> minhashEstSql,
     "x_lang_confusion" -> langConfusionSql,
     "x_dedup_blocks" -> dedupBlocksSql,
+    "a_cms_est" -> cmsEstSql,
     "x_dedup_exact" -> dedupExactSql,
     "x_dedup_minhash_lsh" -> dedupMinhashSql,
     "x_dedup_containment" -> containmentSql,

@@ -130,6 +130,31 @@ class PipeSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("a_cms_est matches a driver-side CMS and never underestimates") {
+    import java.security.MessageDigest
+    def md5hex(s: String) =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val words = docs().flatMap(_._2.split(" ", -1))
+    val truth = words.groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val hex = "0123456789abcdef"
+    def cell(w: String, j: Int): Int = {
+      val m = md5hex(w)
+      (hex.indexOf(m(2 * j)) * 16 + hex.indexOf(m(2 * j + 1))) % 64
+    }
+    val counters = Array.ofDim[Long](4, 64)
+    for ((w, c) <- truth; j <- 0 until 4) counters(j)(cell(w, j)) += c
+    val est = truth.map { case (w, c) =>
+      w -> (0 until 4).map(j => counters(j)(cell(w, j))).min }
+    // guarantee over the WHOLE vocabulary, not just the query's top-20
+    for ((w, c) <- truth) assert(est(w) >= c, s"underestimate for '$w'")
+    val expected = truth.toSeq.sortBy { case (w, c) => (-c, w) }.take(20)
+      .map { case (w, c) => (w, c, est(w), est(w) - c) }
+    val got = graft.queries.QueriesText.queries("a_cms_est")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected)
+  }
+
   test("o_interval_union matches an imperative interval merge") {
     val iv = spark.read.parquet(s"$sf001/events.parquet")
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("st"),
