@@ -26,6 +26,26 @@ object Layout {
 
   def load(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
+  /** Save partition-pruned + run-sorted + size-capped parquet: the
+    * directory layout for an append-only 100-TB fact table. `partCol`
+    * values become directories (partition pruning at the scan),
+    * `sortCols` order rows inside every file (rowgroup min/max stats
+    * make point/range reads skip pages), and `maxRecordsPerFile` caps
+    * file size so compaction and task planning stay uniform. The
+    * repartition on `partCol` gives one task per partition value —
+    * without it every task writes every partition directory (tiny-file
+    * explosion, the classic at-scale mistake this helper exists to
+    * avoid). */
+  def saveSorted(px: DataFrame, path: String, partCol: String,
+      sortCols: Seq[String], maxRecordsPerFile: Long): Unit =
+    px.repartition(org.apache.spark.sql.functions.col(partCol))
+      .sortWithinPartitions(partCol +: sortCols map
+        org.apache.spark.sql.functions.col: _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCol)
+      .parquet(path)
+
   /** True if the physical plan of `df` contains a shuffle exchange. */
   def hasShuffle(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")

@@ -40,4 +40,29 @@ class LayoutSpec extends SparkSuite {
     val s2 = bucketed.agg(sum(abs(col("dz")))).head().getDouble(0)
     assert(math.abs(s1 - s2) < 1e-6)
   }
+
+  test("sorted write: partition dirs, in-file sort order, file size cap") {
+    val out = java.nio.file.Files.createTempDirectory("layout_sorted").toString
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+      .select(col("event_type"), col("event_id"), col("user_id"))
+    Layout.saveSorted(ev, out, "event_type", Seq("event_id"), 100L)
+    // partition pruning layout: one directory per event_type value
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("event_type=")).sorted
+    assert(dirs.length == 5, dirs.mkString(","))
+    // file cap: no parquet file holds more than maxRecordsPerFile rows;
+    // in-file order: event_id is non-decreasing within every file
+    val withFile = spark.read.parquet(out)
+      .select(col("event_id"), input_file_name().as("f"))
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    val byFile = withFile.groupBy(_._1)
+    assert(byFile.size >= 10, s"expected ≥2 capped files per partition, got ${byFile.size}")
+    for ((f, rows) <- byFile) {
+      assert(rows.length <= 100, s"$f has ${rows.length} rows > cap")
+      val ids = rows.map(_._2) // parquet preserves write order within a file
+      assert(ids.sameElements(ids.sorted), s"$f not sorted by event_id")
+    }
+    // nothing lost
+    assert(withFile.length == ev.count())
+  }
 }
