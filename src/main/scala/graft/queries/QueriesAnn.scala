@@ -26,6 +26,73 @@ object QueriesAnn {
   private val embSqlCte =
     "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
 
+  // ---- NDCG@10 of the cosine ranking -----------------------------------
+  // Ranking-quality eval for the retrieval/ANN family: relevance = the
+  // candidate shares the query vector's label; ranking = brute-force
+  // cosine (the ground-truth ranking IVF/PQ approximate). The 1/log2(i+1)
+  // discounts are PRECOMPUTED 1e-6 integers inlined as literals in both
+  // engines — no runtime transcendental, and DCG/IDCG become exact
+  // integer sums (same trick as the poisson CDF / charlm log-probs).
+  private val NDCG_K = 10
+  private val ndcgW: Seq[Long] = (1 to NDCG_K).map(i =>
+    math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+  private val ndcgCum: Seq[Long] = ndcgW.scanLeft(0L)(_ + _).tail
+
+  private val ndcg: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val q = e.filter(col("vec_id") < NQUERIES).toDF("q_id", "qv", "q_label")
+    val cands = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        round(Similarity.cosine(col("qv"), col("v")), 6).as("sim"),
+        col("vec_id"),
+        when(col("label") === col("q_label"), 1L).otherwise(0L).as("rel"))
+    val wArr = array(ndcgW.map(lit): _*)
+    val cArr = array(ndcgCum.map(lit): _*)
+    cands
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)))
+      .groupBy("q_id")
+      .agg(sum("rel").as("n_rel"),
+        sum(when(col("rank") <= NDCG_K,
+          col("rel") * element_at(wArr, col("rank"))).otherwise(0L)).as("dcg_q"))
+      .select(col("q_id"), col("n_rel"),
+        when(col("n_rel") === 0, lit(0.0)).otherwise(
+          round(col("dcg_q").cast("double") /
+            element_at(cArr, least(col("n_rel"), lit(NDCG_K.toLong)).cast("int"))
+              .cast("double"), 6)).as("ndcg10"))
+  }
+
+  private val ndcgSql = {
+    val wList = ndcgW.mkString("[", ", ", "]")
+    val cList = ndcgCum.mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                   FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e
+              WHERE vec_id < $NQUERIES),
+        cands AS (SELECT q_id,
+                         round(${Similarity.cosineSql("qv", "e.v")}, 6) AS sim,
+                         vec_id,
+                         CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel
+                  FROM e JOIN q ON vec_id <> q_id),
+        ranked AS (SELECT q_id, rel,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+                   FROM cands),
+        agg AS (SELECT q_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+                       CAST(sum(CASE WHEN rank <= $NDCG_K
+                                     THEN rel * ($wList)[rank]
+                                     ELSE 0 END) AS BIGINT) AS dcg_q
+                FROM ranked GROUP BY 1)
+        SELECT q_id, n_rel,
+               CASE WHEN n_rel = 0 THEN 0.0
+                    ELSE round(CAST(dcg_q AS DOUBLE) /
+                           CAST(($cList)[CAST(least(n_rel, $NDCG_K) AS INT)] AS DOUBLE),
+                           6) END AS ndcg10
+        FROM agg"""
+  }
+
   // ---- brute-force cosine top-k ----------------------------------------
   private val cosineTopk: Q = (s, d) => {
     val e = emb(s, d)
@@ -458,6 +525,7 @@ object QueriesAnn {
 
   val queries: Map[String, Q] = Map(
     "n_inertia" -> inertia,
+    "m_ndcg" -> ndcg,
     "n_pq_adc" -> pqAdc,
     "n_cosine_topk" -> cosineTopk,
     "x_dedup_embcos" -> dedupEmbcos,
@@ -470,6 +538,7 @@ object QueriesAnn {
 
   val oracle: Map[String, String] = Map(
     "n_inertia" -> inertiaSql,
+    "m_ndcg" -> ndcgSql,
     "n_pq_adc" -> pqAdcSql,
     "n_cosine_topk" -> cosineTopkSql,
     "x_dedup_embcos" -> dedupEmbcosSql,

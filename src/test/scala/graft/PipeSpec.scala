@@ -107,6 +107,36 @@ class PipeSpec extends SparkSuite {
     assert(got.toSeq == expected)
   }
 
+  test("m_ndcg matches a driver-side NDCG recompute") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v", "label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val w = (1 to 10).map(i => math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+    val cum = w.scanLeft(0L)(_ + _).tail
+    val expected = e.filter(_._1 < 5).map { case (qid, qv, ql) =>
+      val cands = e.filter(_._1 != qid)
+        .map { case (id, v, l) => (r6(cos(qv, v)), id, if (l == ql) 1L else 0L) }
+        .sortBy { case (s, id, _) => (-s, id) }
+      val nRel = cands.map(_._3).sum
+      val dcg = cands.take(10).zipWithIndex
+        .map { case ((_, _, rel), i) => rel * w(i) }.sum
+      val ndcg = if (nRel == 0) 0.0
+        else r6(dcg.toDouble / cum(math.min(nRel, 10L).toInt - 1).toDouble)
+      (qid, nRel, ndcg)
+    }.sortBy(_._1)
+    val got = graft.queries.QueriesAnn.queries("m_ndcg")(spark, sf001)
+      .orderBy("q_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("st_late_events matches an imperative per-user frontier sweep") {
     val ev = spark.read.parquet(s"$sf001/events.parquet")
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
