@@ -313,6 +313,75 @@ object QueriesMl {
                round(CAST(fp AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS fpr
         FROM c"""
 
+  // ---- PR-AUC (average precision, trapezoid) per slice -------------------
+  // Companion to m_roc_points over the same ≤100 cumulative score bins:
+  // PR-AUC = Σ (R_i − R_{i−1})·(P_i + P_{i−1})/2 walking thresholds from
+  // high to low, anchored at (R,P) = (0,1). Per-bin trapezoid terms are
+  // floored to 1e-12 integers so the per-slice sum is exact under any
+  // merge order; the windows see only bin rows, never the raw stream.
+  private val prAuc: Q = (s, d) => {
+    val t = scored(s, d).withColumn("bin",
+      least(lit(99L), floor(col("score") * 100).cast("long")))
+    val g = t.groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"), sum("label").cast("long").as("pos"))
+    val wCum = Window.partitionBy("event_type").orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    val wLag = Window.partitionBy("event_type").orderBy(col("bin").desc)
+    val c = g.select(col("event_type"), col("bin"),
+        sum(col("pos")).over(wCum).as("tp"),
+        (sum(col("n")).over(wCum) - sum(col("pos")).over(wCum)).as("fp"),
+        sum(col("pos")).over(wAll).as("p"))
+      .withColumn("ptp", lag("tp", 1, 0L).over(wLag))
+      .withColumn("pfp", lag("fp", 1, 0L).over(wLag))
+    val recall = col("tp").cast("double") / col("p").cast("double")
+    val pRecall = col("ptp").cast("double") / col("p").cast("double")
+    val prec = col("tp").cast("double") /
+      (col("tp") + col("fp")).cast("double")
+    val pPrec = when(col("ptp") + col("pfp") === 0, lit(1.0))
+      .otherwise(col("ptp").cast("double") /
+        (col("ptp") + col("pfp")).cast("double"))
+    c.select(col("event_type"), col("p"),
+        floor((recall - pRecall) * ((prec + pPrec) / 2.0) * 1e12)
+          .cast("long").as("term_q"))
+      .groupBy("event_type")
+      .agg(max("p").as("n_pos"),
+        round(sum("term_q").cast("double") / 1e12, 6).as("pr_auc"))
+  }
+
+  private val prAucSql =
+    s"""WITH $scoredSql,
+        t AS (SELECT event_type, least(99, CAST(floor(score * 100) AS BIGINT)) AS bin,
+                     label
+              FROM scored),
+        g AS (SELECT event_type, bin, count(*) AS n,
+                     CAST(sum(label) AS BIGINT) AS pos
+              FROM t GROUP BY 1, 2),
+        c AS (SELECT event_type, bin,
+                     CAST(sum(pos) OVER (PARTITION BY event_type ORDER BY bin DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+                     CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bin DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - sum(pos) OVER (PARTITION BY event_type ORDER BY bin DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+                     CAST(sum(pos) OVER (PARTITION BY event_type) AS BIGINT) AS p
+              FROM g),
+        l AS (SELECT c.*,
+                     CAST(coalesce(lag(tp) OVER (PARTITION BY event_type ORDER BY bin DESC), 0) AS BIGINT) AS ptp,
+                     CAST(coalesce(lag(fp) OVER (PARTITION BY event_type ORDER BY bin DESC), 0) AS BIGINT) AS pfp
+              FROM c),
+        terms AS (SELECT event_type, p,
+                         CAST(floor((CAST(tp AS DOUBLE) / CAST(p AS DOUBLE)
+                                     - CAST(ptp AS DOUBLE) / CAST(p AS DOUBLE))
+                                    * ((CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                                        + CASE WHEN ptp + pfp = 0 THEN 1.0
+                                               ELSE CAST(ptp AS DOUBLE) / CAST(ptp + pfp AS DOUBLE) END)
+                                       / 2.0) * 1e12) AS BIGINT) AS term_q
+                  FROM l)
+        SELECT event_type, max(p) AS n_pos,
+               round(CAST(sum(term_q) AS BIGINT) / 1e12, 6) AS pr_auc
+        FROM terms GROUP BY 1"""
+
   // ---- discriminative KS statistic per slice -----------------------------
   // KS = max over thresholds |CDF_pos(t) − CDF_neg(t)| between the
   // positive- and negative-class score distributions — the standard
@@ -405,6 +474,7 @@ object QueriesMl {
     "m_reg_metrics" -> regMetrics,
     "m_lift_deciles" -> lift,
     "m_roc_points" -> rocPoints,
+    "m_pr_auc" -> prAuc,
     "m_ks_score" -> ksScore,
   )
 
@@ -417,6 +487,7 @@ object QueriesMl {
     "m_reg_metrics" -> regMetricsSql,
     "m_lift_deciles" -> liftSql,
     "m_roc_points" -> rocPointsSql,
+    "m_pr_auc" -> prAucSql,
     "m_ks_score" -> ksScoreSql,
   )
 }

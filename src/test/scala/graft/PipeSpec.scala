@@ -137,6 +137,49 @@ class PipeSpec extends SparkSuite {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("m_pr_auc matches a driver recompute and tracks MLlib areaUnderPR") {
+    val scored = spark.read.parquet(s"$sf001/events.parquet")
+      .select(col("event_id"), col("event_type"))
+      .withColumn("p", graft.rng.Rand.u01(col("event_id"), 9101))
+      .withColumn("label",
+        when(graft.rng.Rand.u01(col("event_id"), 9202) < col("p"), 1).otherwise(0))
+      .withColumn("raw",
+        col("p") + (graft.rng.Rand.u01(col("event_id"), 9303) - lit(0.5)) * lit(0.6))
+      .withColumn("score",
+        graft.functions.Canon.round(greatest(lit(0.0), least(lit(1.0), col("raw"))), 4))
+      .select("event_type", "label", "score").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val got = graft.queries.QueriesMl.queries("m_pr_auc")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    for ((slice, rows) <- scored.groupBy(_._1)) {
+      // same definition, imperative: cumulative (tp, fp) down the 100
+      // score bins, trapezoid anchored at (R,P) = (0,1)
+      val byBin = rows.groupBy { case (_, _, sc) => math.min(99L, math.floor(sc * 100).toLong) }
+        .map { case (b, g) => (b, g.length.toLong, g.count(_._2 == 1).toLong) }
+        .toSeq.sortBy(-_._1)
+      val p = byBin.map(_._3).sum
+      var tp = 0L; var fp = 0L; var ptp = 0L; var pfp = 0L
+      var sum = 0L
+      for ((_, n, pos) <- byBin) {
+        tp += pos; fp += n - pos
+        val term = (tp.toDouble / p - ptp.toDouble / p) *
+          ((tp.toDouble / (tp + fp) +
+            (if (ptp + pfp == 0) 1.0 else ptp.toDouble / (ptp + pfp))) / 2.0)
+        sum += math.floor(term * 1e12).toLong
+        ptp = tp; pfp = fp
+      }
+      val expected = math.floor(sum / 1e12 * 1e6 + 0.5) / 1e6
+      assert(got(slice) == expected, s"$slice: ${got(slice)} != $expected")
+      // independent convention check: MLlib's exact areaUnderPR on the
+      // raw (score, label) pairs — binning coarsens, so tolerance-based
+      val metrics = new org.apache.spark.mllib.evaluation.BinaryClassificationMetrics(
+        spark.sparkContext.parallelize(
+          rows.toSeq.map { case (_, l, sc) => (sc, l.toDouble) }))
+      assert(math.abs(metrics.areaUnderPR() - got(slice)) < 0.02,
+        s"$slice: MLlib ${metrics.areaUnderPR()} vs ${got(slice)}")
+    }
+  }
+
   test("st_late_events matches an imperative per-user frontier sweep") {
     val ev = spark.read.parquet(s"$sf001/events.parquet")
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
