@@ -622,6 +622,59 @@ object QueriesText {
                round(abs(sim_est - jaccard), 6) AS abs_err
         FROM j"""
 
+  // ---- LSH recall vs exact ground truth ---------------------------------
+  // The measurement that justifies an LSH deployment: of all pairs with
+  // exact shingle-Jaccard ≥ τ, what fraction did the banded MinHash
+  // candidates surface? Ground truth is exact and unblocked — any pair
+  // with J ≥ τ must share a shingle, so the truth set is generated by a
+  // self-join ON the shingle key (no O(N²) pair space; at 100 TB this
+  // join needs df-pruning of stop-shingles, the standard production
+  // mitigation — at fixture scale the raw join is exact and cheap).
+  private val LSH_TAU = 0.5
+  private val lshRecall: Q = (s, d) => {
+    val sh = shingleSet(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val truth = sh.toDF("a_id", "sh")
+      .join(sh.toDF("b_id", "sh"), Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("a_id", "a_sz"), "a_id")
+      .join(sizes.toDF("b_id", "b_sz"), "b_id")
+      .filter(col("inter").cast("double") /
+        (col("a_sz") + col("b_sz") - col("inter")).cast("double") >= LSH_TAU)
+      .select("a_id", "b_id")
+    val cand = dedupMinhash(s, d).select("a_id", "b_id")
+    truth.join(cand.withColumn("hit", lit(1L)), Seq("a_id", "b_id"), "left_outer")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth").cast("double"), 6)
+          .as("recall"))
+  }
+
+  private val lshRecallSql =
+    s"""WITH shd AS (SELECT DISTINCT doc_id, sh
+                     FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("text")}) AS sh
+                           FROM documents)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+        truth AS (SELECT a_id, b_id
+                  FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+                        FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+                  JOIN sizes sa ON sa.doc_id = a_id
+                  JOIN sizes sb ON sb.doc_id = b_id
+                  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+                        >= $LSH_TAU),
+        cand AS (SELECT a_id, b_id FROM ($dedupMinhashSql)),
+        hits AS (SELECT count(*) AS n_truth,
+                        CAST(sum(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                 FROM truth t LEFT JOIN cand c
+                   ON c.a_id = t.a_id AND c.b_id = t.b_id)
+        SELECT n_truth, (SELECT count(*) FROM cand) AS n_cand, n_hit,
+               round(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall
+        FROM hits"""
+
   // ---- language-ID confusion vs the labeled lang column -----------------
   // Curation QA for the classifier itself: confusion counts of predicted
   // vs labeled language, plus each cell's share of its actual-language
@@ -649,6 +702,7 @@ object QueriesText {
     "x_lang_confusion" -> langConfusion,
     "x_dedup_blocks" -> dedupBlocks,
     "a_cms_est" -> cmsEst,
+    "x_lsh_recall" -> lshRecall,
     "x_dedup_exact" -> dedupExact,
     "x_dedup_minhash_lsh" -> dedupMinhash,
     "x_dedup_containment" -> containment,
@@ -669,6 +723,7 @@ object QueriesText {
     "x_lang_confusion" -> langConfusionSql,
     "x_dedup_blocks" -> dedupBlocksSql,
     "a_cms_est" -> cmsEstSql,
+    "x_lsh_recall" -> lshRecallSql,
     "x_dedup_exact" -> dedupExactSql,
     "x_dedup_minhash_lsh" -> dedupMinhashSql,
     "x_dedup_containment" -> containmentSql,
