@@ -299,6 +299,66 @@ object QueriesText {
                round(-CAST(sum(lp6) AS BIGINT) / 1e6 / count(*), 6) AS avg_nll
         FROM gr JOIN lp USING (g) GROUP BY 1"""
 
+  // ---- interpolated Kneser-Ney bigram LM --------------------------------
+  // The smoothing a real LM-based quality filter uses (vs x_charlm_ppl's
+  // raw MLE): P(w2|w1) = (c12 − D)/c1 + (D·N1+(w1,·)/c1)·(N1+(·,w2)/B)
+  // with D = 0.75 — absolute discounting + the continuation-probability
+  // backoff that scores words by how many CONTEXTS they follow, not raw
+  // frequency. All counts are exact integers from three aggregates over
+  // the bigram-type table (type-sized, ≪ token-sized); per-TYPE log
+  // probs are 1e-6-quantized at source, so per-doc sums are exact.
+  private val KND = 0.75
+
+  private def bigramTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .select(col("doc_id"), explode(TextOps.shinglesOf(col("w"), 2)).as("g"))
+      .persist()
+
+  private val knPpl: Q = (s, d) => {
+    val grams = bigramTable(s, d)
+    val lm = grams.groupBy("g").agg(count(lit(1)).as("c2"))
+      .select(col("g"), col("c2"),
+        split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+      .persist()
+    val ctx = lm.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("n1fw"))
+    val bw = lm.groupBy("w2").agg(count(lit(1)).as("n1bw"))
+    val bTot = lm.agg(count(lit(1)).as("bt"))
+    val p = (col("c2").cast("double") - lit(KND)) / col("c1").cast("double") +
+      ((lit(KND) * col("n1fw").cast("double")) / col("c1").cast("double")) *
+        (col("n1bw").cast("double") / col("bt").cast("double"))
+    val lp = lm.join(ctx, "w1").join(bw, "w2").crossJoin(broadcast(bTot))
+      .select(col("g"), floor(log(p) * 1e6 + 0.5).cast("long").as("lp6"))
+    grams.join(lp, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(col("lp6")).cast("double") / 1e6 /
+          count(lit(1)).cast("double"), 6).as("kn_avg_nll"))
+  }
+
+  private val knPplSql =
+    s"""WITH gr AS (SELECT doc_id, unnest(${TextOps.shinglesSql("text", 2)}) AS g
+                    FROM documents),
+        lm AS (SELECT g, count(*) AS c2,
+                      string_split(g, ' ')[1] AS w1,
+                      string_split(g, ' ')[2] AS w2
+               FROM gr GROUP BY 1),
+        ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1fw
+                FROM lm GROUP BY 1),
+        bw AS (SELECT w2, count(*) AS n1bw FROM lm GROUP BY 1),
+        t AS (SELECT count(*) AS bt FROM lm),
+        lp AS (SELECT g,
+                      CAST(floor(ln((CAST(c2 AS DOUBLE) - $KND) / CAST(c1 AS DOUBLE)
+                                    + (($KND * CAST(n1fw AS DOUBLE)) / CAST(c1 AS DOUBLE))
+                                      * (CAST(n1bw AS DOUBLE) / CAST(bt AS DOUBLE)))
+                                 * 1e6 + 0.5) AS BIGINT) AS lp6
+               FROM lm JOIN ctx USING (w1) JOIN bw USING (w2), t)
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(-CAST(sum(lp6) AS BIGINT) / 1e6 / count(*), 6) AS kn_avg_nll
+        FROM gr JOIN lp USING (g) GROUP BY 1"""
+
   // ---- winnowing fingerprints (MOSS) ------------------------------------
   // The document-fingerprint selection scheme of Schleimer/Wilkerson/
   // Aiken: hash every k-shingle, slide a window of W consecutive hashes,
@@ -703,6 +763,7 @@ object QueriesText {
     "x_dedup_blocks" -> dedupBlocks,
     "a_cms_est" -> cmsEst,
     "x_lsh_recall" -> lshRecall,
+    "x_kn_ppl" -> knPpl,
     "x_dedup_exact" -> dedupExact,
     "x_dedup_minhash_lsh" -> dedupMinhash,
     "x_dedup_containment" -> containment,
@@ -724,6 +785,7 @@ object QueriesText {
     "x_dedup_blocks" -> dedupBlocksSql,
     "a_cms_est" -> cmsEstSql,
     "x_lsh_recall" -> lshRecallSql,
+    "x_kn_ppl" -> knPplSql,
     "x_dedup_exact" -> dedupExactSql,
     "x_dedup_minhash_lsh" -> dedupMinhashSql,
     "x_dedup_containment" -> containmentSql,

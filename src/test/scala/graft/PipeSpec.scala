@@ -228,6 +228,39 @@ class PipeSpec extends SparkSuite {
     assert(got.toSeq == expected)
   }
 
+  test("x_kn_ppl matches a driver KN recompute; P(·|w1) sums to 1") {
+    val texts = docs().map { case (id, t, _) => id -> t.split(" ", -1) }
+    val bigrams = texts.flatMap { case (id, w) =>
+      w.sliding(2).filter(_.length == 2).map(p => (id, p(0), p(1))) }
+    val c2 = bigrams.groupBy(b => (b._2, b._3)).map { case (k, g) => k -> g.length.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w1, g) => w1 -> g.values.sum }
+    val n1fw = c2.groupBy(_._1._1).map { case (w1, g) => w1 -> g.size.toLong }
+    val n1bw = c2.groupBy(_._1._2).map { case (w2, g) => w2 -> g.size.toLong }
+    val bTot = c2.size.toLong
+    val D = 0.75
+    def pKn(w1: String, w2: String): Double =
+      (if (c2.contains((w1, w2))) (c2((w1, w2)) - D) / c1(w1) else 0.0) +
+        ((D * n1fw(w1)) / c1(w1)) * (n1bw.getOrElse(w2, 0L).toDouble / bTot)
+    // the defining property of interpolated KN: the conditional sums to
+    // exactly 1 over the full vocabulary (discount mass == backoff mass)
+    val vocab = n1bw.keySet
+    for (w1 <- c1.keysIterator.take(5)) {
+      val total = vocab.iterator.map(w2 => pKn(w1, w2)).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"P(.|$w1) sums to $total")
+    }
+    // per-doc NLL recompute with the engine's per-type 1e-6 quantization
+    val lp6 = c2.keys.map { case (w1, w2) =>
+      (w1, w2) -> math.floor(math.log(pKn(w1, w2)) * 1e6 + 0.5).toLong }.toMap
+    val expected = bigrams.groupBy(_._1).map { case (id, g) =>
+      val s = g.map(b => lp6((b._2, b._3))).sum
+      id -> ((g.length.toLong,
+        math.floor(-s.toDouble / 1e6 / g.length * 1e6 + 0.5) / 1e6))
+    }
+    val got = graft.queries.QueriesText.queries("x_kn_ppl")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+  }
+
   test("o_interval_union matches an imperative interval merge") {
     val iv = spark.read.parquet(s"$sf001/events.parquet")
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("st"),
