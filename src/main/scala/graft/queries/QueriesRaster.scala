@@ -127,6 +127,11 @@ object QueriesRaster {
     Terrain.gapfillNearest(gB(s, d), PixelGrid.W, 3)
   private val gapfillNearestSql = Terrain.gapfillNearestSql(cteB, PixelGrid.W, 3)
 
+  // §2.5 linear gap-fill variant (along-row bracket interpolation)
+  private val gapfillLinear: Q = (s, d) =>
+    Terrain.gapfillLinear(gB(s, d), PixelGrid.W)
+  private val gapfillLinearSql = Terrain.gapfillLinearSql(cteB, PixelGrid.W)
+
   // §2.2 pointwise subtract-constant: bias removal using the stable-zone
   // median (subtract_value_from_raster, variography_uncertainty.py:116–136)
   private val biasRemove: Q = (s, d) => {
@@ -213,6 +218,7 @@ object QueriesRaster {
     "t_roughness" -> roughness,
     "t_gapfill_idw" -> gapfill,
     "t_gapfill_nearest" -> gapfillNearest,
+    "t_gapfill_linear" -> gapfillLinear,
   )
 
   val oracle: Map[String, String] = Map(
@@ -232,5 +238,6 @@ object QueriesRaster {
     "t_roughness" -> roughnessSql,
     "t_gapfill_idw" -> gapfillSql,
     "t_gapfill_nearest" -> gapfillNearestSql,
+    "t_gapfill_linear" -> gapfillLinearSql,
   )
 }

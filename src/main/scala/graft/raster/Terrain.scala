@@ -197,6 +197,67 @@ object Terrain {
         col("d2").cast("int").as("d2"))
   }
 
+  /** Gap-fill by LINEAR interpolation along the row axis
+    * (`fill_no_data` method="linear", differencing_functions.py:587–661 —
+    * scipy's griddata-linear is a 2-D triangulation; this is the
+    * separable 1-D form: each missing cell interpolates between its
+    * nearest valid neighbors left and right in the SAME row, which on
+    * raster gaps is the dominant term of the triangulated fill). Two
+    * IGNORE-NULLS window scans per row — no join at all, and the window
+    * partitions by row, so the pass scales with raster height × width
+    * like every other stencil here. Edge cells with only one bracket
+    * take that bracket's value (scipy's nearest-edge behavior). */
+  def gapfillLinear(px: DataFrame, w: Int): DataFrame = {
+    val spark = px.sparkSession
+    val full = spark.range(w.toLong * w)
+      .select((col("id") % w).cast("int").as("col"),
+              (col("id") / w).cast("int").as("row"))
+    val grid = full.join(px, Seq("col", "row"), "left_outer")
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("row").orderBy("col")
+    val wl = win.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wr = win.rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val vc = when(col("value").isNotNull, col("col"))
+    grid
+      .withColumn("lv", last("value", ignoreNulls = true).over(wl))
+      .withColumn("lc", last(vc, ignoreNulls = true).over(wl))
+      .withColumn("rv", first("value", ignoreNulls = true).over(wr))
+      .withColumn("rc", first(vc, ignoreNulls = true).over(wr))
+      .filter(col("value").isNull)
+      .filter(col("lv").isNotNull || col("rv").isNotNull)
+      .select(col("col"), col("row"),
+        round(when(col("lv").isNull, col("rv"))
+          .when(col("rv").isNull, col("lv"))
+          .otherwise(col("lv") + (col("rv") - col("lv")) *
+            ((col("col") - col("lc")).cast("double") /
+              (col("rc") - col("lc")).cast("double"))), 6).as("filled"))
+  }
+
+  def gapfillLinearSql(gridCte: String, w: Int): String =
+    s"""WITH g AS ($gridCte),
+    full_grid AS (SELECT CAST(i % $w AS INT) AS col, CAST(i // $w AS INT) AS "row"
+                  FROM (SELECT unnest(range(${w.toLong * w})) AS i)),
+    grid AS (SELECT f.col, f."row", g.value
+             FROM full_grid f LEFT JOIN g ON g.col = f.col AND g."row" = f."row"),
+    br AS (SELECT col, "row", value,
+                  last_value(value IGNORE NULLS) OVER (PARTITION BY "row" ORDER BY col
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv,
+                  last_value(CASE WHEN value IS NOT NULL THEN col END IGNORE NULLS)
+                    OVER (PARTITION BY "row" ORDER BY col
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc,
+                  first_value(value IGNORE NULLS) OVER (PARTITION BY "row" ORDER BY col
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rv,
+                  first_value(CASE WHEN value IS NOT NULL THEN col END IGNORE NULLS)
+                    OVER (PARTITION BY "row" ORDER BY col
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rc
+           FROM grid)
+    SELECT col, "row",
+           round(CASE WHEN lv IS NULL THEN rv
+                      WHEN rv IS NULL THEN lv
+                      ELSE lv + (rv - lv) * (CAST(col - lc AS DOUBLE) /
+                                             CAST(rc - lc AS DOUBLE)) END, 6) AS filled
+    FROM br
+    WHERE value IS NULL AND (lv IS NOT NULL OR rv IS NOT NULL)"""
+
   def gapfillNearestSql(gridCte: String, w: Int, maxDist: Int): String =
     s"""WITH g AS ($gridCte),
     full_grid AS (SELECT CAST(i % $w AS INT) AS col, CAST(i // $w AS INT) AS "row"
