@@ -324,12 +324,9 @@ object QueriesPipe {
   // are cumulative starts; covered time is Σ(max end − min start) per
   // island. All arithmetic in exact integer micros. Windows partition
   // by user — no global sort at any scale.
-  private val intervalUnion: Q = (s, d) => {
-    val iv = Tables.events(s, d)
-      .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("st"),
-        (unix_micros(col("ts")) +
-          floor(col("value") * 1e6 + 0.5).cast("long")).as("en"))
+  /** The sweep itself, on any `(user_id, event_id, st, en)` frame —
+    * factored out so PropertySpec can drive it with random intervals. */
+  private[graft] def intervalIslands(iv: DataFrame): DataFrame = {
     val ord = Window.partitionBy("user_id")
       .orderBy(col("st").asc, col("en").asc, col("event_id").asc)
     val swept = iv
@@ -344,6 +341,13 @@ object QueriesPipe {
       .agg(count(lit(1)).as("n_islands"),
         sum(col("is_en") - col("is_st")).as("covered_us"))
   }
+
+  private val intervalUnion: Q = (s, d) =>
+    intervalIslands(Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) +
+          floor(col("value") * 1e6 + 0.5).cast("long")).as("en")))
 
   private val intervalUnionSql =
     """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS st,

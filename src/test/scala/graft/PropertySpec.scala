@@ -108,4 +108,31 @@ class PropertySpec extends SparkSuite {
       }
     } finally { spark.experimental.extraOptimizations = prev; px.unpersist() }
   }
+
+  test("interval islands equal an imperative merge on random interval sets") {
+    val caseGen = for {
+      n <- Gen.choose(0, 60)
+      iv <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 4L)
+        st <- Gen.choose(0L, 500L)
+        len <- Gen.choose(0L, 80L)
+      } yield (u, st, st + len))
+    } yield iv
+    for ((ivs, seed) <- samples(caseGen, 30).zipWithIndex) {
+      val rows = ivs.zipWithIndex.map { case ((u, st, en), i) => (u, i.toLong, st, en) }
+      val got = graft.queries.QueriesPipe.intervalIslands(
+          rows.toDF("user_id", "event_id", "st", "en"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val expected = rows.groupBy(_._1).map { case (u, g) =>
+        val sorted = g.map { case (_, id, s, e) => (s, e, id) }.sorted
+        var islands = List.empty[(Long, Long)]
+        for ((s, e, _) <- sorted) islands match {
+          case (is, ie) :: rest if s <= ie => islands = (is, math.max(ie, e)) :: rest
+          case _ => islands = (s, e) :: islands
+        }
+        u -> ((islands.length.toLong, islands.map(i => i._2 - i._1).sum))
+      }
+      assert(got == expected, s"case $seed: $got vs $expected")
+    }
+  }
 }
