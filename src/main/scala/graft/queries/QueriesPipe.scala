@@ -215,6 +215,94 @@ object QueriesPipe {
         QUALIFY rank <= 20"""
   }
 
+  // ---- g_ppr: personalized PageRank (seeded restart) -------------------
+  // Same edge-partitioned iteration as g_pagerank, but the 0.15 teleport
+  // mass restarts ONLY to a seed set (customers of nation 0) — the
+  // "similar to these" relevance ranking a recommender runs on the
+  // co-purchase graph. Restart weight N/|S| per seed keeps total mass N
+  // (comparable scale to g_pagerank); transfer terms stay 1e-9-quantized
+  // integers. Seeds are graph nodes (customers with ≥1 order), so the
+  // restart vector never resurrects isolated ids.
+  private val ppr: Q = (s, d) => {
+    val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("cust"),
+        (col("l_suppkey") * 2 + 1).as("supp"))
+      .distinct()
+    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+      .persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val seeds = Tables.customer(s, d).filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("src"))
+      .join(deg.select("src"), "src")
+    val totals = deg.agg(count(lit(1)).as("nt"))
+      .crossJoin(seeds.agg(count(lit(1)).as("ns")))
+    val rst = deg.select(col("src"))
+      .join(seeds.withColumn("is_seed", lit(1)), Seq("src"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("src"),
+        when(col("is_seed").isNotNull,
+          col("nt").cast("double") / col("ns").cast("double"))
+          .otherwise(lit(0.0)).as("rst"))
+      .persist()
+    val r0 = rst.select(col("src"), col("rst").as("r"))
+    val rN = (1 to PR_ITERS).foldLeft(r0) { (r, _) =>
+      edges.join(r, "src").join(deg, "src")
+        .select(col("dst"),
+          floor(lit(1e9) * (col("r") / col("deg").cast("double")))
+            .cast("long").as("c"))
+        .groupBy("dst").agg(sum("c").as("sm"))
+        .select(col("dst").as("src"), col("sm"))
+        .join(rst, "src")
+        .select(col("src"),
+          (lit(0.15) * col("rst") +
+            lit(0.85) * (col("sm").cast("double") / 1e9)).as("r"))
+    }
+    rN.select(col("src").as("node"), round(col("r"), 6).as("ppr"))
+      .orderBy(col("ppr").desc, col("node").asc).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("ppr").desc, col("node").asc)))
+      .select("rank", "node", "ppr")
+  }
+
+  private val pprSql = {
+    def step(rin: String, rout: String) =
+      s"""$rout AS (SELECT src,
+                           0.15 * rst + 0.85 * (CAST(sm AS DOUBLE) / 1e9) AS r
+                    FROM (SELECT e.dst AS src,
+                                 sum(CAST(floor(1e9 * (r.r / CAST(deg.deg AS DOUBLE))) AS BIGINT)) AS sm
+                          FROM edges e JOIN $rin r ON e.src = r.src
+                                       JOIN deg ON deg.src = e.src
+                          GROUP BY 1)
+                    JOIN rst USING (src))"""
+    val steps = (1 to PR_ITERS).map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS cust,
+                              l.l_suppkey * 2 + 1 AS supp
+                       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        edges AS (SELECT cust AS src, supp AS dst FROM pairs
+                  UNION ALL
+                  SELECT supp AS src, cust AS dst FROM pairs),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        seeds AS (SELECT DISTINCT c.c_custkey * 2 AS src
+                  FROM customer c JOIN deg ON deg.src = c.c_custkey * 2
+                  WHERE c.c_nationkey = 0),
+        totals AS (SELECT (SELECT count(*) FROM deg) AS nt,
+                          (SELECT count(*) FROM seeds) AS ns),
+        rst AS (SELECT deg.src,
+                       CASE WHEN seeds.src IS NOT NULL
+                            THEN CAST(nt AS DOUBLE) / CAST(ns AS DOUBLE)
+                            ELSE 0.0 END AS rst
+                FROM deg LEFT JOIN seeds ON seeds.src = deg.src, totals),
+        r0 AS (SELECT src, rst AS r FROM rst),
+        $steps
+        SELECT CAST(row_number() OVER (ORDER BY round(r, 6) DESC, src ASC) AS INT) AS rank,
+               src AS node, round(r, 6) AS ppr
+        FROM r$PR_ITERS
+        QUALIFY rank <= 20"""
+  }
+
   // ---- st_late_events: watermark-lateness accounting -------------------
   // Batch twin of the streaming question "how late does this source
   // deliver?": per user, arrival order is event_id; the frontier is the
@@ -401,6 +489,7 @@ object QueriesPipe {
     "x_pipeline_keep" -> pipelineKeep,
     "x_bm25_topk" -> bm25TopK,
     "g_pagerank" -> pagerank,
+    "g_ppr" -> ppr,
     "st_late_events" -> lateEvents,
     "st_join_enrich" -> joinEnrich,
     "a_grouping_sets" -> groupingSets,
@@ -411,6 +500,7 @@ object QueriesPipe {
     "x_pipeline_keep" -> pipelineKeepSql,
     "x_bm25_topk" -> bm25TopKSql,
     "g_pagerank" -> pagerankSql,
+    "g_ppr" -> pprSql,
     "st_late_events" -> lateEventsSql,
     "st_join_enrich" -> joinEnrichSql,
     "a_grouping_sets" -> groupingSetsSql,

@@ -180,6 +180,53 @@ class PipeSpec extends SparkSuite {
     }
   }
 
+  test("g_ppr matches a driver recompute and restarts only to seeds") {
+    val edges = spark.read.parquet(s"$sf001/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(spark.read.parquet(s"$sf001/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val seedCust = spark.read.parquet(s"$sf001/customer.parquet")
+      .filter(col("c_nationkey") === 0).select((col("c_custkey") * 2).as("n"))
+      .collect().map(_.getLong(0)).toSet
+    val sym = edges.flatMap { case (c, s) => Seq(c -> s, s -> c) }
+    val deg = sym.groupBy(_._1).map { case (k, g) => k -> g.length }
+    val seeds = deg.keySet.filter(seedCust)
+    val restart = deg.map { case (k, _) =>
+      k -> (if (seeds(k)) deg.size.toDouble / seeds.size else 0.0) }
+    var r = restart
+    for (_ <- 1 to 3) {
+      val contrib = r.map { case (k, v) =>
+        k -> math.floor(1e9 * (v / deg(k).toDouble)).toLong }
+      val in = sym.groupBy(_._2).map { case (dst, g) =>
+        dst -> g.map(e => contrib(e._1)).sum }
+      r = in.map { case (k, sm) =>
+        k -> (0.15 * restart(k) + 0.85 * (sm.toDouble / 1e9)) }
+    }
+    val expected = r.toSeq
+      .map { case (k, v) => (math.floor(v * 1e6 + 0.5) / 1e6, k) }
+      .sortBy { case (v, k) => (-v, k) }.take(20)
+    val got = QueriesPipe.queries("g_ppr")(spark, sf001)
+      .orderBy("rank").collect().map(row => (row.getDouble(2), row.getLong(1)))
+    assert(got.toSeq == expected)
+    // personalization property: the restart vector must actually change
+    // the ranking relative to uniform PageRank on the same graph, and
+    // seed customers must outrank non-seed customers on average (the
+    // graph is dense enough that hop-distance properties are vacuous)
+    val uniTop = QueriesPipe.queries("g_pagerank")(spark, sf001)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(got.map(_._2).toSeq != uniTop, "personalization changed nothing")
+    val custRanks = r.toSeq.filter(_._1 % 2 == 0)
+      .sortBy { case (k, v) => (-v, k) }.map(_._1).zipWithIndex.toMap
+    val seedMean = seeds.toSeq.map(custRanks).sum.toDouble / seeds.size
+    val others = custRanks.keySet -- seeds
+    val otherMean = others.toSeq.map(custRanks).sum.toDouble / others.size
+    assert(seedMean < otherMean,
+      s"seed customers should outrank non-seeds ($seedMean vs $otherMean)")
+  }
+
   test("st_late_events matches an imperative per-user frontier sweep") {
     val ev = spark.read.parquet(s"$sf001/events.parquet")
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
