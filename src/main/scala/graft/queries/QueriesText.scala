@@ -557,6 +557,39 @@ object QueriesText {
       .agg(count(lit(1)).as("n_docs"), sum("nw").as("ws_tokens"),
         sum("bpe").as("est_bpe_tokens"), sum("nv").as("vowel_chars"))
 
+  // ---- regex pre-tokenizer counts ---------------------------------------
+  // The BPE-style PRE-tokenization pass (GPT-2's splitter reduced to its
+  // RE2-safe core: letter runs | digit runs | single non-alphanumeric) —
+  // the real unit a byte-pair tokenizer would merge within, vs x_tokens's
+  // chars/4-style estimate. One alternation pattern evaluated by BOTH
+  // engines (plain classes, no lookahead — Java regex and DuckDB's RE2
+  // agree exactly); counts are exact integers, one aggregate per source.
+  private val TOKPAT = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  private val tokensRegex: Q = (s, d) =>
+    Tables.documents(s, d).select(col("source"),
+        size(expr(s"regexp_extract_all(text, '$TOKPAT', 0)")).cast("long").as("nt"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").as("nl"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").as("nd"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nt").as("regex_tokens"),
+        sum("nl").as("letter_runs"),
+        sum("nd").as("digit_runs"),
+        max("nt").as("max_doc_tokens"))
+
+  private val tokensRegexSql =
+    s"""SELECT source, count(*) AS n_docs,
+              CAST(sum(nt) AS BIGINT) AS regex_tokens,
+              CAST(sum(nl) AS BIGINT) AS letter_runs,
+              CAST(sum(nd) AS BIGINT) AS digit_runs,
+              CAST(max(nt) AS BIGINT) AS max_doc_tokens
+       FROM (SELECT source,
+                    len(regexp_extract_all(text, '$TOKPAT')) AS nt,
+                    len(regexp_extract_all(text, '[a-z]+')) AS nl,
+                    len(regexp_extract_all(text, '[0-9]+')) AS nd
+             FROM documents)
+       GROUP BY 1"""
+
   // Sums CAST to BIGINT: DuckDB sum(INTEGER/BIGINT) -> HUGEINT, a
   // different serialized type than Spark's LongType (round-1 gate
   // recorded hash_match:false on identical values).
@@ -764,6 +797,7 @@ object QueriesText {
     "a_cms_est" -> cmsEst,
     "x_lsh_recall" -> lshRecall,
     "x_kn_ppl" -> knPpl,
+    "x_tokens_regex" -> tokensRegex,
     "x_dedup_exact" -> dedupExact,
     "x_dedup_minhash_lsh" -> dedupMinhash,
     "x_dedup_containment" -> containment,
@@ -786,6 +820,7 @@ object QueriesText {
     "a_cms_est" -> cmsEstSql,
     "x_lsh_recall" -> lshRecallSql,
     "x_kn_ppl" -> knPplSql,
+    "x_tokens_regex" -> tokensRegexSql,
     "x_dedup_exact" -> dedupExactSql,
     "x_dedup_minhash_lsh" -> dedupMinhashSql,
     "x_dedup_containment" -> containmentSql,
