@@ -359,6 +359,94 @@ object QueriesText {
                round(-CAST(sum(lp6) AS BIGINT) / 1e6 / count(*), 6) AS kn_avg_nll
         FROM gr JOIN lp USING (g) GROUP BY 1"""
 
+  // ---- trigram Kneser-Ney (backoff chain through the bigram layer) ------
+  // P₃(w3|w1w2) = (c123 − D)/c12 + (D·N1+(w1w2,·)/c12) · P₂(w3|w2), with
+  // P₂ EXACTLY the interpolated bigram KN above — the hierarchical
+  // backoff chain a real n-gram LM runs (middle layer uses raw bigram
+  // counts rather than continuation counts: the common
+  // raw-backoff simplification, shared by both engines and stated here
+  // rather than hidden). Everything flows through TYPE tables (trigram
+  // types ⋈ bigram types on (w2,w3)); per-type log-probs are
+  // 1e-6-quantized so per-doc sums stay exact.
+  private def trigramTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .select(col("doc_id"), explode(TextOps.shinglesOf(col("w"), 3)).as("g"))
+      .persist()
+
+  private val kn3Ppl: Q = (s, d) => {
+    val grams3 = trigramTable(s, d)
+    val lm3 = grams3.groupBy("g").agg(count(lit(1)).as("c123"))
+      .select(col("g"), col("c123"),
+        concat_ws(" ", split(col("g"), " ").getItem(0),
+          split(col("g"), " ").getItem(1)).as("ctx"),
+        concat_ws(" ", split(col("g"), " ").getItem(1),
+          split(col("g"), " ").getItem(2)).as("bg"))
+      .persist()
+    val ctx3 = lm3.groupBy("ctx")
+      .agg(sum("c123").as("c12"), count(lit(1)).as("n1fw12"))
+    // bigram interpolated-KN layer (same derivation as x_kn_ppl)
+    val grams2 = bigramTable(s, d)
+    val lm2 = grams2.groupBy("g").agg(count(lit(1)).as("c2"))
+      .select(col("g").as("bg"), col("c2"),
+        split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+      .persist()
+    val ctx2 = lm2.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("n1fw"))
+    val bw2 = lm2.groupBy("w2").agg(count(lit(1)).as("n1bw"))
+    val bTot = lm2.agg(count(lit(1)).as("bt"))
+    val p2 = (col("c2").cast("double") - lit(KND)) / col("c1").cast("double") +
+      ((lit(KND) * col("n1fw").cast("double")) / col("c1").cast("double")) *
+        (col("n1bw").cast("double") / col("bt").cast("double"))
+    val pb = lm2.join(ctx2, "w1").join(bw2, "w2").crossJoin(broadcast(bTot))
+      .select(col("bg"), p2.as("p2"))
+    val p3 = (col("c123").cast("double") - lit(KND)) / col("c12").cast("double") +
+      ((lit(KND) * col("n1fw12").cast("double")) / col("c12").cast("double")) *
+        col("p2")
+    val lp = lm3.join(ctx3, "ctx").join(pb, "bg")
+      .select(col("g"), floor(log(p3) * 1e6 + 0.5).cast("long").as("lp6"))
+    grams3.join(lp, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(-sum(col("lp6")).cast("double") / 1e6 /
+          count(lit(1)).cast("double"), 6).as("kn3_avg_nll"))
+  }
+
+  private val kn3PplSql =
+    s"""WITH gr3 AS (SELECT doc_id, unnest(${TextOps.shinglesSql("text", 3)}) AS g
+                     FROM documents),
+        lm3 AS (SELECT g, count(*) AS c123,
+                       string_split(g, ' ')[1] || ' ' || string_split(g, ' ')[2] AS ctx,
+                       string_split(g, ' ')[2] || ' ' || string_split(g, ' ')[3] AS bg
+                FROM gr3 GROUP BY 1),
+        ctx3 AS (SELECT ctx, CAST(sum(c123) AS BIGINT) AS c12, count(*) AS n1fw12
+                 FROM lm3 GROUP BY 1),
+        gr2 AS (SELECT doc_id, unnest(${TextOps.shinglesSql("text", 2)}) AS g
+                FROM documents),
+        lm2 AS (SELECT g AS bg, count(*) AS c2,
+                       string_split(g, ' ')[1] AS w1,
+                       string_split(g, ' ')[2] AS w2
+                FROM gr2 GROUP BY 1),
+        ctx2 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1fw
+                 FROM lm2 GROUP BY 1),
+        bw2 AS (SELECT w2, count(*) AS n1bw FROM lm2 GROUP BY 1),
+        t AS (SELECT count(*) AS bt FROM lm2),
+        pb AS (SELECT bg,
+                      (CAST(c2 AS DOUBLE) - $KND) / CAST(c1 AS DOUBLE)
+                      + (($KND * CAST(n1fw AS DOUBLE)) / CAST(c1 AS DOUBLE))
+                        * (CAST(n1bw AS DOUBLE) / CAST(bt AS DOUBLE)) AS p2
+               FROM lm2 JOIN ctx2 USING (w1) JOIN bw2 USING (w2), t),
+        lp AS (SELECT g,
+                      CAST(floor(ln((CAST(c123 AS DOUBLE) - $KND) / CAST(c12 AS DOUBLE)
+                                    + (($KND * CAST(n1fw12 AS DOUBLE)) / CAST(c12 AS DOUBLE))
+                                      * p2)
+                                 * 1e6 + 0.5) AS BIGINT) AS lp6
+               FROM lm3 JOIN ctx3 USING (ctx) JOIN pb USING (bg))
+        SELECT doc_id, count(*) AS n_trigrams,
+               round(-CAST(sum(lp6) AS BIGINT) / 1e6 / count(*), 6) AS kn3_avg_nll
+        FROM gr3 JOIN lp USING (g) GROUP BY 1"""
+
   // ---- winnowing fingerprints (MOSS) ------------------------------------
   // The document-fingerprint selection scheme of Schleimer/Wilkerson/
   // Aiken: hash every k-shingle, slide a window of W consecutive hashes,
@@ -798,6 +886,7 @@ object QueriesText {
     "x_lsh_recall" -> lshRecall,
     "x_kn_ppl" -> knPpl,
     "x_tokens_regex" -> tokensRegex,
+    "x_kn3_ppl" -> kn3Ppl,
     "x_dedup_exact" -> dedupExact,
     "x_dedup_minhash_lsh" -> dedupMinhash,
     "x_dedup_containment" -> containment,
@@ -821,6 +910,7 @@ object QueriesText {
     "x_lsh_recall" -> lshRecallSql,
     "x_kn_ppl" -> knPplSql,
     "x_tokens_regex" -> tokensRegexSql,
+    "x_kn3_ppl" -> kn3PplSql,
     "x_dedup_exact" -> dedupExactSql,
     "x_dedup_minhash_lsh" -> dedupMinhashSql,
     "x_dedup_containment" -> containmentSql,

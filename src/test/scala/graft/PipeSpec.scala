@@ -308,6 +308,48 @@ class PipeSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("x_kn3_ppl matches a driver recompute; trigram chain sums to 1") {
+    val texts = docs().map { case (id, t, _) => id -> t.split(" ", -1) }
+    val D = 0.75
+    // bigram layer (identical to the x_kn_ppl recompute)
+    val bi = texts.flatMap { case (_, w) => w.sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))) }
+    val c2 = bi.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w1, g) => w1 -> g.values.sum }
+    val n1fw = c2.groupBy(_._1._1).map { case (w1, g) => w1 -> g.size.toLong }
+    val n1bw = c2.groupBy(_._1._2).map { case (w2, g) => w2 -> g.size.toLong }
+    val bTot = c2.size.toLong
+    def p2(w1: String, w2: String): Double =
+      (if (c2.contains((w1, w2))) (c2((w1, w2)) - D) / c1(w1) else 0.0) +
+        ((D * n1fw(w1)) / c1(w1)) * (n1bw.getOrElse(w2, 0L).toDouble / bTot)
+    // trigram layer
+    val tri = texts.flatMap { case (id, w) => w.sliding(3).filter(_.length == 3)
+      .map(p => (id, p(0), p(1), p(2))) }
+    val c123 = tri.groupBy(t => (t._2, t._3, t._4)).map { case (k, g) => k -> g.length.toLong }
+    val c12 = c123.groupBy(k => (k._1._1, k._1._2)).map { case (k, g) => k -> g.values.sum }
+    val n1fw12 = c123.groupBy(k => (k._1._1, k._1._2)).map { case (k, g) => k -> g.size.toLong }
+    def p3(w1: String, w2: String, w3: String): Double =
+      (if (c123.contains((w1, w2, w3))) (c123((w1, w2, w3)) - D) / c12((w1, w2)) else 0.0) +
+        ((D * n1fw12((w1, w2))) / c12((w1, w2))) * p2(w2, w3)
+    // chain normalization: backoff through a normalized P₂ keeps
+    // Σ_w3 P₃(w3|w1w2) = 1 over the full vocabulary
+    val vocab = texts.flatMap(_._2).toSet
+    for ((w1, w2) <- c12.keysIterator.take(3)) {
+      val total = vocab.iterator.map(w3 => p3(w1, w2, w3)).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"P(.|$w1 $w2) sums to $total")
+    }
+    val lp6 = c123.keys.map { case (a, b, c) =>
+      (a, b, c) -> math.floor(math.log(p3(a, b, c)) * 1e6 + 0.5).toLong }.toMap
+    val expected = tri.groupBy(_._1).map { case (id, g) =>
+      val s = g.map(t => lp6((t._2, t._3, t._4))).sum
+      id -> ((g.length.toLong,
+        math.floor(-s.toDouble / 1e6 / g.length * 1e6 + 0.5) / 1e6))
+    }
+    val got = graft.queries.QueriesText.queries("x_kn3_ppl")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+  }
+
   test("o_interval_union matches an imperative interval merge") {
     val iv = spark.read.parquet(s"$sf001/events.parquet")
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("st"),
