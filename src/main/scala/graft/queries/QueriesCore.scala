@@ -39,10 +39,14 @@ object QueriesCore {
   // (variography_uncertainty.py:253–260)
   private val percentileClip: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
-    // rank-selected exact quantiles (TakeOrderedAndProject) instead of the
-    // single-threaded Percentile buffer agg — see ExactQuantile scaladoc
-    val lo = graft.functions.ExactQuantile.quantile(li, "l_extendedprice", 0.01)
-    val hi = graft.functions.ExactQuantile.quantile(li, "l_extendedprice", 0.99)
+    // value-range bisection quantiles: every probe is a scan+count, so no
+    // TakeOrdered retains k≈p·n rows per partition (see ExactQuantile
+    // scaladoc — the 100-TB clip-quantile path). Batched: both bounds
+    // bisect in lockstep, ≤ ~64 probe scans total over the cached column.
+    val px = li.select(col("l_extendedprice").cast("double").as("x")).persist()
+    val qs = graft.functions.ExactQuantile.quantilesByBisection(px, "x", Seq(0.01, 0.99))
+    px.unpersist(blocking = false)
+    val (lo, hi) = (qs(0.01), qs(0.99))
     li.filter(col("l_extendedprice").between(lit(lo), lit(hi)))
       .agg(count(lit(1)).as("n"),
         round(avg("l_extendedprice"), 6).as("mean_price"),
@@ -196,9 +200,16 @@ object QueriesCore {
     """SELECT o_orderkey, o_orderdate, round(o_totalprice, 6) AS price
        FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 100"""
 
-  // §2.6 pick-by-index (`pick`, differencing_functions.py:516–574)
+  // §2.6 pick-by-index (`pick`, differencing_functions.py:516–574).
+  // The largest requested index is a CONSTANT (1000), so take the global
+  // top-1000 first (TakeOrderedAndProject: per-partition top-k, driver
+  // merges k rows) and rank only those — the unpartitioned window then
+  // runs on ≤1000 rows instead of the whole table.
   private val pickIndex: Q = (s, d) =>
     Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .limit(1000)
       .withColumn("idx", row_number().over(
         Window.orderBy(col("o_orderdate"), col("o_orderkey"))).cast("long"))
       .filter(col("idx").isin(1, 500, 1000))

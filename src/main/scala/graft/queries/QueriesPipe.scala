@@ -32,6 +32,7 @@ object QueriesPipe {
   // on header-duplicated docs even when bodies differ.
   private val pipelineKeep: Q = (s, d) => {
     val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
         TextOps.words(col("text")).as("w"), col("text"))
       .select(col("doc_id"), col("lang"), size(col("w")).as("nw"),
@@ -52,7 +53,8 @@ object QueriesPipe {
 
   private val pipelineKeepSql = {
     val stop = TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH m AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    s"""WITH m AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+                   FROM documents WHERE text IS NOT NULL),
         docs AS (SELECT doc_id, lang, len(w) AS nw,
                         CAST(len(list_filter(w, x -> list_contains($stop, x))) AS DOUBLE)
                           / len(w) AS sr,
@@ -65,7 +67,7 @@ object QueriesPipe {
                     WHEN sr < 0.02 THEN 'low_stopword'
                     WHEN lang NOT IN ('en', 'es', 'fr') THEN 'lang_filter'
                     ELSE 'keep' END AS reason,
-               nw AS n_words, round(sr, 6) AS stopword_ratio,
+               CAST(nw AS INT) AS n_words, round(sr, 6) AS stopword_ratio,
                (CASE WHEN doc_id <> keep_id THEN 'duplicate'
                      WHEN nw < 20 THEN 'too_short'
                      WHEN sr < 0.02 THEN 'low_stopword'
@@ -335,8 +337,9 @@ object QueriesPipe {
                      CASE WHEN frontier > us THEN frontier - us ELSE 0 END AS late_us
               FROM t)
         SELECT user_id, count(*) AS n_events,
-               sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS n_late,
-               max(late_us) AS max_late_us, sum(late_us) AS total_late_us
+               CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+               max(late_us) AS max_late_us,
+               CAST(sum(late_us) AS BIGINT) AS total_late_us
         FROM l GROUP BY 1"""
 
   // ---- st_join_enrich: left-outer interval join batch twin -------------
@@ -456,7 +459,7 @@ object QueriesPipe {
         per AS (SELECT user_id, island, min(st) AS is_st, max(en) AS is_en
                 FROM isl GROUP BY 1, 2)
         SELECT user_id, count(*) AS n_islands,
-               sum(is_en - is_st) AS covered_us
+               CAST(sum(is_en - is_st) AS BIGINT) AS covered_us
         FROM per GROUP BY 1"""
 
   // ---- o_latest_by_key: CDC latest-wins compaction ---------------------

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Canon.round
 import graft.geom.Geom
-import graft.raster.{PixelGrid, Terrain}
+import graft.raster.{PixelGrid, Terrain, TiledGapfill}
 import graft.zonal.Zonal
 
 /** Raster-model operators (SURVEY.md §2.1, §2.3, §2.5): differencing join,
@@ -127,6 +127,16 @@ object QueriesRaster {
     Terrain.gapfillNearest(gB(s, d), PixelGrid.W, 3)
   private val gapfillNearestSql = Terrain.gapfillNearestSql(cteB, PixelGrid.W, 3)
 
+  // §2.5 2-D gap-fill via HALO TILES: identical IDW semantics to
+  // t_gapfill_idw, but executed as a per-tile imperative kernel with an
+  // R-halo — the physical shape that survives a wide search radius at
+  // 100 TB (offset-explode multiplies every pixel by (2R+1)²; halo tiles
+  // replicate only border pixels). Sharing t_gapfill_idw's oracle SQL is
+  // the point: the gate proves kernel ≡ join-stencil ≡ DuckDB bit-for-bit.
+  private val gapfill2d: Q = (s, d) =>
+    TiledGapfill.gapfillIdwTiled(gB(s, d), PixelGrid.W, 3, tile = 16)
+  private val gapfill2dSql = Terrain.gapfillIdwSql(cteB, PixelGrid.W, 3)
+
   // §2.5 linear gap-fill variant (along-row bracket interpolation)
   private val gapfillLinear: Q = (s, d) =>
     Terrain.gapfillLinear(gB(s, d), PixelGrid.W)
@@ -219,6 +229,7 @@ object QueriesRaster {
     "t_gapfill_idw" -> gapfill,
     "t_gapfill_nearest" -> gapfillNearest,
     "t_gapfill_linear" -> gapfillLinear,
+    "t_gapfill_2d" -> gapfill2d,
   )
 
   val oracle: Map[String, String] = Map(
@@ -239,5 +250,6 @@ object QueriesRaster {
     "t_gapfill_idw" -> gapfillSql,
     "t_gapfill_nearest" -> gapfillNearestSql,
     "t_gapfill_linear" -> gapfillLinearSql,
+    "t_gapfill_2d" -> gapfill2dSql,
   )
 }

@@ -57,9 +57,10 @@ object QueriesVario {
   // (bootstrap_uncertainty_subsample, variography_uncertainty.py:289–316)
   private val bootstrapMedian: Q = (s, d) => {
     val spark = s
-    val pts = Vario.points(s, d)
-      .withColumn("idx", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("k")))
+    // two-level global rank: the 1..n draw index without funneling the
+    // point table through one unpartitioned window (see GlobalRank)
+    val pts = graft.functions.GlobalRank.withGlobalIndex(
+      Vario.points(s, d), "idx", col("k"))
     val n = pts.agg(count(lit(1)).as("nn"))
     val draws = spark.range(200L * 500)
       .select((col("id") / 500).cast("int").as("iter"), col("id").as("ctr"))

@@ -20,39 +20,67 @@ object Zonal {
   /** 12-stat aggregate over column `v` of a zone-tagged table
     * `[name, v]`, per zone plus an 'ALL' rollup row.
     *
-    * Quantiles are computed by WINDOW-RANK SELECTION, not Spark's
-    * `Percentile` aggregate: `Percentile` buffers every value per group
-    * and merges on one thread (9s at sf0.1 for this query); ranking
-    * within each zone and picking the two order statistics around
-    * p·(n−1) is one shuffle, sorts zones in parallel, and produces the
-    * identical linear-interpolated exact quantile. The ALL rollup row is
-    * realized by doubling the tag stream with name='ALL' so every group
-    * (including ALL) flows through the same single groupBy. */
+    * Quantiles are computed by RANK SELECTION, not Spark's `Percentile`
+    * aggregate: `Percentile` buffers every value per group and merges on
+    * one thread (9s at sf0.1 for this query); picking the two order
+    * statistics around p·(n−1) shuffles once and produces the identical
+    * linear-interpolated exact quantile. Per-zone ranks come from a
+    * window partitioned by zone (zones sort in parallel). The ALL row
+    * uses a TWO-LEVEL GLOBAL RANK instead of one whole-table window
+    * partition (which funnels 100 TB through a single reducer):
+    * range-partition on v, rank within each partition, then add
+    * per-partition offsets from a numPartitions-row side table — every
+    * sort is bounded at n/P rows and the only unpartitioned windows run
+    * over the P-row counts table. */
   def descriptiveStats(tagged: DataFrame, v: String = "v"): DataFrame = {
     val x = col(v)
-    val all = tagged.select(lit("ALL").as("name"), x.as(v))
-    val t2 = tagged.select(col("name"), x.as(v)).unionAll(all)
-    val ranked = t2
-      .withColumn("rn", row_number().over(Window.partitionBy("name").orderBy(x)))
-      .withColumn("nn", count(lit(1)).over(Window.partitionBy("name")))
     // p25/p75 cover the reference's exploratory-stats variant
     // (plot_data_stats, variography_uncertainty.py:243–257)
     val ps = Seq(0.5 -> "med", 0.005 -> "q005", 0.995 -> "q995",
       0.25 -> "q25", 0.75 -> "q75")
-    val qAggs = ps.flatMap { case (p, tag) =>
-      val pos = lit(p) * (col("nn") - 1)
-      Seq(max(when(col("rn") === floor(pos) + 1, x)).as(s"${tag}_lo"),
-          max(when(col("rn") === ceil(pos) + 1, x)).as(s"${tag}_hi"))
+    def qAggs(rn: Column, nn: Column) = ps.flatMap { case (p, tag) =>
+      val pos = lit(p) * (nn - 1)
+      Seq(max(when(rn === floor(pos) + 1, x)).as(s"${tag}_lo"),
+          max(when(rn === ceil(pos) + 1, x)).as(s"${tag}_hi"))
     }
-    val aggs = Seq(
+    val momentAggs = Seq(
       avg(x).as("m1"),
       avg(x * x).as("m2r"),
       avg(x * x * x).as("m3r"),
       avg(x * x * x * x).as("m4r"),
       round(min(x), 6).as("min_v"),
-      round(max(x), 6).as("max_v")) ++ qAggs
-    val base0 = ranked.groupBy("name")
-      .agg(count(lit(1)).as("n"), aggs: _*)
+      round(max(x), 6).as("max_v"))
+
+    val zoneRanked = tagged.select(col("name"), x.as(v))
+      .withColumn("rn", row_number().over(Window.partitionBy("name").orderBy(x)))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy("name")))
+    val zoneBase = zoneRanked.groupBy("name")
+      .agg(count(lit(1)).as("n"),
+        (momentAggs ++ qAggs(col("rn"), col("nn"))): _*)
+
+    // ALL row: global rank with no whole-table window partition. The two
+    // consumers of `parts` share the range-exchange via ReusedExchange.
+    val parts = tagged.select(x.as(v))
+      .repartitionByRange(col(v))
+      .withColumn("pid", spark_partition_id())
+    val local = parts
+      .withColumn("rn0", row_number().over(Window.partitionBy("pid").orderBy(x)))
+    val counts = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val offs = counts // ≤ numPartitions rows: bounded unpartitioned windows
+      .withColumn("off", coalesce(sum("cnt").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("nn", sum("cnt").over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val allRanked = local
+      .join(broadcast(offs.select("pid", "off", "nn")), "pid")
+      .withColumn("rn", col("off") + col("rn0"))
+    val allBase = allRanked
+      .agg(count(lit(1)).as("n"),
+        (momentAggs ++ qAggs(col("rn"), col("nn"))): _*)
+      .withColumn("name", lit("ALL"))
+      .select("name", zoneBase.columns.filter(_ != "name"): _*)
+
+    val base0 = zoneBase.unionByName(allBase)
     def interp(p: Double, tag: String): Column = {
       val pos = lit(p) * (col("n") - 1)
       round(col(s"${tag}_lo") +
@@ -99,10 +127,11 @@ object Zonal {
 
   /** The tagged table is persisted and shared: the stats and mode sides
     * each consume it once, so the upstream zone-tagging pipeline runs
-    * once, not twice. (The final stats⋈modes join is a join of two
-    * derivations of the same frame — fine under the
-    * failAmbiguousSelfJoin=false every main and the test session set;
-    * `build` stays a thunk only for source compatibility.) */
+    * once, not twice. The stats⋈modes join condition uses PLAIN NAME
+    * references (`col("name") === col("mname")`), not dataset-tagged
+    * `df("col")` ones, so it analyzes in a default session — no
+    * failAmbiguousSelfJoin=false dependency even though both sides
+    * derive from the same persisted frame. */
   def statsWithMode(build: () => DataFrame, v: String = "v",
       share: Boolean = true): DataFrame = {
     // share=false: when the tagged table is a bare column projection of
@@ -110,7 +139,7 @@ object Zonal {
     val z = if (share) build().persist() else build()
     val st = descriptiveStats(if (share) z else build(), v)
     val md = modes(z, v).withColumnRenamed("name", "mname")
-    st.join(md, st("name") === md("mname")).drop("mname")
+    st.join(md, col("name") === col("mname")).drop("mname")
   }
 
   /** Oracle SQL over a CTE `z(name, v)` producing the same 13 columns.

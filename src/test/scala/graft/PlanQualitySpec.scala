@@ -53,4 +53,46 @@ class PlanQualitySpec extends SparkSuite {
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
       s"filters should push into the scan:\n$p")
   }
+
+  test("s_percentile_clip: no rank-selection limit in the plan (bisection path)") {
+    // the clip quantiles come from value-range bisection (scan+count probes),
+    // so the final plan must not retain a TakeOrdered with k ≈ p·n rows
+    val p = run(graft.queries.QueriesCore.queries, "s_percentile_clip")
+    assert(!p.contains("TakeOrderedAndProject"),
+      s"clip quantiles must not plan a data-sized TakeOrdered:\n$p")
+  }
+
+  test("bounded-window discipline: every unpartitioned WindowExec sits above an aggregate or limit") {
+    // a Window with no PARTITION BY funnels its whole input through one
+    // reducer — acceptable ONLY above an aggregate/limit whose output is
+    // provably bounded (score bins, top-k, scalar totals). Walk every
+    // query's physical plan so a future unbounded one cannot hide.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p match {
+        case a: AdaptiveSparkPlanExec => flatten(a.inputPlan)
+        case o => (o.children ++ o.subqueries).flatMap(flatten)
+      })
+    def bounded(p: SparkPlan): Boolean = flatten(p).exists {
+      case _: BaseAggregateExec | _: GlobalLimitExec | _: LocalLimitExec |
+          _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
+      case _ => false
+    }
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try flatten(fn(spark, sf001).queryExecution.executedPlan).foreach {
+        case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) =>
+          offenders += s"$name: Window ${w.windowExpression.mkString(",").take(100)}"
+        case _ => ()
+      } catch {
+        case e: Throwable => offenders += s"$name: plan build failed: ${e.getMessage}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unbounded whole-table windows (or unplannable queries):\n${offenders.mkString("\n")}")
+  }
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.raster.{Terrain, TiledGapfill}
+import graft.zonal.Zonal
+
+class TiledGapfillSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("halo-tile gapfill: constant field fills constant across tile borders") {
+    val w = 40 // 16-tile grid boundaries at 16 and 32 sit inside the raster
+    val px = (for (r <- 0 until w; c <- 0 until w if (c * 31 + r * 17) % 5 != 0)
+      yield (c, r, 7.25)).toDF("col", "row", "value")
+    val filled = TiledGapfill.gapfillIdwTiled(px, w, 3, tile = 16).collect()
+    assert(filled.nonEmpty)
+    filled.foreach(r => assert(r.getDouble(2) == 7.25,
+      s"constant-field fill must be the constant, got $r"))
+  }
+
+  test("halo-tile gapfill ≡ offset-explode gapfill, bit for bit") {
+    val w = 37 // not a tile multiple: exercises clipped edge tiles
+    val px = (for (r <- 0 until w; c <- 0 until w if (c * 13 + r * 29) % 3 != 0)
+      yield (c, r, ((c * 7919 + r * 104729) % 1000) / 7.0)).toDF("col", "row", "value")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    val join = asSet(Terrain.gapfillIdw(px, w, 3))
+    val tiled = asSet(TiledGapfill.gapfillIdwTiled(px, w, 3, tile = 16))
+    assert(join == tiled,
+      s"halo-tile kernel diverged: only-join=${(join -- tiled).take(3)} " +
+        s"only-tiled=${(tiled -- join).take(3)}")
+  }
+
+  test("statsWithMode analyzes in a DEFAULT session (no failAmbiguousSelfJoin dependency)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "true")
+    val tagged = s2.createDataFrame(Seq(
+      ("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0), ("b", 5.0)))
+      .toDF("name", "v")
+    val out = Zonal.statsWithMode(() => tagged, "v").collect()
+    assert(out.map(_.getString(0)).sorted.toSeq == Seq("ALL", "a", "b"))
+  }
+}

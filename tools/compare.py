@@ -41,19 +41,31 @@ def main():
         if not os.path.isdir(spark_dir):
             print(f"MISSING  {name} (no spark output)"); n_bad += 1; continue
         try:
-            o = con.execute(sql)
-            ocols = [d[0] for d in o.description]; orows = o.fetchall()
+            orel = con.sql(sql)
+            ocols = list(orel.columns)
+            otypes = dict(zip(ocols, [str(t) for t in orel.types]))
+            orows = orel.fetchall()
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}"); n_bad += 1; continue
         try:
-            s = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'")
-            scols = [d[0] for d in s.description]; srows = s.fetchall()
+            srel = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
+            scols = list(srel.columns)
+            stypes = dict(zip(scols, [str(t) for t in srel.types]))
+            srows = srel.fetchall()
         except Exception as e:
             print(f"SPARK-ERR {name}: {e}"); n_bad += 1; continue
         oc, orows = canon(orows, ocols)
         sc, srows = canon(srows, scols)
         if oc != sc:
             print(f"SCHEMA   {name}: oracle={oc} spark={sc}"); n_bad += 1; continue
+        # dtype parity: the driver's hasher is dtype-sensitive (HUGEINT vs
+        # BIGINT shipped twice as value-equal hash-fails) — flag any column
+        # whose DuckDB type differs between oracle result and Spark parquet
+        tbad = [(c, otypes[c], stypes[c]) for c in oc if otypes[c] != stypes[c]]
+        if tbad:
+            print(f"DTYPE    {name}: " + "; ".join(
+                f"{c}: oracle={a} spark={b}" for c, a, b in tbad))
+            n_bad += 1; continue
         if len(orows) != len(srows):
             print(f"ROWCOUNT {name}: oracle={len(orows)} spark={len(srows)}"); n_bad += 1; continue
         bad = [(a, b) for a, b in zip(orows, srows) if a != b]
