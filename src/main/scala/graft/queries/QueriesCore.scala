@@ -39,13 +39,12 @@ object QueriesCore {
   // (variography_uncertainty.py:253–260)
   private val percentileClip: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
-    // value-range bisection quantiles: every probe is a scan+count, so no
-    // TakeOrdered retains k≈p·n rows per partition (see ExactQuantile
-    // scaladoc — the 100-TB clip-quantile path). Batched: both bounds
-    // bisect in lockstep, ≤ ~64 probe scans total over the cached column.
-    val px = li.select(col("l_extendedprice").cast("double").as("x")).persist()
-    val qs = graft.functions.ExactQuantile.quantilesByBisection(px, "x", Seq(0.01, 0.99))
-    px.unpersist(blocking = false)
+    // radix-selection quantiles: exactly 4 histogram scans, aggregation-
+    // only — no TakeOrdered retaining k≈p·n rows per partition and no
+    // sequential probe jobs (see ExactQuantile.nthsByRadix, the 100-TB
+    // clip-quantile path)
+    val qs = graft.functions.ExactQuantile.quantilesByRadix(
+      li, "l_extendedprice", Seq(0.01, 0.99))
     val (lo, hi) = (qs(0.01), qs(0.99))
     li.filter(col("l_extendedprice").between(lit(lo), lit(hi)))
       .agg(count(lit(1)).as("n"),

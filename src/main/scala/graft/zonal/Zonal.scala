@@ -23,26 +23,20 @@ object Zonal {
     * Quantiles are computed by RANK SELECTION, not Spark's `Percentile`
     * aggregate: `Percentile` buffers every value per group and merges on
     * one thread (9s at sf0.1 for this query); picking the two order
-    * statistics around p·(n−1) shuffles once and produces the identical
-    * linear-interpolated exact quantile. Per-zone ranks come from a
-    * window partitioned by zone (zones sort in parallel). The ALL row
-    * uses a TWO-LEVEL GLOBAL RANK instead of one whole-table window
-    * partition (which funnels 100 TB through a single reducer):
-    * range-partition on v, rank within each partition, then add
-    * per-partition offsets from a numPartitions-row side table — every
-    * sort is bounded at n/P rows and the only unpartitioned windows run
-    * over the P-row counts table. */
+    * statistics around p·(n−1) produces the identical linear-interpolated
+    * exact quantile. Per-zone ranks come from a window partitioned by
+    * zone (zones sort in parallel). The ALL row never touches a
+    * whole-table window partition (a 100-TB single-reducer funnel):
+    * its moments/min/max come from ONE hash aggregate and its ten order
+    * statistics from [[graft.functions.ExactQuantile.nthsByRadix]] — 4
+    * histogram scans, aggregation-only, no sort, no row shuffle. The
+    * radix passes make this method EAGER (they run jobs at call time). */
   def descriptiveStats(tagged: DataFrame, v: String = "v"): DataFrame = {
     val x = col(v)
     // p25/p75 cover the reference's exploratory-stats variant
     // (plot_data_stats, variography_uncertainty.py:243–257)
     val ps = Seq(0.5 -> "med", 0.005 -> "q005", 0.995 -> "q995",
       0.25 -> "q25", 0.75 -> "q75")
-    def qAggs(rn: Column, nn: Column) = ps.flatMap { case (p, tag) =>
-      val pos = lit(p) * (nn - 1)
-      Seq(max(when(rn === floor(pos) + 1, x)).as(s"${tag}_lo"),
-          max(when(rn === ceil(pos) + 1, x)).as(s"${tag}_hi"))
-    }
     val momentAggs = Seq(
       avg(x).as("m1"),
       avg(x * x).as("m2r"),
@@ -54,33 +48,37 @@ object Zonal {
     val zoneRanked = tagged.select(col("name"), x.as(v))
       .withColumn("rn", row_number().over(Window.partitionBy("name").orderBy(x)))
       .withColumn("nn", count(lit(1)).over(Window.partitionBy("name")))
+    val zoneQAggs = ps.flatMap { case (p, tag) =>
+      val pos = lit(p) * (col("nn") - 1)
+      Seq(max(when(col("rn") === floor(pos) + 1, x)).as(s"${tag}_lo"),
+          max(when(col("rn") === ceil(pos) + 1, x)).as(s"${tag}_hi"))
+    }
     val zoneBase = zoneRanked.groupBy("name")
-      .agg(count(lit(1)).as("n"),
-        (momentAggs ++ qAggs(col("rn"), col("nn"))): _*)
+      .agg(count(lit(1)).as("n"), (momentAggs ++ zoneQAggs): _*)
 
-    // ALL row: global rank with no whole-table window partition. The two
-    // consumers of `parts` share the range-exchange via ReusedExchange.
-    val parts = tagged.select(x.as(v))
-      .repartitionByRange(col(v))
-      .withColumn("pid", spark_partition_id())
-    val local = parts
-      .withColumn("rn0", row_number().over(Window.partitionBy("pid").orderBy(x)))
-    val counts = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
-    val offs = counts // ≤ numPartitions rows: bounded unpartitioned windows
-      .withColumn("off", coalesce(sum("cnt").over(
-        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("nn", sum("cnt").over(
-        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val allRanked = local
-      .join(broadcast(offs.select("pid", "off", "nn")), "pid")
-      .withColumn("rn", col("off") + col("rn0"))
-    val allBase = allRanked
-      .agg(count(lit(1)).as("n"),
-        (momentAggs ++ qAggs(col("rn"), col("nn"))): _*)
-      .withColumn("name", lit("ALL"))
-      .select("name", zoneBase.columns.filter(_ != "name"): _*)
-
-    val base0 = zoneBase.unionByName(allBase)
+    // ALL row: one moment aggregate + 4-pass radix selection
+    val allAgg = tagged.agg(count(lit(1)).as("n"), momentAggs: _*).head()
+    val nAll = allAgg.getLong(0)
+    val base0 =
+      if (nAll == 0) zoneBase
+      else {
+        val ranks = ps.flatMap { case (p, _) =>
+          val pos = p * (nAll - 1)
+          Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+        }.distinct
+        val nths = graft.functions.ExactQuantile.nthsByRadix(
+          tagged.select(x.as(v)), v, nAll, ranks)
+        val qLits = ps.flatMap { case (p, tag) =>
+          val pos = p * (nAll - 1)
+          Seq(lit(nths(math.floor(pos).toLong)).as(s"${tag}_lo"),
+              lit(nths(math.ceil(pos).toLong)).as(s"${tag}_hi"))
+        }
+        val momentLits = Seq("m1", "m2r", "m3r", "m4r", "min_v", "max_v")
+          .zipWithIndex.map { case (nm, i) => lit(allAgg.getDouble(i + 1)).as(nm) }
+        val allBase = tagged.sparkSession.range(1).select(
+          (Seq(lit("ALL").as("name"), lit(nAll).as("n")) ++ momentLits ++ qLits): _*)
+        zoneBase.unionByName(allBase)
+      }
     def interp(p: Double, tag: String): Column = {
       val pos = lit(p) * (col("n") - 1)
       round(col(s"${tag}_lo") +
