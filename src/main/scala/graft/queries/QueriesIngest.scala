@@ -97,10 +97,39 @@ object QueriesIngest {
                byte_len
         FROM f WHERE frame_idx * stride < byte_len"""
 
+  // GeoTIFF byte-boundary round trip (SURVEY §2.1 ingest utility; the
+  // reference's rioxarray load, differencing_functions.py:69–79): raster B
+  // → dense strips → ENCODE to real GeoTIFF bytes inside an executor
+  // (per-tile assembly, tile-bounded memory) → DECODE tile-parallel →
+  // pixel table. The oracle is the ORIGINAL grid SQL, so the row is green
+  // only if bytes→pixels→bytes is bit-lossless. The 128×128 fixture is
+  // one tile; at 100 TB each tile is one bounded group of this same shape.
+  private val geotiffRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val meta = graft.raster.GridMeta()
+    val dense = graft.ingest.DenseRaster.toDense(
+      graft.raster.PixelGrid.grid(s, d, 1), meta)
+    val tiles = dense.select(col("row"), col("values"))
+      .as[(Int, Seq[Double])]
+      .groupByKey(_ => 0)
+      .mapGroups { (id: Int, it: Iterator[(Int, Seq[Double])]) =>
+        val rows = it.toArray.sortBy(_._1).map(_._2.toArray)
+        (id, graft.ingest.GeoTiff.encode(meta, rows))
+      }
+      .toDF("tile_id", "data")
+    graft.ingest.GeoTiff.tilesToPixels(tiles)
+      .select(col("col"), col("row"), col("value"))
+  }
+
+  private val geotiffRoundtripSql =
+    s"""WITH g AS (${graft.raster.PixelGrid.gridSql(1)})
+        SELECT col, "row", value FROM g"""
+
   val queries: Map[String, Q] = Map(
     "i_pointcloud_grid" -> pointcloudGrid,
     "i_multimodal_meta" -> multimodalMeta,
     "i_frame_sample" -> frameSample,
+    "i_geotiff_roundtrip" -> geotiffRoundtrip,
     "a_count_distinct" -> countDistinctQ,
     "a_approx_sketches" -> approxStats,
   )
@@ -109,6 +138,7 @@ object QueriesIngest {
     "i_pointcloud_grid" -> pointcloudGridSql,
     "i_multimodal_meta" -> multimodalMetaSql,
     "i_frame_sample" -> frameSampleSql,
+    "i_geotiff_roundtrip" -> geotiffRoundtripSql,
     "a_count_distinct" -> countDistinctSql,
   )
 }

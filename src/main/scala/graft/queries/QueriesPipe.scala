@@ -172,7 +172,11 @@ object QueriesPipe {
       .select(col("dst").as("src"),
         (lit(0.15) + lit(0.85) * (col("s").cast("double") / 1e9)).as("r"))
 
-  private val pagerank: Q = (s, d) => {
+  /** The cust/supp co-purchase graph: nodes 2k (customers) / 2k+1
+    * (suppliers), symmetric edges from distinct (custkey, suppkey) pairs
+    * through orders ⋈ lineitem. Edges + degrees persisted — every
+    * iteration re-reads them from cache. */
+  private def orderGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -183,16 +187,36 @@ object QueriesPipe {
       .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
       .persist()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    (edges, deg)
+  }
+
+  /** Run `iters` rank iterations with the DedupCluster checkpoint
+    * discipline: localCheckpoint every 2 rounds truncates the join-chain
+    * lineage, so planning and any re-derivation stay O(1) per round
+    * instead of compounding — the shape that makes a 6- or 20-iteration
+    * run cost ~linearly more than a 3-iteration one. (On a real cluster,
+    * reliable checkpointing replaces localCheckpoint.) The final round
+    * stays lazy so the consumer's projection fuses into it. */
+  private def iterateRanks(r0: DataFrame, iters: Int)
+      (step: DataFrame => DataFrame): DataFrame =
+    (1 to iters).foldLeft(r0) { (r, i) =>
+      val nxt = step(r)
+      if (i % 2 == 0 && i < iters) nxt.localCheckpoint(true) else nxt
+    }
+
+  private def pagerankQ(iters: Int): Q = (s, d) => {
+    val (edges, deg) = orderGraph(s, d)
     val r0 = deg.select(col("src"), lit(1.0).as("r"))
-    val rN = (1 to PR_ITERS).foldLeft(r0)((r, _) => prStep(edges, deg, r))
+    val rN = iterateRanks(r0, iters)(prStep(edges, deg, _))
     rN.select(col("src").as("node"), round(col("r"), 6).as("pagerank"))
       .orderBy(col("pagerank").desc, col("node").asc).limit(20)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("pagerank").desc, col("node").asc)))
       .select("rank", "node", "pagerank")
   }
+  private val pagerank: Q = pagerankQ(PR_ITERS)
 
-  private val pagerankSql = {
+  private def pagerankSqlFor(iters: Int) = {
     def step(rin: String, rout: String) =
       s"""$rout AS (SELECT dst AS src,
                            0.15 + 0.85 * (CAST(s AS DOUBLE) / 1e9) AS r
@@ -201,7 +225,7 @@ object QueriesPipe {
                           FROM edges e JOIN $rin r ON e.src = r.src
                                        JOIN deg ON deg.src = e.src
                           GROUP BY 1))"""
-    val steps = (1 to PR_ITERS).map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
+    val steps = (1 to iters).map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
     s"""WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS cust,
                               l.l_suppkey * 2 + 1 AS supp
                        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
@@ -213,9 +237,10 @@ object QueriesPipe {
         $steps
         SELECT CAST(row_number() OVER (ORDER BY round(r, 6) DESC, src ASC) AS INT) AS rank,
                src AS node, round(r, 6) AS pagerank
-        FROM r$PR_ITERS
+        FROM r$iters
         QUALIFY rank <= 20"""
   }
+  private val pagerankSql = pagerankSqlFor(PR_ITERS)
 
   // ---- g_ppr: personalized PageRank (seeded restart) -------------------
   // Same edge-partitioned iteration as g_pagerank, but the 0.15 teleport
@@ -226,16 +251,7 @@ object QueriesPipe {
   // integers. Seeds are graph nodes (customers with ≥1 order), so the
   // restart vector never resurrects isolated ids.
   private val ppr: Q = (s, d) => {
-    val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("cust"),
-        (col("l_suppkey") * 2 + 1).as("supp"))
-      .distinct()
-    val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-      .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-      .persist()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    val (edges, deg) = orderGraph(s, d)
     val seeds = Tables.customer(s, d).filter(col("c_nationkey") === 0)
       .select((col("c_custkey") * 2).as("src"))
       .join(deg.select("src"), "src")
@@ -250,7 +266,7 @@ object QueriesPipe {
           .otherwise(lit(0.0)).as("rst"))
       .persist()
     val r0 = rst.select(col("src"), col("rst").as("r"))
-    val rN = (1 to PR_ITERS).foldLeft(r0) { (r, _) =>
+    val rN = iterateRanks(r0, PR_ITERS) { r =>
       edges.join(r, "src").join(deg, "src")
         .select(col("dst"),
           floor(lit(1e9) * (col("r") / col("deg").cast("double")))
@@ -492,6 +508,7 @@ object QueriesPipe {
     "x_pipeline_keep" -> pipelineKeep,
     "x_bm25_topk" -> bm25TopK,
     "g_pagerank" -> pagerank,
+    "g_pagerank6" -> pagerankQ(6),
     "g_ppr" -> ppr,
     "st_late_events" -> lateEvents,
     "st_join_enrich" -> joinEnrich,
@@ -503,6 +520,7 @@ object QueriesPipe {
     "x_pipeline_keep" -> pipelineKeepSql,
     "x_bm25_topk" -> bm25TopKSql,
     "g_pagerank" -> pagerankSql,
+    "g_pagerank6" -> pagerankSqlFor(6),
     "g_ppr" -> pprSql,
     "st_late_events" -> lateEventsSql,
     "st_join_enrich" -> joinEnrichSql,

@@ -1,0 +1,84 @@
+package graft
+
+import graft.ingest.{DenseRaster, GeoTiff}
+import graft.raster.GridMeta
+
+class GeoTiffSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val meta = GridMeta(
+    originX = 500000.0, originY = 4100000.0, dx = 2.0, dy = 2.0,
+    width = 5, height = 4, nodata = -9999.0)
+
+  private val rows: Array[Array[Double]] = Array(
+    Array(1.5, -9999.0, 3.25, 0.0, -2.75),
+    Array(-9999.0, -9999.0, 7.125, 8.0, 9.5),
+    Array(1e-12, 1e12, -0.0, 42.0, -9999.0),
+    Array(0.1, 0.2, 0.3, 0.4, 0.5))
+
+  test("encode → decode is bit-lossless and preserves geo metadata") {
+    val bytes = GeoTiff.encode(meta, rows)
+    val (m2, rows2) = GeoTiff.decode(bytes)
+    assert(m2.width == meta.width && m2.height == meta.height)
+    assert(m2.originX == meta.originX && m2.originY == meta.originY)
+    assert(m2.dx == meta.dx && m2.dy == meta.dy)
+    assert(m2.nodata == meta.nodata)
+    for (r <- rows.indices; c <- rows(r).indices)
+      assert(java.lang.Double.doubleToLongBits(rows2(r)(c)) ==
+        java.lang.Double.doubleToLongBits(rows(r)(c)),
+        s"pixel ($c,$r): ${rows2(r)(c)} vs ${rows(r)(c)}")
+  }
+
+  test("encode → decode → encode is byte-identical (fixed point)") {
+    val b1 = GeoTiff.encode(meta, rows)
+    val (m2, rows2) = GeoTiff.decode(b1)
+    val b2 = GeoTiff.encode(m2, rows2)
+    assert(java.util.Arrays.equals(b1, b2))
+  }
+
+  test("tilesToPixels drops nodata and matches the dense unpivot") {
+    val bytes = GeoTiff.encode(meta, rows)
+    val tiles = Seq((7, bytes)).toDF("tile_id", "data")
+    val got = GeoTiff.tilesToPixels(tiles)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    val expected = (for {
+      (vals, r) <- rows.zipWithIndex
+      (v, c) <- vals.zipWithIndex if v != meta.nodata
+    } yield (c, r, v)).toSet
+    assert(got == expected)
+    // and every tile row carries the tile id through
+    assert(GeoTiff.tilesToPixels(tiles).select("tile_id").distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(7))
+  }
+
+  test("decoder rejects what it cannot represent") {
+    val bytes = GeoTiff.encode(meta, rows)
+    intercept[IllegalArgumentException] {
+      GeoTiff.decode("garbage-not-a-tiff".getBytes)
+    }
+    // flip the compression tag to LZW=5 → loud failure, not silent junk
+    val corrupt = bytes.clone()
+    // find the compression entry (tag 259) in the IFD and set value to 5
+    val b = java.nio.ByteBuffer.wrap(corrupt).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifd = b.getInt(4)
+    val n = b.getShort(ifd)
+    var hit = false
+    for (i <- 0 until n) {
+      val e = ifd + 2 + i * 12
+      if ((b.getShort(e) & 0xffff) == 259) { b.putShort(e + 8, 5); hit = true }
+    }
+    assert(hit)
+    intercept[IllegalArgumentException] { GeoTiff.decode(corrupt) }
+  }
+
+  test("round trip through the pixel-table model keeps only valid pixels") {
+    val px = DenseRaster.toPixels(rows.zipWithIndex.map { case (v, r) =>
+      (r, v.toSeq) }.toSeq.toDF("row", "values"), meta)
+    val dense = DenseRaster.toDense(px, meta).orderBy("row")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val bytes = GeoTiff.encode(meta, dense)
+    val (_, rows2) = GeoTiff.decode(bytes)
+    for (r <- rows.indices; c <- rows(r).indices)
+      assert(rows2(r)(c) == rows(r)(c))
+  }
+}

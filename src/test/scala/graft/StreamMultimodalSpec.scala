@@ -226,6 +226,23 @@ class StreamMultimodalSpec extends SparkSuite {
         "outer null-matches must be flushed")
       assert(streamed == batch,
         s"stream ${streamed.length} rows vs batch ${batch.length}")
+      // state-store resource bound (the one streaming surface that holds
+      // row-level state): the 10-day sentinel advanced the watermark past
+      // every real event, so the symmetric-hash join state must have
+      // EVICTED them all — only the sentinel's own rows may remain. This
+      // is the proof the state size tracks the watermark horizon, not the
+      // stream length (at 100 TB/day the horizon is the whole bound).
+      val prog = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      assert(prog.nonEmpty, "no state-operator progress recorded")
+      val so = prog.last.stateOperators(0)
+      assert(so.numRowsTotal <= 8,
+        s"join state not evicted by watermark: ${so.numRowsTotal} rows remain")
+      val totals = prog.map(_.stateOperators(0).numRowsTotal)
+      val nEvents = events.count()
+      assert(totals.max < nEvents / 10,
+        s"state tracked stream length, not watermark horizon " +
+          s"(peak ${totals.max} of $nEvents input rows)")
+      assert(so.memoryUsedBytes > 0, "state store reports no memory usage")
     } finally q.stop()
   }
 
