@@ -125,11 +125,40 @@ object QueriesIngest {
     s"""WITH g AS (${graft.raster.PixelGrid.gridSql(1)})
         SELECT col, "row", value FROM g"""
 
+  // LAS byte-boundary round trip (the reference's PDAL read,
+  // differencing_functions.py:738–828): synthetic points → LAS 1.2
+  // format-0 bytes assembled in an executor → decoded tile-parallel →
+  // DEM gridding. LAS stores coordinates as scaled int32, so the oracle
+  // applies the identical quantization (floor(v/scale + 0.5) * scale —
+  // deterministic IEEE ops) to the raw points before gridding: the row is
+  // green only if the byte codec is exactly that quantization and nothing
+  // else.
+  private val lasRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val tiles = PointCloud.points(s, d)
+      .select(col("x"), col("y"), col("z"), col("classification"))
+      .as[(Double, Double, Double, Int)]
+      .groupByKey(_ => 0)
+      .mapGroups { (id: Int, it: Iterator[(Double, Double, Double, Int)]) =>
+        (id, graft.ingest.Las.encode(it.toArray))
+      }
+      .toDF("tile_id", "data")
+    PointCloud.gridDem(graft.ingest.Las.tilesToPoints(tiles))
+  }
+
+  private val lasRoundtripSql = PointCloud.gridDemSql(
+    s"""SELECT floor(x / 0.000001 + 0.5) * 0.000001 AS x,
+               floor(y / 0.000001 + 0.5) * 0.000001 AS y,
+               floor(z / 0.000001 + 0.5) * 0.000001 AS z,
+               classification
+        FROM (${PointCloud.pointsSql})""")
+
   val queries: Map[String, Q] = Map(
     "i_pointcloud_grid" -> pointcloudGrid,
     "i_multimodal_meta" -> multimodalMeta,
     "i_frame_sample" -> frameSample,
     "i_geotiff_roundtrip" -> geotiffRoundtrip,
+    "i_las_roundtrip" -> lasRoundtrip,
     "a_count_distinct" -> countDistinctQ,
     "a_approx_sketches" -> approxStats,
   )
@@ -139,6 +168,7 @@ object QueriesIngest {
     "i_multimodal_meta" -> multimodalMetaSql,
     "i_frame_sample" -> frameSampleSql,
     "i_geotiff_roundtrip" -> geotiffRoundtripSql,
+    "i_las_roundtrip" -> lasRoundtripSql,
     "a_count_distinct" -> countDistinctSql,
   )
 }

@@ -504,8 +504,52 @@ object QueriesPipe {
              FROM events)
        WHERE rn = 1"""
 
+  // ---- x_pack_chunks: GPT-style concat-and-chunk sequence packing ------
+  // The training-data step after cleaning: concatenate every surviving
+  // document in a deterministic shard order and cut the token stream into
+  // fixed context windows. Each doc's chunk span comes from the running
+  // token count BEFORE it: start = cum0 / C, end = (cum0 + n − 1) / C —
+  // pure integer arithmetic, so cross-engine parity is exact. Shards are
+  // the window partitions (lang here; any shard key at scale), so no
+  // whole-corpus window partition exists and shards pack in parallel.
+  private val PACK_WINDOW = 512L
+
+  private val packChunks: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("cum0", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("cum0") / PACK_WINDOW).cast("long").as("start_chunk"),
+        ((col("cum0") + col("n_tokens") - 1) / PACK_WINDOW).cast("long").as("end_chunk"),
+        (pmod(col("cum0"), lit(PACK_WINDOW)) =!= 0 &&
+          ((col("cum0") + col("n_tokens") - 1) / PACK_WINDOW).cast("long") >
+            (col("cum0") / PACK_WINDOW).cast("long")).as("straddles"))
+  }
+
+  private val packChunksSql =
+    s"""WITH docs AS (SELECT doc_id, lang,
+                             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                      FROM documents WHERE text IS NOT NULL),
+        c AS (SELECT doc_id, lang, n_tokens,
+                     coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+              FROM docs WHERE n_tokens > 0)
+        SELECT doc_id, lang, n_tokens,
+               CAST(cum0 // $PACK_WINDOW AS BIGINT) AS start_chunk,
+               CAST((cum0 + n_tokens - 1) // $PACK_WINDOW AS BIGINT) AS end_chunk,
+               (cum0 % $PACK_WINDOW <> 0 AND
+                CAST((cum0 + n_tokens - 1) // $PACK_WINDOW AS BIGINT) >
+                CAST(cum0 // $PACK_WINDOW AS BIGINT)) AS straddles
+        FROM c"""
+
   val queries: Map[String, Q] = Map(
     "x_pipeline_keep" -> pipelineKeep,
+    "x_pack_chunks" -> packChunks,
     "x_bm25_topk" -> bm25TopK,
     "g_pagerank" -> pagerank,
     "g_pagerank6" -> pagerankQ(6),
@@ -518,6 +562,7 @@ object QueriesPipe {
 
   val oracle: Map[String, String] = Map(
     "x_pipeline_keep" -> pipelineKeepSql,
+    "x_pack_chunks" -> packChunksSql,
     "x_bm25_topk" -> bm25TopKSql,
     "g_pagerank" -> pagerankSql,
     "g_pagerank6" -> pagerankSqlFor(6),

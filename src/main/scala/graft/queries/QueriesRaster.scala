@@ -137,6 +137,13 @@ object QueriesRaster {
     TiledGapfill.gapfillIdwTiled(gB(s, d), PixelGrid.W, 3, tile = 16)
   private val gapfill2dSql = Terrain.gapfillIdwSql(cteB, PixelGrid.W, 3)
 
+  // §2.5 cubic gap-fill variant (local Hermite, central-difference
+  // slopes — closes the cubic caveat with an engine-independent form;
+  // scipy's global spline is not reproducible engine-independently)
+  private val gapfillCubic: Q = (s, d) =>
+    Terrain.gapfillCubic(gB(s, d), PixelGrid.W)
+  private val gapfillCubicSql = Terrain.gapfillCubicSql(cteB, PixelGrid.W)
+
   // §2.5 linear gap-fill variant (along-row bracket interpolation)
   private val gapfillLinear: Q = (s, d) =>
     Terrain.gapfillLinear(gB(s, d), PixelGrid.W)
@@ -230,6 +237,7 @@ object QueriesRaster {
     "t_gapfill_nearest" -> gapfillNearest,
     "t_gapfill_linear" -> gapfillLinear,
     "t_gapfill_2d" -> gapfill2d,
+    "t_gapfill_cubic" -> gapfillCubic,
   )
 
   val oracle: Map[String, String] = Map(
@@ -251,5 +259,6 @@ object QueriesRaster {
     "t_gapfill_nearest" -> gapfillNearestSql,
     "t_gapfill_linear" -> gapfillLinearSql,
     "t_gapfill_2d" -> gapfill2dSql,
+    "t_gapfill_cubic" -> gapfillCubicSql,
   )
 }

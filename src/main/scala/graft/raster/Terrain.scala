@@ -258,6 +258,126 @@ object Terrain {
     FROM br
     WHERE value IS NULL AND (lv IS NOT NULL OR rv IS NOT NULL)"""
 
+  /** Gap-fill by CUBIC interpolation along the row axis (`fill_no_data`
+    * method="cubic", differencing_functions.py:587–661 — scipy's global
+    * spline cannot be reproduced engine-independently; this is the local
+    * cubic-Hermite form with central-difference slopes, the standard
+    * non-uniform Catmull-Rom generalization): each missing cell
+    * interpolates on its bracketing valid pair (p1@c1, p2@c2) with end
+    * slopes from the second-nearest valid neighbors (p0@c0, p3@c3),
+    * falling back to the secant slope at series edges and to the
+    * one-sided bracket value where only one side exists.
+    *
+    * Shape: the same per-row IGNORE-NULLS bracket scan as the linear
+    * variant, plus two (row,col) equi-joins to pull each bracket's own
+    * lag/lead — all windows partition by row, both joins are
+    * co-partitioned on the same keys, so the pass scales like every other
+    * stencil here. Every arithmetic step is the identical IEEE expression
+    * in both engines (no sums, no transcendentals), so parity is exact. */
+  def gapfillCubic(px: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = px.sparkSession
+    val full = spark.range(w.toLong * w)
+      .select((col("id") % w).cast("int").as("col"),
+              (col("id") / w).cast("int").as("row"))
+    val grid = full.join(px, Seq("col", "row"), "left_outer")
+    val win = Window.partitionBy("row").orderBy("col")
+    val wl = win.rowsBetween(Window.unboundedPreceding, 0)
+    val wr = win.rowsBetween(0, Window.unboundedFollowing)
+    val vc = when(col("value").isNotNull, col("col"))
+    val bracketed = grid
+      .withColumn("lv", last("value", ignoreNulls = true).over(wl))
+      .withColumn("lc", last(vc, ignoreNulls = true).over(wl))
+      .withColumn("rv", first("value", ignoreNulls = true).over(wr))
+      .withColumn("rc", first(vc, ignoreNulls = true).over(wr))
+      .filter(col("value").isNull)
+      .filter(col("lv").isNotNull || col("rv").isNotNull)
+      .select("col", "row", "lv", "lc", "rv", "rc")
+    // each valid pixel with its own previous/next valid neighbor
+    val nbr = px.select(col("col"), col("row"), col("value"))
+      .withColumn("pc", lag("col", 1).over(win))
+      .withColumn("pv", lag("value", 1).over(win))
+      .withColumn("nc", lead("col", 1).over(win))
+      .withColumn("nv", lead("value", 1).over(win))
+    val withL = bracketed.join(
+      nbr.select(col("row"), col("col").as("lc"),
+        col("pc").as("c0"), col("pv").as("p0")),
+      Seq("row", "lc"), "left_outer")
+    val withLR = withL.join(
+      nbr.select(col("row"), col("col").as("rc"),
+        col("nc").as("c3"), col("nv").as("p3")),
+      Seq("row", "rc"), "left_outer")
+    val h = (col("rc") - col("lc")).cast("double")
+    val t = (col("col") - col("lc")).cast("double") / h
+    val secant = (col("rv") - col("lv")) / h
+    val m1 = when(col("p0").isNotNull,
+      (col("rv") - col("p0")) / (col("rc") - col("c0")).cast("double"))
+      .otherwise(secant)
+    val m2 = when(col("p3").isNotNull,
+      (col("p3") - col("lv")) / (col("c3") - col("lc")).cast("double"))
+      .otherwise(secant)
+    val t2 = t * t
+    val t3 = t2 * t
+    val cubic = (lit(2.0) * t3 - lit(3.0) * t2 + lit(1.0)) * col("lv") +
+      (t3 - lit(2.0) * t2 + t) * h * m1 +
+      (lit(-2.0) * t3 + lit(3.0) * t2) * col("rv") +
+      (t3 - t2) * h * m2
+    withLR.select(col("col"), col("row"),
+      round(when(col("lv").isNull, col("rv"))
+        .when(col("rv").isNull, col("lv"))
+        .otherwise(cubic), 6).as("filled"))
+  }
+
+  def gapfillCubicSql(gridCte: String, w: Int): String =
+    s"""WITH g AS ($gridCte),
+    full_grid AS (SELECT CAST(i % $w AS INT) AS col, CAST(i // $w AS INT) AS "row"
+                  FROM (SELECT unnest(range(${w.toLong * w})) AS i)),
+    grid AS (SELECT f.col, f."row", g.value
+             FROM full_grid f LEFT JOIN g ON g.col = f.col AND g."row" = f."row"),
+    br AS (SELECT col, "row", value,
+                  last_value(value IGNORE NULLS) OVER (PARTITION BY "row" ORDER BY col
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv,
+                  last_value(CASE WHEN value IS NOT NULL THEN col END IGNORE NULLS)
+                    OVER (PARTITION BY "row" ORDER BY col
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc,
+                  first_value(value IGNORE NULLS) OVER (PARTITION BY "row" ORDER BY col
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rv,
+                  first_value(CASE WHEN value IS NOT NULL THEN col END IGNORE NULLS)
+                    OVER (PARTITION BY "row" ORDER BY col
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rc
+           FROM grid),
+    miss AS (SELECT col, "row", lv, lc, rv, rc FROM br
+             WHERE value IS NULL AND (lv IS NOT NULL OR rv IS NOT NULL)),
+    nbr AS (SELECT col, "row", value,
+                   lag(col) OVER (PARTITION BY "row" ORDER BY col) AS pc,
+                   lag(value) OVER (PARTITION BY "row" ORDER BY col) AS pv,
+                   lead(col) OVER (PARTITION BY "row" ORDER BY col) AS nc,
+                   lead(value) OVER (PARTITION BY "row" ORDER BY col) AS nv
+            FROM g),
+    j AS (SELECT m.col, m."row", m.lv, m.lc, m.rv, m.rc,
+                 l.pc AS c0, l.pv AS p0, r.nc AS c3, r.nv AS p3
+          FROM miss m
+          LEFT JOIN nbr l ON l."row" = m."row" AND l.col = m.lc
+          LEFT JOIN nbr r ON r."row" = m."row" AND r.col = m.rc),
+    f AS (SELECT col, "row", lv, rv,
+                 CAST(rc - lc AS DOUBLE) AS h,
+                 CAST(col - lc AS DOUBLE) / CAST(rc - lc AS DOUBLE) AS t,
+                 CASE WHEN p0 IS NOT NULL
+                      THEN (rv - p0) / CAST(rc - c0 AS DOUBLE)
+                      ELSE (rv - lv) / CAST(rc - lc AS DOUBLE) END AS m1,
+                 CASE WHEN p3 IS NOT NULL
+                      THEN (p3 - lv) / CAST(c3 - lc AS DOUBLE)
+                      ELSE (rv - lv) / CAST(rc - lc AS DOUBLE) END AS m2
+          FROM j)
+    SELECT col, "row",
+           round(CASE WHEN lv IS NULL THEN rv
+                      WHEN rv IS NULL THEN lv
+                      ELSE (2.0*t*t*t - 3.0*t*t + 1.0) * lv
+                         + (t*t*t - 2.0*t*t + t) * h * m1
+                         + (-2.0*t*t*t + 3.0*t*t) * rv
+                         + (t*t*t - t*t) * h * m2 END, 6) AS filled
+    FROM f"""
+
   def gapfillNearestSql(gridCte: String, w: Int, maxDist: Int): String =
     s"""WITH g AS ($gridCte),
     full_grid AS (SELECT CAST(i % $w AS INT) AS col, CAST(i // $w AS INT) AS "row"

@@ -56,4 +56,38 @@ class GeomTerrainSpec extends SparkSuite {
       .collect()
     assert(filled.length == 1 && math.abs(filled.head.getDouble(2) - 5.0) < 1e-9)
   }
+
+  test("cubic gapfill reproduces linear fields exactly and matches linear on 2-point rows") {
+    // Hermite with central-difference slopes is exact on degree ≤ 1:
+    // filling holes of z = 3 + 0.5·col must recover the plane exactly
+    val w = 12
+    val px = (for (r <- 0 until w; c <- 0 until w if (c * 7 + r * 3) % 4 != 0)
+      yield (c, r, 3.0 + 0.5 * c)).toDF("col", "row", "value")
+    val validCols = (for (r <- 0 until w; c <- 0 until w
+      if (c * 7 + r * 3) % 4 != 0) yield (r, c))
+      .groupBy(_._1).map { case (r, cs) => r -> cs.map(_._2) }
+    val filled = Terrain.gapfillCubic(px, w).collect()
+    assert(filled.nonEmpty)
+    var interior = 0
+    filled.foreach { rw =>
+      val (c, r) = (rw.getInt(0), rw.getInt(1))
+      // edge cells with one bracket take that bracket's value (same
+      // contract as the linear variant) — exactness holds on interior cells
+      if (validCols(r).min < c && c < validCols(r).max) {
+        interior += 1
+        val expected = math.floor((3.0 + 0.5 * c) * 1e6 + 0.5) / 1e6
+        assert(rw.getDouble(2) == expected, s"cell $rw: expected $expected")
+      }
+    }
+    assert(interior > 20, s"fixture too sparse: only $interior interior holes")
+    // a row with exactly two valid points has no second neighbors on
+    // either side → both slopes fall back to the secant → equals linear
+    val two = Seq((0, 0, 10.0), (7, 0, 24.0)).toDF("col", "row", "value")
+    val cub = Terrain.gapfillCubic(two, 8).collect()
+      .map(r => (r.getInt(0), r.getDouble(2))).toMap
+    val lin = Terrain.gapfillLinear(two, 8).collect()
+      .map(r => (r.getInt(0), r.getDouble(2))).toMap
+    assert(cub.keySet == lin.keySet && cub.keySet == (1 to 6).toSet)
+    cub.foreach { case (c, v) => assert(v == lin(c), s"col $c: $v vs ${lin(c)}") }
+  }
 }
