@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Canon.round
 import graft.geom.Geom
+import graft.geo.Proj
 import graft.raster.{PixelGrid, Terrain, TiledGapfill}
+import graft.rng.Rand
 import graft.zonal.Zonal
 
 /** Raster-model operators (SURVEY.md §2.1, §2.3, §2.5): differencing join,
@@ -137,6 +139,31 @@ object QueriesRaster {
     TiledGapfill.gapfillIdwTiled(gB(s, d), PixelGrid.W, 3, tile = 16)
   private val gapfill2dSql = Terrain.gapfillIdwSql(cteB, PixelGrid.W, 3)
 
+  // §2.2 CRS reprojection math (differencing_functions.py:1181-1202,
+  // 2239-2277): real Kruger-series UTM forward+inverse over synthetic
+  // lat/lon, per-row zone, all inside whole-stage codegen (Proj.scala —
+  // no UDFs, no native PROJ). Transcendental chains cannot hash-match a
+  // foreign engine, so this surface is declared WITHOUT oracle SQL →
+  // driver rows-only check; the math itself is second-method-pinned in
+  // ProjSpec (numeric meridian-arc integration, 1e-9-degree round trips,
+  // Column ≡ scalar bit-identity). rt_err_deg in the output makes any
+  // silent projection drift visible in the dumped rows themselves.
+  private val utmProject: Q = (s, d) => {
+    val base = graft.Tables.customer(s, d).select(col("c_custkey"),
+      (Rand.u01(col("c_custkey"), 91) * 160.0 - 80.0).as("lat"),
+      (Rand.u01(col("c_custkey"), 92) * 360.0 - 180.0).as("lon"))
+    val lon0 = Proj.centralMeridianCol(col("lon"))
+    val (e, n) = Proj.forwardCols(col("lat"), col("lon"), lon0)
+    val projected = base.select(col("c_custkey"), col("lat"), col("lon"),
+      lon0.as("lon0"), e.as("easting"), n.as("northing"))
+    val (lat2, lon2) = Proj.inverseCols(col("easting"), col("northing"), col("lon0"))
+    projected.select(col("c_custkey"),
+      ((col("lon0") + 183.0) / 6.0).cast("int").as("zone"),
+      round(col("easting"), 3).as("easting"),
+      round(col("northing"), 3).as("northing"),
+      round(abs(lat2 - col("lat")) + abs(lon2 - col("lon")), 9).as("rt_err_deg"))
+  }
+
   // §2.5 cubic gap-fill variant (local Hermite, central-difference
   // slopes — closes the cubic caveat with an engine-independent form;
   // scipy's global spline is not reproducible engine-independently)
@@ -238,6 +265,7 @@ object QueriesRaster {
     "t_gapfill_linear" -> gapfillLinear,
     "t_gapfill_2d" -> gapfill2d,
     "t_gapfill_cubic" -> gapfillCubic,
+    "r_utm_project" -> utmProject,
   )
 
   val oracle: Map[String, String] = Map(
