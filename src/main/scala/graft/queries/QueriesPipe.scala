@@ -76,6 +76,71 @@ object QueriesPipe {
         FROM k"""
   }
 
+  // ---- x_decontaminate: eval-set n-gram decontamination ----------------
+  // The training-data step nobody skips: flag train documents sharing any
+  // 8-gram with the held-out eval set (doc_id % 50 == 0 here). The eval
+  // side is ALWAYS small relative to the corpus, so the scale shape is a
+  // broadcast of the distinct eval grams against the train gram stream —
+  // no shuffle of train data beyond the per-doc distinct. Counts are
+  // count(non-null) so both engines emit BIGINT without widening.
+  private val decontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .select(col("doc_id"), TextOps.shinglesOf(col("w"), 8).as("sh"))
+    val evalGrams = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(col("sh")).as("g")).distinct()
+      .withColumn("hit", lit(1))
+    val trainGrams = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("g")).distinct()
+    trainGrams.join(broadcast(evalGrams), Seq("g"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
+  private val decontaminateSql =
+    s"""WITH docs AS (SELECT doc_id, ${TextOps.shinglesSql("text", 8)} AS sh
+                      FROM documents WHERE text IS NOT NULL),
+        eg AS (SELECT DISTINCT g FROM
+                 (SELECT unnest(sh) AS g FROM docs WHERE doc_id % 50 = 0)),
+        tg AS (SELECT DISTINCT doc_id, g FROM
+                 (SELECT doc_id, unnest(sh) AS g FROM docs WHERE doc_id % 50 <> 0)),
+        j AS (SELECT t.doc_id, CASE WHEN e.g IS NOT NULL THEN 1 END AS hit
+              FROM tg t LEFT JOIN eg e ON e.g = t.g)
+        SELECT doc_id, count(*) AS n_shingles, count(hit) AS n_contaminated,
+               count(hit) > 0 AS contaminated
+        FROM j GROUP BY 1"""
+
+  // ---- x_domain_cap: per-source document cap ---------------------------
+  // RefinedWeb-style per-domain budgeting: keep at most CAP docs per
+  // source, best-first by a deterministic quality key (word count desc,
+  // doc_id asc as the tie pin). Grouped top-k — the WindowGroupLimit
+  // shape, partitioned by source, so no group ever exceeds its own size
+  // and nothing global sorts.
+  private val DOMAIN_CAP = 100
+
+  private val domainCap: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.words(col("text"))).cast("long").as("n_words"))
+    docs.withColumn("rk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("n_words").desc, col("doc_id").asc)))
+      .filter(col("rk") <= DOMAIN_CAP)
+      .select(col("doc_id"), col("source"), col("n_words"),
+        col("rk").cast("int").as("rk"))
+  }
+
+  private val domainCapSql =
+    s"""SELECT doc_id, source, n_words, CAST(rk AS INT) AS rk FROM (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY len(string_split(text, ' ')) DESC, doc_id ASC) AS rk
+          FROM documents WHERE text IS NOT NULL)
+        WHERE rk <= $DOMAIN_CAP"""
+
   // ---- x_bm25_topk: BM25 retrieval over the corpus ---------------------
   // Okapi BM25 (k1 = 1.2, b = 0.75) for a fixed 3-term query. Corpus
   // stats (N, avgdl, per-term df) are tiny and broadcast; the only
@@ -550,6 +615,8 @@ object QueriesPipe {
   val queries: Map[String, Q] = Map(
     "x_pipeline_keep" -> pipelineKeep,
     "x_pack_chunks" -> packChunks,
+    "x_decontaminate" -> decontaminate,
+    "x_domain_cap" -> domainCap,
     "x_bm25_topk" -> bm25TopK,
     "g_pagerank" -> pagerank,
     "g_pagerank6" -> pagerankQ(6),
@@ -563,6 +630,8 @@ object QueriesPipe {
   val oracle: Map[String, String] = Map(
     "x_pipeline_keep" -> pipelineKeepSql,
     "x_pack_chunks" -> packChunksSql,
+    "x_decontaminate" -> decontaminateSql,
+    "x_domain_cap" -> domainCapSql,
     "x_bm25_topk" -> bm25TopKSql,
     "g_pagerank" -> pagerankSql,
     "g_pagerank6" -> pagerankSqlFor(6),
