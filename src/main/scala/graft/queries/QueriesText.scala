@@ -806,18 +806,40 @@ object QueriesText {
   // ---- LSH recall vs exact ground truth ---------------------------------
   // The measurement that justifies an LSH deployment: of all pairs with
   // exact shingle-Jaccard ≥ τ, what fraction did the banded MinHash
-  // candidates surface? Ground truth is exact and unblocked — any pair
-  // with J ≥ τ must share a shingle, so the truth set is generated by a
-  // self-join ON the shingle key (no O(N²) pair space; at 100 TB this
-  // join needs df-pruning of stop-shingles, the standard production
-  // mitigation — at fixture scale the raw join is exact and cheap).
+  // candidates surface? Ground truth is exact, generated by PREFIX
+  // FILTERING (Chaudhuri et al. SSJoin / Bayardo et al. "Scaling Up All
+  // Pairs Similarity Search", WWW'07): order shingles globally by
+  // document frequency ascending (shingle value as the tie pin); any
+  // pair with J ≥ τ shares its order-minimal common shingle inside BOTH
+  // docs' prefixes of length sz − ⌈τ·sz⌉ + 1, so joining prefixes only
+  // loses nothing. Hot (high-df) shingles sort last and drop out of
+  // every prefix — the quadratic hot-key blowup a raw shingle self-join
+  // risks at 100 TB never materializes. The oracle SQL below keeps the
+  // raw unpruned join, so the hash gate is a per-run proof that the
+  // pruned plan is exact.
   private val LSH_TAU = 0.5
   private val lshRecall: Q = (s, d) => {
     val sh = shingleSet(s, d)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val truth = sh.toDF("a_id", "sh")
-      .join(sh.toDF("b_id", "sh"), Seq("sh"))
+    // persist: consumed three times (prefix cut + both size joins)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz")).persist()
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // per-doc rank under the global (df asc, sh asc) order — the window
+    // is partitioned by doc_id, bounded by the doc's own shingle count
+    val prefixes = sh.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= col("sz") - ceil(lit(LSH_TAU) * col("sz")) + lit(1L))
+      .select("doc_id", "sh")
+      .persist() // both sides of the prefix self-join
+    val pairs = prefixes.toDF("a_id", "sh")
+      .join(prefixes.toDF("b_id", "sh"), Seq("sh"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // exact verify on the candidate pairs alone — never rows²
+    val truth = pairs
+      .join(sh.toDF("a_id", "sh"), "a_id")
+      .join(sh.toDF("b_id", "sh"), Seq("b_id", "sh"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
       .join(sizes.toDF("a_id", "a_sz"), "a_id")
       .join(sizes.toDF("b_id", "b_sz"), "b_id")
