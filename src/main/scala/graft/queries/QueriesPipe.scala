@@ -579,8 +579,11 @@ object QueriesPipe {
   // whole-corpus window partition exists and shards pack in parallel.
   private val PACK_WINDOW = 512L
 
-  private val packChunks: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+  /** Batch packer over any documents-shaped frame — shared with
+    * StreamPackSpec, which pins the stateful streaming twin
+    * (streaming/StreamPack) to this exact output. */
+  private[graft] def packOn(documents: DataFrame): DataFrame = {
+    val docs = documents
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
         size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
@@ -595,6 +598,8 @@ object QueriesPipe {
           ((col("cum0") + col("n_tokens") - 1) / PACK_WINDOW).cast("long") >
             (col("cum0") / PACK_WINDOW).cast("long")).as("straddles"))
   }
+
+  private val packChunks: Q = (s, d) => packOn(Tables.documents(s, d))
 
   private val packChunksSql =
     s"""WITH docs AS (SELECT doc_id, lang,
