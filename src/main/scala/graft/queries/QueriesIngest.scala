@@ -1,8 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.{QuantileSketch, QuantileSketchAgg, TDigestState}
 import graft.ingest.PointCloud
 
 /** Ingest-lifecycle operators (SURVEY.md §3.1): point-cloud →
@@ -62,6 +63,25 @@ object QueriesIngest {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("approx_median_price"),
         count(lit(1)).as("n_rows"))
+
+  // Own mergeable t-digest (functions/QuantileSketch) beside Spark's
+  // builtin sketches above: O(δ) state per group however large the
+  // group, merged by Spark's partial aggregation. Estimates depend on
+  // merge order → rows-only like a_approx_sketches; QuantileSketchSpec
+  // pins rank error against ExactQuantile ground truth instead.
+  private val tdigestQuantiles: Q = (s, d) => {
+    val sk = udaf(new QuantileSketchAgg(100))
+    val est = udf((r: Row, q: Double) => QuantileSketch.quantileOf(
+      TDigestState(r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray,
+        r.getLong(2), r.getDouble(3), r.getDouble(4)), q))
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("x"))
+      .groupBy("l_returnflag")
+      .agg(sk(col("x")).as("dig"), count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag") +: col("n_rows") +:
+        qs.map(q => est(col("dig"), lit(q)).as(s"q${(q * 100).toInt}")): _*)
+  }
 
   // frame sampling over video payloads: up to 4 evenly-strided byte
   // offsets per payload, each yielding an 8-byte "frame header" slice
@@ -161,6 +181,7 @@ object QueriesIngest {
     "i_las_roundtrip" -> lasRoundtrip,
     "a_count_distinct" -> countDistinctQ,
     "a_approx_sketches" -> approxStats,
+    "a_tdigest_quantiles" -> tdigestQuantiles,
   )
 
   val oracle: Map[String, String] = Map(
