@@ -71,6 +71,47 @@ class GeoTiffSpec extends SparkSuite {
     intercept[IllegalArgumentException] { GeoTiff.decode(corrupt) }
   }
 
+  test("float32 write path round-trips at float precision") {
+    val bytes = GeoTiff.encode(meta, rows, 32, None)
+    val (m2, rows2) = GeoTiff.decode(bytes)
+    assert(m2 == meta)
+    for (r <- rows.indices; c <- rows(r).indices)
+      assert(rows2(r)(c) == rows(r)(c).toFloat.toDouble,
+        s"pixel ($c,$r): ${rows2(r)(c)} vs ${rows(r)(c).toFloat.toDouble}")
+  }
+
+  test("tiled layout round-trips bit-lossless, edge tiles padded") {
+    // 37x21 → 3x2 grid of 16x16 tiles with ragged right/bottom edges
+    val m = meta.copy(width = 37, height = 21)
+    val big = Array.tabulate(21, 37) { (r, c) =>
+      if ((r * 37 + c) % 11 == 0) m.nodata else math.sin(r * 1.7 + c) * 100.0
+    }
+    for (bits <- Seq(32, 64)) {
+      val bytes = GeoTiff.encode(m, big, bits, Some((16, 16)))
+      val (m2, rows2) = GeoTiff.decode(bytes)
+      assert(m2 == m)
+      for (r <- 0 until 21; c <- 0 until 37) {
+        val want = if (bits == 32) big(r)(c).toFloat.toDouble else big(r)(c)
+        assert(java.lang.Double.doubleToLongBits(rows2(r)(c)) ==
+          java.lang.Double.doubleToLongBits(want), s"bits=$bits pixel ($c,$r)")
+      }
+    }
+  }
+
+  test("single-tile file reads through the inline-offset path") {
+    val m = meta.copy(width = 16, height = 16)
+    val one = Array.tabulate(16, 16)((r, c) => r * 16.0 + c)
+    val (m2, rows2) = GeoTiff.decode(GeoTiff.encode(m, one, 64, Some((16, 16))))
+    assert(m2 == m)
+    for (r <- 0 until 16; c <- 0 until 16) assert(rows2(r)(c) == one(r)(c))
+  }
+
+  test("non-multiple-of-16 tile dims are rejected") {
+    intercept[IllegalArgumentException] {
+      GeoTiff.encode(meta, rows, 64, Some((15, 16)))
+    }
+  }
+
   test("round trip through the pixel-table model keeps only valid pixels") {
     val px = DenseRaster.toPixels(rows.zipWithIndex.map { case (v, r) =>
       (r, v.toSeq) }.toSeq.toDF("row", "values"), meta)

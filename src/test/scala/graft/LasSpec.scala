@@ -44,6 +44,32 @@ class LasSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Las.decode(bytes) }
   }
 
+  test("format-1 round-trips GPS time bit-exact; format-0 decode still reads it") {
+    val timed = pts.zipWithIndex.map { case ((x, y, z, c), i) =>
+      (x, y, z, c, 315964800.0 + i * 0.000123 + i) }
+    val bytes = Las.encodeTimed(timed)
+    assert(bytes(104) == 1 && (java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort(105) & 0xffff) == 28)
+    val back = Las.decodeTimed(bytes)
+    for (((_, _, _, c, t), i) <- timed.zipWithIndex) {
+      assert(java.lang.Double.doubleToLongBits(back(i)._5) ==
+        java.lang.Double.doubleToLongBits(t), s"gps time $i")
+      assert(back(i)._4 == c)
+    }
+    // the plain decoder walks format-1 records by recLen, dropping time
+    assert(Las.decode(bytes).toSeq == Las.decode(Las.encode(pts)).toSeq)
+    // format-0 bytes through the timed decoder yield the 0.0 sentinel
+    assert(Las.decodeTimed(Las.encode(pts)).forall(_._5 == 0.0))
+  }
+
+  test("tilesToPointsTimed surfaces the gps_time column") {
+    val timed = pts.map { case (x, y, z, c) => (x, y, z, c, x + z) }
+    val tiles = Seq((9, Las.encodeTimed(timed))).toDF("tile_id", "data")
+    val got = Las.tilesToPointsTimed(tiles).collect()
+      .map(r => (r.getInt(4), r.getDouble(5))).sortBy(_._2).toSeq
+    assert(got == timed.map(p => (p._4, p._1 + p._3)).sortBy(_._2).toSeq)
+  }
+
   test("tilesToPoints decodes tile-parallel with ids attached") {
     val tiles = Seq((3, Las.encode(pts.take(2))), (4, Las.encode(pts.drop(2))))
       .toDF("tile_id", "data")
