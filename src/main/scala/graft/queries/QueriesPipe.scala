@@ -84,14 +84,20 @@ object QueriesPipe {
   // no shuffle of train data beyond the per-doc distinct. Counts are
   // count(non-null) so both engines emit BIGINT without widening.
   private val decontaminate: Q = (s, d) => {
+    // array_distinct IN-ROW replaces a whole-corpus (doc_id, gram)
+    // distinct: the train side never shuffles at all (broadcast join +
+    // one groupBy); persist because eval + train both read the shingle
+    // computation
     val docs = Tables.documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"), TextOps.words(col("text")).as("w"))
-      .select(col("doc_id"), TextOps.shinglesOf(col("w"), 8).as("sh"))
+      .select(col("doc_id"),
+        array_distinct(TextOps.shinglesOf(col("w"), 8)).as("sh"))
+      .persist()
     val evalGrams = docs.filter(col("doc_id") % 50 === 0)
       .select(explode(col("sh")).as("g")).distinct()
       .withColumn("hit", lit(1))
     val trainGrams = docs.filter(col("doc_id") % 50 =!= 0)
-      .select(col("doc_id"), explode(col("sh")).as("g")).distinct()
+      .select(col("doc_id"), explode(col("sh")).as("g"))
     trainGrams.join(broadcast(evalGrams), Seq("g"), "left_outer")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
