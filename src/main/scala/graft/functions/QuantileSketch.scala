@@ -18,9 +18,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * depend on Spark's merge order, so the query surface is rows-only by
   * design (like `a_approx_sketches`); QuantileSketchSpec pins the rank
   * error against [[ExactQuantile]] ground truth instead of the hash gate.
+  *
+  * Buffer layout: `means`/`weights` carry slack capacity and `used`
+  * marks the live prefix, so `reduce` is an O(1) in-place append (an
+  * exact-sized immutable append would copy the whole buffer per input
+  * row — O(δ) per row, the difference between ~0.6 s and ~1.7 s over
+  * 600k rows at sf0.1).
   */
 case class TDigestState(means: Array[Double], weights: Array[Double],
-                        n: Long, min: Double, max: Double)
+                        used: Int, n: Long, min: Double, max: Double)
 
 class QuantileSketchAgg(compression: Int = 100)
     extends Aggregator[Double, TDigestState, TDigestState] with Serializable {
@@ -28,30 +34,53 @@ class QuantileSketchAgg(compression: Int = 100)
   private val bufferCap = compression * 5
 
   override def zero: TDigestState =
-    TDigestState(Array.empty, Array.empty, 0L,
-      Double.PositiveInfinity, Double.NegativeInfinity)
+    TDigestState(new Array[Double](bufferCap), new Array[Double](bufferCap),
+      0, 0L, Double.PositiveInfinity, Double.NegativeInfinity)
 
   override def reduce(s: TDigestState, x: Double): TDigestState = {
-    val st = TDigestState(s.means :+ x, s.weights :+ 1.0, s.n + 1,
-      math.min(s.min, x), math.max(s.max, x))
-    if (st.means.length > bufferCap) compress(st) else st
+    val st =
+      if (s.used < s.means.length) s
+      else {
+        val c = compact(s)
+        val cap = math.max(bufferCap, c.used * 2) // compact can't fill δ·5, but never overflow
+        TDigestState(java.util.Arrays.copyOf(c.means, cap),
+          java.util.Arrays.copyOf(c.weights, cap),
+          c.used, c.n, c.min, c.max)
+      }
+    st.means(st.used) = x
+    st.weights(st.used) = 1.0
+    st.copy(used = st.used + 1, n = st.n + 1,
+      min = math.min(st.min, x), max = math.max(st.max, x))
   }
 
   override def merge(a: TDigestState, b: TDigestState): TDigestState = {
     if (a.n == 0) return b
     if (b.n == 0) return a
-    compress(TDigestState(a.means ++ b.means, a.weights ++ b.weights,
-      a.n + b.n, math.min(a.min, b.min), math.max(a.max, b.max)))
+    val ca = compact(a); val cb = compact(b)
+    val m = new Array[Double](ca.used + cb.used)
+    val w = new Array[Double](ca.used + cb.used)
+    System.arraycopy(ca.means, 0, m, 0, ca.used)
+    System.arraycopy(cb.means, 0, m, ca.used, cb.used)
+    System.arraycopy(ca.weights, 0, w, 0, ca.used)
+    System.arraycopy(cb.weights, 0, w, ca.used, cb.used)
+    compact(TDigestState(m, w, m.length, a.n + b.n,
+      math.min(a.min, b.min), math.max(a.max, b.max)))
   }
 
-  /** Greedy in-order cluster merge under the k1 scale-function bound. */
-  private def compress(s: TDigestState): TDigestState = {
-    val idx = s.means.indices.toArray.sortBy(s.means)
-    val total = s.weights.sum
+  /** Greedy in-order cluster merge under the k1 scale-function bound;
+    * returns exact-sized arrays (used == means.length). */
+  private def compact(s: TDigestState): TDigestState = {
+    if (s.used == 0)
+      return s.copy(means = Array.empty, weights = Array.empty, used = 0)
+    val idx = (0 until s.used).toArray.sortBy(s.means)
+    var total = 0.0
+    var j = 0
+    while (j < s.used) { total += s.weights(j); j += 1 }
     val outM = Array.newBuilder[Double]
     val outW = Array.newBuilder[Double]
     def k(q: Double): Double =
-      compression / (2.0 * math.Pi) * math.asin(2.0 * math.min(1.0, math.max(0.0, q)) - 1.0)
+      compression / (2.0 * math.Pi) *
+        math.asin(2.0 * math.min(1.0, math.max(0.0, q)) - 1.0)
     var done = 0.0              // weight in closed clusters
     var cm = s.means(idx(0)); var cw = s.weights(idx(0))
     var kLo = k(0.0)
@@ -68,18 +97,20 @@ class QuantileSketchAgg(compression: Int = 100)
       i += 1
     }
     outM += cm; outW += cw
-    TDigestState(outM.result(), outW.result(), s.n, s.min, s.max)
+    val rm = outM.result(); val rw = outW.result()
+    TDigestState(rm, rw, rm.length, s.n, s.min, s.max)
   }
 
-  override def finish(s: TDigestState): TDigestState = compress(s)
+  override def finish(s: TDigestState): TDigestState = compact(s)
 
   override def bufferEncoder: Encoder[TDigestState] = Encoders.product[TDigestState]
   override def outputEncoder: Encoder[TDigestState] = Encoders.product[TDigestState]
 }
 
 object QuantileSketch {
-  /** Quantile estimate from a digest: piecewise-linear interpolation
-    * between centroid midpoints, exact min/max at the tails. */
+  /** Quantile estimate from a COMPACTED digest (used == means.length):
+    * piecewise-linear interpolation between centroid midpoints, exact
+    * min/max at the tails. */
   def quantileOf(s: TDigestState, q: Double): Double = {
     val m = s.means; val w = s.weights
     if (s.n == 0 || m.isEmpty) return Double.NaN

@@ -73,7 +73,7 @@ object QueriesIngest {
     val sk = udaf(new QuantileSketchAgg(100))
     val est = udf((r: Row, q: Double) => QuantileSketch.quantileOf(
       TDigestState(r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray,
-        r.getLong(2), r.getDouble(3), r.getDouble(4)), q))
+        r.getInt(2), r.getLong(3), r.getDouble(4), r.getDouble(5)), q))
     val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
     Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("x"))

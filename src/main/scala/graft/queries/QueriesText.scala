@@ -823,14 +823,16 @@ object QueriesText {
     // persist: consumed three times (prefix cut + both size joins)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz")).persist()
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    // per-doc rank under the global (df asc, sh asc) order — the window
-    // is partitioned by doc_id, bounded by the doc's own shingle count
+    // per-doc prefix under the global (df asc, sh asc) order, cut
+    // in-row: one groupBy instead of a window + size join (the struct
+    // array sorts lexicographically — df first, shingle as the tie pin;
+    // bounded by the doc's own shingle count)
     val prefixes = sh.join(dfreq, "sh")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)))
-      .join(sizes, "doc_id")
-      .filter(col("rk") <= col("sz") - ceil(lit(LSH_TAU) * col("sz")) + lit(1L))
-      .select("doc_id", "sh")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("df"), col("sh"))).as("a"))
+      .select(col("doc_id"), explode(expr(
+        s"slice(array_sort(a), 1, cast(size(a) - ceil($LSH_TAU * size(a)) + 1 as int))")).as("p"))
+      .select(col("doc_id"), col("p.sh").as("sh"))
       .persist() // both sides of the prefix self-join
     val pairs = prefixes.toDF("a_id", "sh")
       .join(prefixes.toDF("b_id", "sh"), Seq("sh"))
