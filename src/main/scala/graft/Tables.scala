@@ -12,16 +12,27 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark has no
-    * native type for; sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * and this loader restores a proper TimestampType column (`ts div 1000`
-    * truncates nanos→micros exactly like DuckDB's read of the same file). */
-  private def normTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+  /** The driver's events.parquet has shipped `ts` in two physical forms
+    * across corpus generations: TIMESTAMP(NANOS) (no native Spark type —
+    * sessions set `spark.sql.legacy.parquet.nanosAsLong` and we rebuild
+    * micros via `ts div 1000`, exactly DuckDB's read of the same file) and
+    * naive TIMESTAMP(MICROS) (isAdjustedToUTC=false, which Spark 4 infers
+    * as TIMESTAMP_NTZ). Both normalize here to a session-UTC TimestampType
+    * column so every downstream surface — watermarks, `unix_micros`,
+    * `Row.getTimestamp` — sees one type regardless of corpus vintage. The
+    * NTZ→TZ cast under the UTC session zone relabels the same wall-clock
+    * instant DuckDB reads, so oracle parity is unchanged. */
+  private def normTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+    case _ => df
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")

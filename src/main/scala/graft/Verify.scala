@@ -17,6 +17,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
       // robustness probe lever: results must be AQE-invariant
       .config("spark.sql.adaptive.enabled",

@@ -228,8 +228,8 @@ class PipeSpec extends SparkSuite {
   }
 
   test("st_late_events matches an imperative per-user frontier sweep") {
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val expected = ev.groupBy(_._1).map { case (u, g) =>
       val ordered = g.sortBy(_._2)
@@ -351,9 +351,10 @@ class PipeSpec extends SparkSuite {
   }
 
   test("o_interval_union matches an imperative interval merge") {
-    val iv = spark.read.parquet(s"$sf001/events.parquet")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("st"),
-        expr("ts div 1000 + CAST(floor(value * 1e6 + 0.5) AS LONG)").as("en"))
+    val iv = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) +
+          expr("CAST(floor(value * 1e6 + 0.5) AS LONG)")).as("en"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val expected = iv.groupBy(_._1).map { case (u, g) =>
       val sorted = g.map { case (_, id, s, e) => (s, e, id) }.sortBy(identity)
@@ -372,9 +373,9 @@ class PipeSpec extends SparkSuite {
   }
 
   test("o_latest_by_key matches an imperative latest-wins fold") {
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val ev = Tables.events(spark, sf001)
       .select(col("user_id"), col("event_type"), col("event_id"),
-        expr("ts div 1000").as("us"), col("value"))
+        unix_micros(col("ts")).as("us"), col("value"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
     val expected = ev.groupBy(e => (e._1, e._2)).map { case (k, g) =>
@@ -388,9 +389,9 @@ class PipeSpec extends SparkSuite {
   }
 
   test("st_join_enrich matches an imperative per-view click scan") {
-    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    val ev = Tables.events(spark, sf001)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("us"))
+        unix_micros(col("ts")).as("us"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
     val clicksByUser = ev.filter(_._3 == "click").groupBy(_._2)
     val expected = ev.filter(_._3 == "view").map { case (vid, u, _, vus) =>

@@ -11,6 +11,7 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
