@@ -523,8 +523,93 @@ object QueriesAnn {
                      / CAST(count(*) AS DOUBLE), 6) AS mean_cost
         FROM best GROUP BY 1"""
 
+  // ---- int8 scalar quantization + exact rescore (SQ8) -------------------
+  // The third compressed-domain ANN flavor beside PQ/ADC: each dimension
+  // is affine-mapped to an 8-bit code against per-dimension [min, max]
+  // trained in one aggregate pass — a 4x payload cut (and integer-SIMD
+  // scoring) that, unlike PQ, needs no codebook and reconstructs each dim
+  // independently. The scan scores CODES with an integer dot product
+  // (values ≤ 64·255² ≪ 2⁵³, so the double-typed fold is exact and
+  // cross-engine deterministic — invariant #2), keeps the top
+  // SQ_RESCORE candidates per query, and rescores ONLY those with exact
+  // float cosine — the asymmetric refine step a production SQ8 index
+  // runs. At 100 TB the full-width vector column is read only for the
+  // ~SQ_RESCORE·NQ rescore rows; codes come from a crossJoin with a
+  // broadcast 1-row stats frame, never a shuffle.
+  private val SQDIM = 64
+  private val SQ_RESCORE = 10
+
+  private val sq8Topk: Q = (s, d) => {
+    val e = emb(s, d)
+    val dims = e.select(posexplode(col("v")).as(Seq("dim0", "x")))
+      .groupBy("dim0").agg(min("x").as("mn"), max("x").as("mx"))
+    val stats = dims
+      .agg(array_sort(collect_list(struct(col("dim0"), col("mn")))).as("smn"),
+        array_sort(collect_list(struct(col("dim0"), col("mx")))).as("smx"))
+      .select(transform(col("smn"), t => t.getField("mn")).as("dmin"),
+        transform(col("smx"), t => t.getField("mx")).as("dmax"))
+    // quantize: floor(((x − lo) / (hi − lo)) · 255 + 0.5), parenthesized
+    // identically in both engines; constant dims (hi = lo) code to 0
+    val codes = transform(sequence(lit(1), lit(SQDIM)), dcol => {
+      val x = element_at(col("v"), dcol)
+      val lo = element_at(col("dmin"), dcol)
+      val hi = element_at(col("dmax"), dcol)
+      when(hi === lo, lit(0.0)).otherwise(
+        least(lit(255.0), greatest(lit(0.0),
+          floor((x - lo) / (hi - lo) * lit(255.0) + lit(0.5)).cast("double"))))
+    })
+    val coded = e.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("v"), codes.as("c"))
+      .persist()
+    val q = coded.filter(col("vec_id") < NQUERIES).toDF("q_id", "qv", "qc")
+    coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("qv"), col("v"),
+        Similarity.dot(col("qc"), col("c")).cast("long").as("iscore"))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("iscore").desc, col("vec_id").asc)))
+      .filter(col("arank") <= SQ_RESCORE)
+      .select(col("q_id"), col("vec_id"), col("iscore"),
+        round(Similarity.cosine(col("qv"), col("v")), 6).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= TOPK)
+  }
+
+  private val sq8TopkSql =
+    s"""WITH e AS ($embSqlCte),
+        dims AS (SELECT d AS dim, min(v[d]) AS mn, max(v[d]) AS mx
+                 FROM e, (SELECT unnest(range(1, ${SQDIM + 1})) AS d)
+                 GROUP BY 1),
+        stats AS (SELECT list(mn ORDER BY dim) AS dmin,
+                         list(mx ORDER BY dim) AS dmax
+                  FROM dims),
+        coded AS (SELECT vec_id, v,
+                         list_transform(range(1, ${SQDIM + 1}), d ->
+                           CASE WHEN dmax[d] = dmin[d] THEN 0.0
+                                ELSE least(255.0, greatest(0.0,
+                                  floor(((v[d] - dmin[d]) / (dmax[d] - dmin[d]))
+                                        * 255.0 + 0.5))) END) AS c
+                  FROM e, stats),
+        q AS (SELECT vec_id AS q_id, v AS qv, c AS qc
+              FROM coded WHERE vec_id < $NQUERIES),
+        approx AS (SELECT q_id, vec_id, qv, coded.v AS v,
+                          CAST(${Similarity.dotSql("qc", "c")} AS BIGINT) AS iscore,
+                          row_number() OVER (PARTITION BY q_id
+                            ORDER BY CAST(${Similarity.dotSql("qc", "c")} AS BIGINT) DESC,
+                                     vec_id ASC) AS arank
+                   FROM coded JOIN q ON vec_id <> q_id)
+        SELECT q_id, vec_id, iscore,
+               round(${Similarity.cosineSql("qv", "v")}, 6) AS sim,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY round(${Similarity.cosineSql("qv", "v")}, 6) DESC,
+                          vec_id ASC) AS rank
+        FROM approx WHERE arank <= $SQ_RESCORE
+        QUALIFY rank <= $TOPK"""
+
   val queries: Map[String, Q] = Map(
     "n_inertia" -> inertia,
+    "n_sq8_topk" -> sq8Topk,
     "m_ndcg" -> ndcg,
     "n_pq_adc" -> pqAdc,
     "n_cosine_topk" -> cosineTopk,
@@ -538,6 +623,7 @@ object QueriesAnn {
 
   val oracle: Map[String, String] = Map(
     "n_inertia" -> inertiaSql,
+    "n_sq8_topk" -> sq8TopkSql,
     "m_ndcg" -> ndcgSql,
     "n_pq_adc" -> pqAdcSql,
     "n_cosine_topk" -> cosineTopkSql,

@@ -147,6 +147,82 @@ object QueriesPipe {
           FROM documents WHERE text IS NOT NULL)
         WHERE rk <= $DOMAIN_CAP"""
 
+  // ---- x_dsir_weights: hashed-n-gram importance weights (DSIR) ---------
+  // Data Selection via Importance Resampling (Xie et al. 2023): score
+  // every raw document by log(p_target/p_raw) under two hashed
+  // bag-of-words models — the principled "make the corpus look like the
+  // target domain" selection step between quality filtering and dedup in
+  // an LLM data pipeline. Target here = the English slice; features =
+  // unigrams hashed into B=64 buckets (first two md5 hex digits, the
+  // vocabulary-level md5 trick of x_dedup_simhash: one hash per DISTINCT
+  // word, not per instance). Bucket probabilities are Laplace-smoothed;
+  // the per-bucket log-ratio goes through ln() ONCE and is 1e-6-quantized
+  // AT SOURCE (x_charlm_ppl pattern), so each document's weight is an
+  // exact integer sum — merge-order-proof in both engines. Scale shape:
+  // two aggregates (word counts, bucket counts) + a B-row broadcast back
+  // onto per-doc word counts; nothing quadratic, nothing driver-side.
+  private val DSIR_B = 64
+
+  private val dsirWeights: Q = (s, d) => {
+    val inst = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.words(col("text"))).as("w"))
+    val wcnt = inst.groupBy("w")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      .withColumn("wmd5", md5(col("w")))
+      .select(col("w"), col("cr"), col("ct"),
+        (((expr("instr('0123456789abcdef', substr(wmd5, 1, 1))") - 1) * 16 +
+          (expr("instr('0123456789abcdef', substr(wmd5, 2, 1))") - 1))
+          % DSIR_B).as("b"))
+      .persist()
+    val bkt = wcnt.groupBy("b").agg(sum("cr").as("cr"), sum("ct").as("ct"))
+    val tot = bkt.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+    val lr = bkt.crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor(log(
+          ((col("ct").cast("double") + lit(1.0)) /
+            (col("tt").cast("double") + lit(DSIR_B.toDouble))) /
+          ((col("cr").cast("double") + lit(1.0)) /
+            (col("tr").cast("double") + lit(DSIR_B.toDouble)))) * 1e6 + 0.5)
+          .cast("long").as("lr6"))
+    val dw = inst.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    dw.join(broadcast(wcnt.select("w", "b")), "w")
+      .join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"),
+        round(sum(col("c") * col("lr6")).cast("double") / 1e6, 6)
+          .as("dsir_logw"))
+  }
+
+  private val dsirWeightsSql =
+    s"""WITH inst AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                      FROM documents WHERE text IS NOT NULL),
+        wcnt AS (SELECT w, count(*) AS cr,
+                        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                        ((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+                         + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1))
+                          % $DSIR_B AS b
+                 FROM inst GROUP BY 1),
+        bkt AS (SELECT b, CAST(sum(cr) AS BIGINT) AS cr,
+                       CAST(sum(ct) AS BIGINT) AS ct
+                FROM wcnt GROUP BY 1),
+        tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+                       CAST(sum(ct) AS BIGINT) AS tt
+                FROM bkt),
+        lr AS (SELECT b,
+                      CAST(floor(ln(((CAST(ct AS DOUBLE) + 1.0)
+                                     / (CAST(tt AS DOUBLE) + $DSIR_B.0))
+                                    / ((CAST(cr AS DOUBLE) + 1.0)
+                                       / (CAST(tr AS DOUBLE) + $DSIR_B.0)))
+                                 * 1e6 + 0.5) AS BIGINT) AS lr6
+               FROM bkt, tot),
+        dw AS (SELECT doc_id, w, count(*) AS c FROM inst GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               round(CAST(sum(c * lr6) AS BIGINT) / 1e6, 6) AS dsir_logw
+        FROM dw JOIN wcnt USING (w) JOIN lr USING (b)
+        GROUP BY 1"""
+
   // ---- x_bm25_topk: BM25 retrieval over the corpus ---------------------
   // Okapi BM25 (k1 = 1.2, b = 0.75) for a fixed 3-term query. Corpus
   // stats (N, avgdl, per-term df) are tiny and broadcast; the only
@@ -628,6 +704,7 @@ object QueriesPipe {
     "x_pack_chunks" -> packChunks,
     "x_decontaminate" -> decontaminate,
     "x_domain_cap" -> domainCap,
+    "x_dsir_weights" -> dsirWeights,
     "x_bm25_topk" -> bm25TopK,
     "g_pagerank" -> pagerank,
     "g_pagerank6" -> pagerankQ(6),
@@ -643,6 +720,7 @@ object QueriesPipe {
     "x_pack_chunks" -> packChunksSql,
     "x_decontaminate" -> decontaminateSql,
     "x_domain_cap" -> domainCapSql,
+    "x_dsir_weights" -> dsirWeightsSql,
     "x_bm25_topk" -> bm25TopKSql,
     "g_pagerank" -> pagerankSql,
     "g_pagerank6" -> pagerankSqlFor(6),

@@ -95,4 +95,44 @@ class PlanQualitySpec extends SparkSuite {
     assert(offenders.isEmpty,
       s"unbounded whole-table windows (or unplannable queries):\n${offenders.mkString("\n")}")
   }
+
+  test("bucketed co-located join + same-key agg: ZERO exchanges end to end") {
+    // The 100-TB repeated-join shape: pre-bucketing both fact tables on
+    // the join key makes every later join/aggregate on that key
+    // exchange-free — the scan's HashPartitioning(bucket cols) satisfies
+    // the join AND the same-key aggregate. Broadcast is disabled so the
+    // test proves co-location, not small-side luck.
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sf001).select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("pq_orders_b")
+      Tables.lineitem(spark, sf001).select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("pq_lineitem_b")
+      val j = spark.table("pq_lineitem_b")
+        .join(spark.table("pq_orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey").agg(sum("l_quantity").as("qty"))
+      val p = j.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      assert(exchanges == 0,
+        s"bucketed join+agg should be exchange-free ($exchanges found):\n$p")
+      // and it still computes the right thing
+      val viaBuckets = j.agg(count(lit(1)), sum("qty")).head()
+      val direct = Tables.lineitem(spark, sf001)
+        .join(Tables.orders(spark, sf001),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey").agg(sum("l_quantity").as("qty"))
+        .agg(count(lit(1)), sum("qty")).head()
+      assert(viaBuckets == direct)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pq_orders_b")
+      spark.sql("DROP TABLE IF EXISTS pq_lineitem_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
 }
