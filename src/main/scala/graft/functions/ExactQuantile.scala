@@ -205,8 +205,14 @@ object ExactQuantile {
     * (k≈p·n per-partition retention) and bisection (≤64 sequential probe
     * jobs). The preferred engine path for any quantile of anything big.
     * Requires a known total row count `n` of non-null `c` values (the
-    * caller usually has it from the same agg that produced min/max). */
-  def nthsByRadix(df: DataFrame, c: String, n: Long, is: Seq[Long]): Map[Long, Double] = {
+    * caller usually has it from the same agg that produced min/max).
+    *
+    * `hist48` lets a caller that already grouped the data by the top-16-bit
+    * prefix (`double_bits_folded(c) >> 48`) hand that histogram in — the
+    * first of the 4 scans is skipped, fusing e.g. a moment aggregate and
+    * pass 1 into one job (Zonal.descriptiveStats does this). */
+  def nthsByRadix(df: DataFrame, c: String, n: Long, is: Seq[Long],
+      hist48: Option[Array[(Long, Long)]] = None): Map[Long, Double] = {
     if (is.isEmpty) return Map.empty
     is.foreach(i => require(i >= 0 && i < n, s"order statistic $i out of range [0, $n)"))
     val v = col(c).cast("double")
@@ -222,10 +228,12 @@ object ExactQuantile {
       val filtered =
         if (shift >= 64) base
         else base.where(shiftright(col("b"), shift).isin(live: _*))
-      val hist = filtered
-        .groupBy(shiftright(col("b"), newShift).as("k"))
-        .agg(count(lit(1)).as("cnt"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val hist =
+        if (shift >= 64 && hist48.isDefined) hist48.get
+        else filtered
+          .groupBy(shiftright(col("b"), newShift).as("k"))
+          .agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
       val byPrefix: Map[Long, Array[(Long, Long)]] =
         if (shift >= 64) Map(0L -> hist.sortBy(_._1))
         else hist.groupBy(_._1 >> step).map { case (p, a) => p -> a.sortBy(_._1) }

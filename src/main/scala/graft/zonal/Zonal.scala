@@ -56,9 +56,29 @@ object Zonal {
     val zoneBase = zoneRanked.groupBy("name")
       .agg(count(lit(1)).as("n"), (momentAggs ++ zoneQAggs): _*)
 
-    // ALL row: one moment aggregate + 4-pass radix selection
-    val allAgg = tagged.agg(count(lit(1)).as("n"), momentAggs: _*).head()
-    val nAll = allAgg.getLong(0)
+    // ALL row: moments AND radix pass 1 fused into ONE grouped scan — the
+    // per-prefix (top 16 bits of the folded IEEE pattern) aggregate yields
+    // both the pass-1 histogram for [[ExactQuantile.nthsByRadix]] and the
+    // power sums the moments need (≤65536 driver rows; re-summed in
+    // prefix-key order so the fold is deterministic). Total ALL-row cost:
+    // 4 scans, down from the previous 5 (agg + 4 radix passes).
+    import org.apache.spark.sql.graft.ColumnBridge
+    val bitsC = ColumnBridge.column(graft.functions.DoubleBitsFolded(
+      ColumnBridge.expression(x.cast("double"))))
+    val xv = col("xv")
+    val pre = tagged.where(x.isNotNull)
+      .select(x.cast("double").as("xv"), shiftright(bitsC, 48).as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("c"), sum(xv).as("s1"),
+        sum(xv * xv).as("s2"), sum(xv * xv * xv).as("s3"),
+        sum(xv * xv * xv * xv).as("s4"),
+        min(xv).as("mn"), max(xv).as("mx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .sortBy(_._1)
+    val nAll = pre.map(_._2).sum
+    def round6(d: Double): Double = math.floor(d * 1e6 + 0.5) / 1e6 // Canon
     val base0 =
       if (nAll == 0) zoneBase
       else {
@@ -67,14 +87,20 @@ object Zonal {
           Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
         }.distinct
         val nths = graft.functions.ExactQuantile.nthsByRadix(
-          tagged.select(x.as(v)), v, nAll, ranks)
+          tagged.select(x.as(v)), v, nAll, ranks,
+          hist48 = Some(pre.map(t => (t._1, t._2))))
         val qLits = ps.flatMap { case (p, tag) =>
           val pos = p * (nAll - 1)
           Seq(lit(nths(math.floor(pos).toLong)).as(s"${tag}_lo"),
               lit(nths(math.ceil(pos).toLong)).as(s"${tag}_hi"))
         }
+        val nd = nAll.toDouble
+        val momentVals = Seq(
+          pre.map(_._3).sum / nd, pre.map(_._4).sum / nd,
+          pre.map(_._5).sum / nd, pre.map(_._6).sum / nd,
+          round6(pre.map(_._7).min), round6(pre.map(_._8).max))
         val momentLits = Seq("m1", "m2r", "m3r", "m4r", "min_v", "max_v")
-          .zipWithIndex.map { case (nm, i) => lit(allAgg.getDouble(i + 1)).as(nm) }
+          .zip(momentVals).map { case (nm, d) => lit(d).as(nm) }
         val allBase = tagged.sparkSession.range(1).select(
           (Seq(lit("ALL").as("name"), lit(nAll).as("n")) ++ momentLits ++ qLits): _*)
         zoneBase.unionByName(allBase)
