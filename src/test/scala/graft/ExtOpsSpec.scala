@@ -110,4 +110,46 @@ class ExtOpsSpec extends SparkSuite {
       assert(id == expect(k), s"pq top-k mismatch at $k: got $id expect ${expect(k)}")
     }
   }
+
+  test("n_sq8_topk quantizes against true per-dim extrema and rescores exactly") {
+    val vecs = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dim = vecs.head._2.length
+    val dmin = (0 until dim).map(d => vecs.values.map(_(d)).min).toArray
+    val dmax = (0 until dim).map(d => vecs.values.map(_(d)).max).toArray
+    def codes(v: Array[Double]): Array[Double] =
+      (0 until dim).map { d =>
+        if (dmax(d) == dmin(d)) 0.0
+        else math.min(255.0, math.max(0.0,
+          math.floor((v(d) - dmin(d)) / (dmax(d) - dmin(d)) * 255.0 + 0.5)))
+      }.toArray
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; (0 until dim).foreach(i => s += a(i) * b(i)); s
+    }
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      math.floor(c * 1e6 + 0.5) / 1e6
+    }
+    val cded = vecs.map { case (id, v) => id -> codes(v) }
+    val expect = (0 until 5).flatMap { q =>
+      val qc = cded(q.toLong); val qv = vecs(q.toLong)
+      val cands = vecs.keys.filter(_ != q.toLong).map { id =>
+        (id, dot(qc, cded(id)).toLong)
+      }.toSeq.sortBy { case (id, is) => (-is, id) }.take(10)
+      cands.map { case (id, _) => (id, cos6(qv, vecs(id))) }
+        .sortBy { case (id, sim) => (-sim, id) }.take(3).zipWithIndex
+        .map { case ((id, sim), i) => (q.toLong, i + 1L) -> ((id, sim)) }
+    }.toMap
+    val got = QueriesAnn.queries("n_sq8_topk")(spark, sf001)
+      .select("q_id", "rank", "vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.size == expect.size)
+    got.foreach { case (k, idSim) =>
+      assert(idSim == expect(k),
+        s"sq8 top-k mismatch at $k: got $idSim expect ${expect(k)}")
+    }
+  }
 }

@@ -227,6 +227,44 @@ class PipeSpec extends SparkSuite {
       s"seed customers should outrank non-seeds ($seedMean vs $otherMean)")
   }
 
+  test("x_dsir_weights matches an imperative hashed-bucket recompute") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(w: String): Int = {
+      val hex = md.digest(w.getBytes("UTF-8")).take(1)
+        .flatMap(b => f"$b%02x".toCharArray)
+      (("0123456789abcdef".indexOf(hex(0))) * 16 +
+        "0123456789abcdef".indexOf(hex(1))) % 64
+    }
+    val all = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._2 != null)
+    val inst = all.flatMap { case (id, t, lang) =>
+      t.split(" ", -1).map(w => (id, w, lang)) }
+    val byWord = inst.groupBy(_._2).map { case (w, g) =>
+      w -> ((g.length.toLong, g.count(_._3 == "en").toLong, bucket(w)))
+    }
+    val byBucket = byWord.values.groupBy(_._3).map { case (b, g) =>
+      b -> ((g.map(_._1).sum, g.map(_._2).sum))
+    }
+    val tr = byBucket.values.map(_._1).sum
+    val tt = byBucket.values.map(_._2).sum
+    val lr6 = byBucket.map { case (b, (cr, ct)) =>
+      b -> math.floor(math.log(((ct + 1.0) / (tt + 64.0)) /
+        ((cr + 1.0) / (tr + 64.0))) * 1e6 + 0.5).toLong
+    }
+    val expected = inst.groupBy(_._1).map { case (id, g) =>
+      val s6 = g.map(i => lr6(byWord(i._2)._3)).sum
+      id -> ((g.length.toLong, math.floor(s6.toDouble / 1e6 * 1e6 + 0.5) / 1e6))
+    }
+    val got = QueriesPipe.queries("x_dsir_weights")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.size == expected.size)
+    got.foreach { case (id, v) =>
+      assert(v == expected(id), s"dsir mismatch at doc $id: got $v expect ${expected(id)}")
+    }
+  }
+
   test("st_late_events matches an imperative per-user frontier sweep") {
     val ev = Tables.events(spark, sf001)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
