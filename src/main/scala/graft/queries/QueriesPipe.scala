@@ -118,6 +118,99 @@ object QueriesPipe {
                count(hit) > 0 AS contaminated
         FROM j GROUP BY 1"""
 
+  // ---- x_bloom_decon: Bloom-filter decontamination + FP accounting -----
+  // The 100-TB form of x_decontaminate's broadcast set: when the eval
+  // gram SET no longer broadcasts, a fixed 2^14-bit / k=2 Bloom filter
+  // (built by an order-independent bit_or aggregate — mergeable state,
+  // like the HLL registers) stands in for it. Probes are two equi-joins
+  // on the 32-bit word index of a ≤512-row bits table. The query keeps
+  // the exact join beside the bloom verdict and reports per-doc false
+  // positives — the measured FP rate ((1−e^(−kn/m))^k, ~5% at this m/n)
+  // that a pipeline owner trades against the broadcast size. Bit
+  // positions come from two 20-bit md5 hex polynomials (exact integer
+  // math, deterministic in both engines), so the filter itself
+  // hash-matches the oracle.
+  private val BLOOM_BITS = 16384L // 2^14
+
+  private val bloomDecon: Q = (s, d) => {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .select(col("doc_id"),
+        array_distinct(TextOps.shinglesOf(col("w"), 8)).as("sh"))
+      .persist()
+    val evalG = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(col("sh")).as("g")).distinct()
+      .persist() // bloom build AND the exact-hit join read it
+    def digit(p: Int) =
+      (expr(s"instr('0123456789abcdef', substr(m, $p, 1))") - 1).cast("long")
+    def pos(off: Int) = (0 until 5).map(i =>
+      digit(off + i + 1) * lit(1L << (4 * (4 - i)))).reduce(_ + _) % BLOOM_BITS
+    val bloom = evalG.withColumn("m", md5(col("g")))
+      .select(explode(array(pos(0), pos(5))).as("p"))
+      .select(expr("shiftright(p, 5)").as("word"),
+        (col("p") % 32).cast("int").as("bit"))
+      .groupBy("word")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .withColumn("m", md5(col("g")))
+      .select(col("doc_id"), col("g"), pos(0).as("p0"), pos(5).as("p1"))
+    train
+      .join(broadcast(bloom.toDF("w0", "bits0")),
+        expr("shiftright(p0, 5)") === col("w0"), "left_outer")
+      .join(broadcast(bloom.toDF("w1", "bits1")),
+        expr("shiftright(p1, 5)") === col("w1"), "left_outer")
+      .withColumn("bloom_hit",
+        coalesce(expr("(shiftright(bits0, CAST(p0 % 32 AS INT)) & 1) = 1"),
+          lit(false)) &&
+        coalesce(expr("(shiftright(bits1, CAST(p1 % 32 AS INT)) & 1) = 1"),
+          lit(false)))
+      .join(broadcast(evalG.withColumn("true_hit", lit(1))),
+        Seq("g"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        count(col("true_hit")).as("n_true_hits"),
+        sum(when(col("bloom_hit") && col("true_hit").isNull, 1L)
+          .otherwise(0L)).as("n_false_pos"))
+  }
+
+  private val bloomDeconSql = {
+    val digit = (p: Int) => s"(strpos('0123456789abcdef', substr(m, $p, 1)) - 1)"
+    val pos = (off: Int) => "(" + (0 until 5).map(i =>
+      s"${digit(off + i + 1)} * ${1L << (4 * (4 - i))}").mkString(" + ") +
+      s") % $BLOOM_BITS"
+    s"""WITH docs AS (SELECT doc_id,
+                             list_distinct(${TextOps.shinglesSql("text", 8)}) AS sh
+                      FROM documents WHERE text IS NOT NULL),
+        eg AS (SELECT DISTINCT g FROM
+                 (SELECT unnest(sh) AS g FROM docs WHERE doc_id % 50 = 0)),
+        ep AS (SELECT ${pos(0)} AS p0, ${pos(5)} AS p1
+               FROM (SELECT g, md5(g) AS m FROM eg)),
+        bloom AS (SELECT word, bit_or(CAST(1 AS BIGINT) << bit) AS bits FROM
+                    (SELECT p0 >> 5 AS word, CAST(p0 % 32 AS INT) AS bit FROM ep
+                     UNION ALL
+                     SELECT p1 >> 5 AS word, CAST(p1 % 32 AS INT) AS bit FROM ep)
+                  GROUP BY 1),
+        tp AS (SELECT doc_id, g, ${pos(0)} AS p0, ${pos(5)} AS p1
+               FROM (SELECT doc_id, g, md5(g) AS m FROM
+                       (SELECT doc_id, unnest(sh) AS g FROM docs
+                        WHERE doc_id % 50 <> 0))),
+        probed AS (SELECT doc_id,
+                          coalesce((b0.bits >> CAST(p0 % 32 AS INT)) & 1 = 1, false)
+                            AND coalesce((b1.bits >> CAST(p1 % 32 AS INT)) & 1 = 1, false)
+                            AS bloom_hit,
+                          e.g IS NOT NULL AS true_hit
+                   FROM tp LEFT JOIN bloom b0 ON b0.word = (tp.p0 >> 5)
+                           LEFT JOIN bloom b1 ON b1.word = (tp.p1 >> 5)
+                           LEFT JOIN eg e ON e.g = tp.g)
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+               CAST(sum(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_true_hits,
+               CAST(sum(CASE WHEN bloom_hit AND NOT true_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+        FROM probed GROUP BY 1"""
+  }
+
   // ---- x_domain_cap: per-source document cap ---------------------------
   // RefinedWeb-style per-domain budgeting: keep at most CAP docs per
   // source, best-first by a deterministic quality key (word count desc,
@@ -705,6 +798,7 @@ object QueriesPipe {
     "x_decontaminate" -> decontaminate,
     "x_domain_cap" -> domainCap,
     "x_dsir_weights" -> dsirWeights,
+    "x_bloom_decon" -> bloomDecon,
     "x_bm25_topk" -> bm25TopK,
     "g_pagerank" -> pagerank,
     "g_pagerank6" -> pagerankQ(6),
@@ -721,6 +815,7 @@ object QueriesPipe {
     "x_decontaminate" -> decontaminateSql,
     "x_domain_cap" -> domainCapSql,
     "x_dsir_weights" -> dsirWeightsSql,
+    "x_bloom_decon" -> bloomDeconSql,
     "x_bm25_topk" -> bm25TopKSql,
     "g_pagerank" -> pagerankSql,
     "g_pagerank6" -> pagerankSqlFor(6),

@@ -69,6 +69,99 @@ object QueriesText {
         FROM est ORDER BY cnt DESC, w ASC LIMIT 20"""
   }
 
+  // ---- HyperLogLog distinct estimate, exactly gated ---------------------
+  // The cardinality twin of a_cms_est: per-source distinct-3-gram counts
+  // (the n-gram-cardinality question a dedup planner asks first) from a
+  // 64-register HLL whose hash is md5 (idx = first-two-hex-digit value
+  // mod 64; rank = leading-zero count of the next 48 bits + 1, via
+  // length(bin(w48)) — both engines print minimal binary strings). Every
+  // step is integer-exact: the harmonic-mean denominator Σ2^(−M[j]) is
+  // kept scaled as Σ2^(49−M[j]) in a BIGINT (≤64·2^49 < 2^55), so the
+  // register-merge order cannot perturb it; the small-range ln()
+  // correction comes from a 64-entry precomputed literal table (ndcg
+  // pattern). The sketch therefore hash-matches the oracle exactly while
+  // still being a REAL estimator (rel_err column shows its accuracy
+  // against the exact distinct). At 100 TB the shuffle after hashing
+  // carries ≤ sources×64 register rows — this is the mergeable-state
+  // shape that replaces count(DISTINCT) when exact counts stop fitting.
+  private val HLLM = 64
+  private val hllSmall: Seq[Double] = (1 to HLLM).map(v =>
+    math.floor(HLLM.toDouble * math.log(HLLM.toDouble / v) * 1e6 + 0.5) / 1e6)
+
+  private val hllEst: Q = (s, d) => {
+    val wd = Tables.documents(s, d)
+      .select(col("source"), TextOps.words(col("text")).as("ws"))
+      .select(col("source"), explode(TextOps.shinglesOf(col("ws"), 3)).as("w"))
+      .distinct()
+      .withColumn("m", md5(col("w")))
+      .persist() // registers AND the exact count read it
+    def digit(p: Int) =
+      (expr(s"instr('0123456789abcdef', substr(m, $p, 1))") - 1).cast("long")
+    val idx = ((digit(1) * 16 + digit(2)) % HLLM).as("idx")
+    val w48 = (0 until 12).map(i =>
+      digit(i + 3) * lit(1L << (4 * (11 - i)))).reduce(_ + _)
+    val rho = when(w48 === 0L, lit(49))
+      .otherwise(lit(49) - length(bin(w48))).as("rho")
+    val regs = wd.select(col("source"), idx, rho)
+      .groupBy("source", "idx").agg(max("rho").as("r"))
+    val sums = regs.groupBy("source")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - r)")).as("sp"),
+        count(lit(1)).as("mp"))
+      .select(col("source"),
+        (lit(HLLM.toLong) - col("mp")).as("vz"),
+        (col("sp") + (lit(HLLM.toLong) - col("mp")) * lit(1L << 49)).as("sint"))
+    val raw = (lit(0.709) * lit(4096.0) * lit(562949953421312.0)) /
+      col("sint").cast("double")
+    val smallArr = array(hllSmall.map(lit): _*)
+    val est = sums.select(col("source"), col("vz"),
+      when(raw <= 160.0 && col("vz") > 0,
+        element_at(smallArr, col("vz").cast("int")))
+        .otherwise(round(raw, 6)).as("hll_est"))
+    wd.groupBy("source").agg(count(lit(1)).as("n_exact"))
+      .join(est, "source")
+      .select(col("source"), col("n_exact"), col("hll_est"),
+        round((col("hll_est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 6).as("rel_err"))
+  }
+
+  private val hllEstSql = {
+    val digit = (p: Int) => s"(strpos('0123456789abcdef', substr(m, $p, 1)) - 1)"
+    val w48 = (0 until 12).map(i =>
+      s"${digit(i + 3)} * ${1L << (4 * (11 - i))}").mkString(" + ")
+    val smallList = hllSmall.mkString("[", ", ", "]")
+    s"""WITH wd AS (SELECT DISTINCT source, w FROM
+                      (SELECT source, unnest(${TextOps.shinglesSql("text")}) AS w
+                       FROM documents)),
+        h AS (SELECT source, w, md5(w) AS m FROM wd),
+        hh AS (SELECT source,
+                      ((${digit(1)} * 16 + ${digit(2)}) % $HLLM) AS idx,
+                      ($w48) AS w48
+               FROM h),
+        r AS (SELECT source, idx,
+                     max(CASE WHEN w48 = 0 THEN 49
+                              ELSE 49 - length(bin(w48)) END) AS r
+              FROM hh GROUP BY 1, 2),
+        sums AS (SELECT source,
+                        CAST($HLLM - count(*) AS BIGINT) AS vz,
+                        CAST(sum(CAST(1 AS BIGINT) << (49 - r)) AS BIGINT)
+                          + ($HLLM - count(*)) * (CAST(1 AS BIGINT) << 49) AS sint
+                 FROM r GROUP BY 1),
+        est AS (SELECT source, vz,
+                       -- e0 suffixes: DuckDB parses bare decimals as
+                       -- DECIMAL and overflows this multiply chain
+                       CASE WHEN ((0.709e0 * 4096e0) * 562949953421312e0)
+                                 / CAST(sint AS DOUBLE) <= 160e0 AND vz > 0
+                            THEN ($smallList)[CAST(vz AS INT)]
+                            ELSE round(((0.709e0 * 4096e0) * 562949953421312e0)
+                                       / CAST(sint AS DOUBLE), 6) END AS hll_est
+                FROM sums),
+        ex AS (SELECT source, count(*) AS n_exact FROM wd GROUP BY 1)
+        SELECT source, n_exact, hll_est,
+               round((hll_est - CAST(n_exact AS DOUBLE))
+                     / CAST(n_exact AS DOUBLE), 6) AS rel_err
+        FROM ex JOIN est USING (source)"""
+  }
+
   // ---- exact dedup: hash-groupBy, keep lowest doc_id -------------------
   private val dedupExact: Q = (s, d) =>
     Tables.documents(s, d)
@@ -907,6 +1000,7 @@ object QueriesText {
     "x_lang_confusion" -> langConfusion,
     "x_dedup_blocks" -> dedupBlocks,
     "a_cms_est" -> cmsEst,
+    "a_hll_est" -> hllEst,
     "x_lsh_recall" -> lshRecall,
     "x_kn_ppl" -> knPpl,
     "x_tokens_regex" -> tokensRegex,
@@ -931,6 +1025,7 @@ object QueriesText {
     "x_lang_confusion" -> langConfusionSql,
     "x_dedup_blocks" -> dedupBlocksSql,
     "a_cms_est" -> cmsEstSql,
+    "a_hll_est" -> hllEstSql,
     "x_lsh_recall" -> lshRecallSql,
     "x_kn_ppl" -> knPplSql,
     "x_tokens_regex" -> tokensRegexSql,
