@@ -227,6 +227,94 @@ class PipeSpec extends SparkSuite {
       s"seed customers should outrank non-seeds ($seedMean vs $otherMean)")
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  private def shingles(words: Array[String], k: Int): Array[String] =
+    if (words.length < k) Array.empty
+    else (0 to words.length - k).map(i => words.slice(i, i + k).mkString(" ")).toArray
+
+  test("a_hll_est matches a driver-side HLL fold (registers, correction and all)") {
+    val hexv = "0123456789abcdef"
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1).map { case (src, g) =>
+      src -> g.flatMap(d => shingles(d._2.split(" ", -1), 3)).distinct
+    }
+    val smallTab = (1 to 64).map(v =>
+      math.floor(64.0 * math.log(64.0 / v) * 1e6 + 0.5) / 1e6)
+    val expected = bySource.map { case (src, grams) =>
+      val regs = new Array[Int](64)
+      grams.foreach { g =>
+        val m = md5hex(g)
+        val idx = ((hexv.indexOf(m(0)) * 16 + hexv.indexOf(m(1))) % 64)
+        val w48 = (0 until 12).map(i =>
+          hexv.indexOf(m(i + 2)).toLong * (1L << (4 * (11 - i)))).sum
+        val rho = if (w48 == 0L) 49
+          else 49 - java.lang.Long.toBinaryString(w48).length
+        if (rho > regs(idx)) regs(idx) = rho
+      }
+      val vz = regs.count(_ == 0)
+      val sint = regs.map(r => 1L << (49 - r)).sum
+      val raw = ((0.709 * 4096.0) * 562949953421312.0) / sint.toDouble
+      val est = if (raw <= 160.0 && vz > 0) smallTab(vz - 1)
+        else math.floor(raw * 1e6 + 0.5) / 1e6
+      val n = grams.length.toLong
+      src -> ((n, est, math.floor((est - n.toDouble) / n.toDouble * 1e6 + 0.5) / 1e6))
+    }
+    val got = graft.queries.QueriesText.queries("a_hll_est")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.size == expected.size)
+    got.foreach { case (src, v) =>
+      assert(v == expected(src), s"hll mismatch at $src: got $v expect ${expected(src)}")
+    }
+  }
+
+  test("x_bloom_decon matches a driver-side bloom build+probe; no false negatives") {
+    val hexv = "0123456789abcdef"
+    val all = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(_._2 != null)
+      .map { case (id, t) => (id, shingles(t.split(" ", -1), 8).distinct) }
+    def positions(g: String): (Int, Int) = {
+      val m = md5hex(g)
+      def poly(off: Int) = (0 until 5).map(i =>
+        hexv.indexOf(m(off + i)).toLong * (1L << (4 * (4 - i)))).sum % 16384L
+      (poly(0).toInt, poly(5).toInt)
+    }
+    val evalGrams = all.filter(_._1 % 50 == 0).flatMap(_._2).distinct.toSet
+    val bloom = new Array[Long](512)
+    evalGrams.foreach { g =>
+      val (p0, p1) = positions(g)
+      bloom(p0 >> 5) |= 1L << (p0 % 32)
+      bloom(p1 >> 5) |= 1L << (p1 % 32)
+    }
+    val expected = all.filter(_._1 % 50 != 0).map { case (id, grams) =>
+      var nb = 0L; var nt = 0L; var fp = 0L
+      grams.foreach { g =>
+        val (p0, p1) = positions(g)
+        val hit = ((bloom(p0 >> 5) >> (p0 % 32)) & 1L) == 1L &&
+          ((bloom(p1 >> 5) >> (p1 % 32)) & 1L) == 1L
+        val tru = evalGrams.contains(g)
+        if (hit) nb += 1
+        if (tru) nt += 1
+        if (hit && !tru) fp += 1
+        assert(!tru || hit, s"bloom false negative on gram of doc $id")
+      }
+      id -> ((grams.length.toLong, nb, nt, fp))
+    }.toMap
+    val got = QueriesPipe.queries("x_bloom_decon")(spark, sf001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size == expected.size)
+    got.foreach { case (id, v) =>
+      assert(v == expected(id), s"bloom mismatch at doc $id: got $v expect ${expected(id)}")
+    }
+  }
+
   test("x_dsir_weights matches an imperative hashed-bucket recompute") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def bucket(w: String): Int = {
