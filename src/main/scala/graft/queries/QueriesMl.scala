@@ -197,6 +197,51 @@ object QueriesMl {
                          - CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6) AS cal_gap
         FROM scored GROUP BY 1"""
 
+  // ---- expected calibration error (scalar per slice) ---------------------
+  // ECE/MCE summarize m_calibration's reliability diagram into the two
+  // numbers a model card reports. Key identity: with per-bin integer sums
+  // (s4 = Σ 1e4·score, pos = Σ label), the weighted gap collapses to
+  //   ECE = Σ_b (n_b/N)·|pos_b/n_b − s4_b/(1e4·n_b)|
+  //       = Σ_b |1e4·pos_b − s4_b| / (1e4·N)
+  // — one exact-integer numerator per slice, so no float sum ever crosses
+  // a bin boundary and partial-agg merge order cannot matter. MCE takes
+  // the max over per-bin rational gaps (one division per bin, then an
+  // order-exact max). GROUPING SETS ((slice,bin),(bin)) produces per-slice
+  // AND overall bins in the same single pass.
+  private val ece: Q = (s, d) => {
+    val t = scored(s, d).withColumn("bin",
+      least(lit(9L), floor(col("score") * 10).cast("long")))
+    val binAgg = t.groupingSets(
+        Seq(Seq(col("event_type"), col("bin")), Seq(col("bin"))),
+        col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("score") * 10000, 0).cast("long")).as("s4"),
+        sum("label").cast("long").as("pos"))
+    val gapInt = abs(col("pos") * 10000L - col("s4"))
+    binAgg
+      .groupBy(coalesce(col("event_type"), lit("ALL")).as("event_type"))
+      .agg(sum("n").as("n"),
+        round(sum(gapInt).cast("double") /
+          (lit(1e4) * sum("n").cast("double")), 6).as("ece"),
+        round(max(gapInt.cast("double") /
+          (lit(1e4) * col("n").cast("double"))), 6).as("mce"))
+  }
+
+  private val eceSql =
+    s"""WITH $scoredSql,
+        b AS (SELECT event_type, least(9, CAST(floor(score * 10) AS BIGINT)) AS bin,
+                     count(*) AS n,
+                     CAST(sum(CAST(round(score * 10000, 0) AS BIGINT)) AS BIGINT) AS s4,
+                     CAST(sum(label) AS BIGINT) AS pos
+              FROM scored GROUP BY GROUPING SETS ((event_type, bin), (bin)))
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               CAST(sum(n) AS BIGINT) AS n,
+               round(CAST(sum(abs(pos * 10000 - s4)) AS BIGINT)
+                     / (1e4 * CAST(sum(n) AS DOUBLE)), 6) AS ece,
+               round(max(CAST(abs(pos * 10000 - s4) AS DOUBLE)
+                         / (1e4 * CAST(n AS DOUBLE))), 6) AS mce
+        FROM b GROUP BY 1"""
+
   // ---- regression metrics per slice (the reference's CV scoring) ---------
   // ME / MAE / MSE / RMSE of a deterministic predictor against `value`
   // (variography_uncertainty.py:714–719 computes exactly these four for
@@ -471,6 +516,7 @@ object QueriesMl {
     "m_prf1" -> prf1,
     "m_auc" -> auc,
     "m_calibration" -> calibration,
+    "m_ece" -> ece,
     "m_reg_metrics" -> regMetrics,
     "m_lift_deciles" -> lift,
     "m_roc_points" -> rocPoints,
@@ -484,6 +530,7 @@ object QueriesMl {
     "m_prf1" -> prf1Sql,
     "m_auc" -> aucSql,
     "m_calibration" -> calibrationSql,
+    "m_ece" -> eceSql,
     "m_reg_metrics" -> regMetricsSql,
     "m_lift_deciles" -> liftSql,
     "m_roc_points" -> rocPointsSql,

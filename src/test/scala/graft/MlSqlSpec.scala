@@ -245,6 +245,32 @@ class MlSqlSpec extends SparkSuite {
     }
   }
 
+  test("m_ece equals the integer-identity recompute from raw scores") {
+    val scored = scoredRows()
+    def compute(rows: Array[(String, Int, Double)]): (Long, Double, Double) = {
+      val byBin = rows.groupBy { case (_, _, sc) =>
+        math.min(9L, math.floor(sc * 10).toLong) }
+      val n = rows.length.toLong
+      val gaps = byBin.map { case (_, g) =>
+        val s4 = g.map { case (_, _, sc) => math.round(sc * 10000) }.sum
+        val pos = g.count(_._2 == 1).toLong
+        (math.abs(pos * 10000L - s4), g.length.toLong)
+      }
+      val ece = gaps.map(_._1).sum.toDouble / (1e4 * n.toDouble)
+      val mce = gaps.map { case (a, nb) => a.toDouble / (1e4 * nb.toDouble) }.max
+      (n, math.floor(ece * 1e6 + 0.5) / 1e6, math.floor(mce * 1e6 + 0.5) / 1e6)
+    }
+    val expected = scored.groupBy(_._1).map { case (s, g) => s -> compute(g) } +
+      ("ALL" -> compute(scored))
+    val got = QueriesMl.queries("m_ece")(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.size == expected.size)
+    got.foreach { case (s, v) =>
+      assert(v == expected(s), s"ece mismatch at $s: got $v expect ${expected(s)}")
+    }
+  }
+
   test("n_ivfpq_topk: bucket-restricted ADC agrees with full-scan PQ ADC") {
     import graft.queries.QueriesAnn
     // same (q, vec) pair ⇒ same asymmetric distance whether the candidate
