@@ -300,6 +300,66 @@ class StreamMultimodalSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("HLL register state is streaming-mergeable: micro-batches hit the batch estimate exactly") {
+    // a_hll_est's register build is max-per-(source, idx) — idempotent and
+    // order-free, so feeding the corpus through TWO micro-batches must
+    // produce the IDENTICAL registers (and therefore the bit-identical
+    // estimate) as the one-pass batch query. This is the property that
+    // lets the sketch run as incremental streaming state or tree-merge
+    // across 1000 executors.
+    import org.apache.spark.sql.functions._
+    import graft.text.TextOps
+    val hexv = "0123456789abcdef"
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll").toFile
+    dir.deleteOnExit()
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val raw = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    def digit(p: Int) =
+      (expr(s"instr('0123456789abcdef', substr(m, $p, 1))") - 1).cast("long")
+    val w48 = (0 until 12).map(i =>
+      digit(i + 3) * lit(1L << (4 * (11 - i)))).reduce(_ + _)
+    val regs = raw
+      .select(col("source"), TextOps.words(col("text")).as("ws"))
+      .select(col("source"), explode(TextOps.shinglesOf(col("ws"), 3)).as("g"))
+      .withColumn("m", md5(col("g")))
+      .select(col("source"), ((digit(1) * 16 + digit(2)) % 64).as("idx"),
+        when(w48 === 0L, lit(49))
+          .otherwise(lit(49) - length(bin(w48))).as("rho"))
+      .groupBy("source", "idx").agg(max("rho").as("r"))
+    val q = regs.writeStream.outputMode("complete")
+      .format("memory").queryName("hll_regs").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "expected at least two non-empty micro-batches")
+      val got = spark.table("hll_regs").collect()
+        .groupBy(_.getString(0)).map { case (src, rows) =>
+          val regArr = new Array[Int](64)
+          rows.foreach(r => regArr(r.getLong(1).toInt) = r.getInt(2))
+          val sint = regArr.map(x => 1L << (49 - x)).sum
+          val vz = regArr.count(_ == 0)
+          val raw0 = ((0.709 * 4096.0) * 562949953421312.0) / sint.toDouble
+          val est = if (raw0 <= 160.0 && vz > 0)
+            math.floor(64.0 * math.log(64.0 / vz) * 1e6 + 0.5) / 1e6
+          else math.floor(raw0 * 1e6 + 0.5) / 1e6
+          src -> est
+        }
+      val batch = graft.queries.QueriesText.queries("a_hll_est")(spark, sf001)
+        .select("source", "hll_est").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got.size == batch.size)
+      got.foreach { case (src, est) =>
+        assert(est == batch(src),
+          s"$src: streamed register estimate $est != batch ${batch(src)}")
+      }
+    } finally q.stop()
+  }
+
   test("frame sample keeps every strideth media id") {
     val media = Multimodal.mediaFromDocuments(spark, sf001)
     val feats = Multimodal.decodeFeatures(media)
