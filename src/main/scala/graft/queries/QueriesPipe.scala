@@ -256,7 +256,10 @@ object QueriesPipe {
   // onto per-doc word counts; nothing quadratic, nothing driver-side.
   private val DSIR_B = 64
 
-  private val dsirWeights: Q = (s, d) => {
+  /** Shared DSIR per-doc frame: (doc_id, n_words, s6) where s6 is the
+    * exact-integer 1e-6-scaled log-weight sum — read by both the weights
+    * query and the resampling step. */
+  private def dsirDocw(s: SparkSession, d: String): DataFrame = {
     val inst = Tables.documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
         explode(TextOps.words(col("text"))).as("w"))
@@ -283,13 +286,39 @@ object QueriesPipe {
     dw.join(broadcast(wcnt.select("w", "b")), "w")
       .join(broadcast(lr), "b")
       .groupBy("doc_id")
-      .agg(sum("c").as("n_words"),
-        round(sum(col("c") * col("lr6")).cast("double") / 1e6, 6)
-          .as("dsir_logw"))
+      .agg(sum("c").as("n_words"), sum(col("c") * col("lr6")).as("s6"))
   }
 
-  private val dsirWeightsSql =
-    s"""WITH inst AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  private val dsirWeights: Q = (s, d) =>
+    dsirDocw(s, d).select(col("doc_id"), col("n_words"),
+      round(col("s6").cast("double") / 1e6, 6).as("dsir_logw"))
+
+  // ---- x_dsir_resample: importance RESAMPLING (the DSIR selection) -----
+  // The step the weights exist for: draw K documents without replacement
+  // with inclusion probability ∝ p_target/p_raw = exp(logw), via
+  // Efraimidis–Spirakis keys (ln(u)/exp(logw) with u from the counter
+  // RNG keyed on doc_id — v_weighted_sample's exact machinery, so the
+  // SAME docs are drawn on any partitioning or cluster size). Keys are
+  // canonically 1e-9-rounded with doc_id tie-breaks before ranking, and
+  // the global top-K runs as a distributed TakeOrdered FIRST (bm25
+  // pattern) — the rank window only ever sees K rows.
+  private val DSIR_K = 25
+
+  private val dsirResample: Q = (s, d) => {
+    val u = (graft.rng.Rand.mix(col("doc_id"), 424242L).cast("double") +
+      lit(1.0)) / lit(graft.rng.Rand.M.toDouble + 1.0)
+    dsirDocw(s, d)
+      .select(col("doc_id"),
+        round(col("s6").cast("double") / 1e6, 6).as("logw"),
+        round(log(u) / exp(col("s6").cast("double") / 1e6), 9).as("skey"))
+      .orderBy(col("skey").desc, col("doc_id").asc).limit(DSIR_K)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("skey").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rk"), col("doc_id"), col("logw"))
+  }
+
+  private val dsirCtes =
+    s"""inst AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
                       FROM documents WHERE text IS NOT NULL),
         wcnt AS (SELECT w, count(*) AS cr,
                         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
@@ -310,11 +339,28 @@ object QueriesPipe {
                                        / (CAST(tr AS DOUBLE) + $DSIR_B.0)))
                                  * 1e6 + 0.5) AS BIGINT) AS lr6
                FROM bkt, tot),
-        dw AS (SELECT doc_id, w, count(*) AS c FROM inst GROUP BY 1, 2)
-        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
-               round(CAST(sum(c * lr6) AS BIGINT) / 1e6, 6) AS dsir_logw
-        FROM dw JOIN wcnt USING (w) JOIN lr USING (b)
-        GROUP BY 1"""
+        dw AS (SELECT doc_id, w, count(*) AS c FROM inst GROUP BY 1, 2),
+        docw AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                        CAST(sum(c * lr6) AS BIGINT) AS s6
+                 FROM dw JOIN wcnt USING (w) JOIN lr USING (b)
+                 GROUP BY 1)"""
+
+  private val dsirWeightsSql =
+    s"""WITH $dsirCtes
+        SELECT doc_id, n_words, round(s6 / 1e6, 6) AS dsir_logw FROM docw"""
+
+  private val dsirResampleSql = {
+    val u = s"(((${graft.rng.Rand.mixSql("doc_id", 424242L)}) + 1.0) / " +
+      s"${graft.rng.Rand.M.toDouble + 1.0})"
+    s"""WITH $dsirCtes,
+        keyed AS (SELECT doc_id, round(s6 / 1e6, 6) AS logw,
+                         round(ln($u) / exp(CAST(s6 AS DOUBLE) / 1e6), 9) AS skey
+                  FROM docw)
+        SELECT CAST(row_number() OVER (ORDER BY skey DESC, doc_id ASC) AS BIGINT) AS rk,
+               doc_id, logw
+        FROM keyed
+        QUALIFY rk <= $DSIR_K"""
+  }
 
   // ---- x_bm25_topk: BM25 retrieval over the corpus ---------------------
   // Okapi BM25 (k1 = 1.2, b = 0.75) for a fixed 3-term query. Corpus
@@ -798,6 +844,7 @@ object QueriesPipe {
     "x_decontaminate" -> decontaminate,
     "x_domain_cap" -> domainCap,
     "x_dsir_weights" -> dsirWeights,
+    "x_dsir_resample" -> dsirResample,
     "x_bloom_decon" -> bloomDecon,
     "x_bm25_topk" -> bm25TopK,
     "g_pagerank" -> pagerank,
@@ -815,6 +862,7 @@ object QueriesPipe {
     "x_decontaminate" -> decontaminateSql,
     "x_domain_cap" -> domainCapSql,
     "x_dsir_weights" -> dsirWeightsSql,
+    "x_dsir_resample" -> dsirResampleSql,
     "x_bloom_decon" -> bloomDeconSql,
     "x_bm25_topk" -> bm25TopKSql,
     "g_pagerank" -> pagerankSql,

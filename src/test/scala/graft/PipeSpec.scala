@@ -315,11 +315,10 @@ class PipeSpec extends SparkSuite {
     }
   }
 
-  test("x_dsir_weights matches an imperative hashed-bucket recompute") {
-    val md = java.security.MessageDigest.getInstance("MD5")
+  /** Driver recompute of the DSIR pipeline: doc_id → (n_words, s6). */
+  private def dsirS6(): Map[Long, (Long, Long)] = {
     def bucket(w: String): Int = {
-      val hex = md.digest(w.getBytes("UTF-8")).take(1)
-        .flatMap(b => f"$b%02x".toCharArray)
+      val hex = md5hex(w)
       (("0123456789abcdef".indexOf(hex(0))) * 16 +
         "0123456789abcdef".indexOf(hex(1))) % 64
     }
@@ -341,9 +340,14 @@ class PipeSpec extends SparkSuite {
       b -> math.floor(math.log(((ct + 1.0) / (tt + 64.0)) /
         ((cr + 1.0) / (tr + 64.0))) * 1e6 + 0.5).toLong
     }
-    val expected = inst.groupBy(_._1).map { case (id, g) =>
-      val s6 = g.map(i => lr6(byWord(i._2)._3)).sum
-      id -> ((g.length.toLong, math.floor(s6.toDouble / 1e6 * 1e6 + 0.5) / 1e6))
+    inst.groupBy(_._1).map { case (id, g) =>
+      id -> ((g.length.toLong, g.map(i => lr6(byWord(i._2)._3)).sum))
+    }
+  }
+
+  test("x_dsir_weights matches an imperative hashed-bucket recompute") {
+    val expected = dsirS6().map { case (id, (n, s6)) =>
+      id -> ((n, math.floor(s6.toDouble / 1e6 * 1e6 + 0.5) / 1e6))
     }
     val got = QueriesPipe.queries("x_dsir_weights")(spark, sf001)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
@@ -351,6 +355,29 @@ class PipeSpec extends SparkSuite {
     got.foreach { case (id, v) =>
       assert(v == expected(id), s"dsir mismatch at doc $id: got $v expect ${expected(id)}")
     }
+  }
+
+  test("x_dsir_resample matches a driver ES fold and prefers high-weight docs") {
+    val s6 = dsirS6()
+    val keyed = s6.toSeq.map { case (id, (_, s)) =>
+      val u = (graft.rng.Rand.mixLong(id, 424242L).toDouble + 1.0) /
+        (graft.rng.Rand.M.toDouble + 1.0)
+      val key = math.floor(math.log(u) / math.exp(s.toDouble / 1e6) * 1e9 + 0.5) / 1e9
+      (id, key, math.floor(s.toDouble / 1e6 * 1e6 + 0.5) / 1e6)
+    }
+    val expected = keyed.sortBy { case (id, k, _) => (-k, id) }.take(25)
+      .zipWithIndex.map { case ((id, _, lw), i) => (i + 1L) -> ((id, lw)) }.toMap
+    val got = QueriesPipe.queries("x_dsir_resample")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.size == expected.size)
+    got.foreach { case (rk, v) =>
+      assert(v == expected(rk), s"resample mismatch at rank $rk: got $v expect ${expected(rk)}")
+    }
+    // selection bias: weighted draws must overrepresent high-logw docs
+    val meanAll = s6.values.map(_._2.toDouble / 1e6).sum / s6.size
+    val meanSel = got.values.map(_._2).sum / got.size
+    assert(meanSel > meanAll,
+      s"resampled mean logw $meanSel should exceed corpus mean $meanAll")
   }
 
   test("st_late_events matches an imperative per-user frontier sweep") {
