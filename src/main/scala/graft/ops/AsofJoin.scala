@@ -52,4 +52,45 @@ object AsofJoin {
         Seq(col(s"_m.$ts").as(s"asof_$ts")) ++
         payload.map(c => col(s"_m.$c").as(s"asof_$c")): _*)
   }
+
+  /** AS-OF join, direction = NEAREST (pandas merge_asof semantics):
+    * attach the right row minimizing |l.ts − r.ts| per key; equal
+    * distance resolves BACKWARD (the earlier right row). Same
+    * one-shuffle union form as [[asof]], with one extra window over the
+    * SAME sort: the backward candidate is the running `last` right
+    * payload, the forward candidate the running `first` over the
+    * following frame (right rows at equal ts sort before left rows, so
+    * the forward frame is strictly-after and an equal-ts match arrives
+    * via the inclusive backward side with distance 0). Still exactly ONE
+    * exchange + one per-partition sort — both windows share them.
+    *
+    * Contract: `ts` must be NUMERIC (e.g. unix micros) — the pick
+    * compares distances by subtraction. `right` unique per (key, ts). */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String, ts: String,
+                  payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "asof needs at least one right payload column")
+    val rStruct = struct((ts +: payload).map(col): _*)
+    val rNull = lit(null).cast(
+      right.select(rStruct).schema.head.dataType)
+    val l = left.withColumn("_side", lit(1)).withColumn("_r", rNull)
+    val r = right.select(
+      Seq(col(key), col(ts), lit(0).as("_side"), rStruct.as("_r")) ++
+        left.columns.filterNot(Set(key, ts))
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val ord = Window.partitionBy(key).orderBy(col(ts).asc, col("_side").asc)
+    val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pick = when(col("_b").isNull, col("_f"))
+      .when(col("_f").isNull, col("_b"))
+      .when(col(ts) - col(s"_b.$ts") <= col(s"_f.$ts") - col(ts), col("_b"))
+      .otherwise(col("_f"))
+    l.unionByName(r)
+      .withColumn("_b", last(col("_r"), ignoreNulls = true).over(wB))
+      .withColumn("_f", first(col("_r"), ignoreNulls = true).over(wF))
+      .filter(col("_side") === 1)
+      .withColumn("_m", pick)
+      .select(left.columns.toIndexedSeq.map(col) ++
+        Seq(col(s"_m.$ts").as(s"near_$ts")) ++
+        payload.map(c => col(s"_m.$c").as(s"near_$c")): _*)
+  }
 }

@@ -394,6 +394,36 @@ object QueriesCore {
              FROM events WHERE event_type = 'error' GROUP BY 1, 2) r
          ON l.user_id = r.user_id AND l.ts >= r.ts"""
 
+  // §2.3 AS-OF join, direction = NEAREST (pandas merge_asof semantics;
+  // engine extension beside the backward o_asof_join): each probe gets
+  // the same-user error event MINIMIZING |Δt|, ties resolving backward.
+  // Spark side is ops.AsofJoin.asofNearest — the one-shuffle
+  // union+double-window form; the oracle is the STRUCTURALLY DIFFERENT
+  // naive argmin join (probe × user-errors, row_number by abs distance),
+  // so the gate doubles as a second-method check of the window algebra.
+  private val asofNearestQ: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val probes = ev.filter(col("event_id") % 101 === 0)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .groupBy("user_id", "us").agg(round(max("value"), 6).as("err_value"))
+    graft.ops.AsofJoin.asofNearest(probes, errors, "user_id", "us",
+      Seq("err_value"))
+  }
+  private val asofNearestSql =
+    """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+                  WHERE event_id % 101 = 0),
+        r AS (SELECT user_id, epoch_us(ts) AS us, round(max(value), 6) AS err_value
+              FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+        SELECT event_id, user_id, us, near_us, near_err_value FROM (
+          SELECT l.event_id, l.user_id, l.us,
+                 r.us AS near_us, r.err_value AS near_err_value,
+                 row_number() OVER (PARTITION BY l.event_id
+                   ORDER BY abs(r.us - l.us) ASC, r.us ASC) AS rn
+          FROM l LEFT JOIN r ON r.user_id = l.user_id)
+        WHERE rn = 1"""
+
   // §2.5 ranking/offset analytics (engine surface beyond the reference):
   // lag/lead/rank/ntile over a unique total order per supplier, so every
   // function is deterministic across engines.
@@ -450,6 +480,7 @@ object QueriesCore {
     "w_running_total" -> runningTotal,
     "w_lag_lead" -> lagLead,
     "o_asof_join" -> asofJoin,
+    "o_asof_nearest" -> asofNearestQ,
     "g_wkt_assembly" -> wktAssembly,
     "g_poly_explode" -> polyExplode,
     "s_filter_project" -> filterProject,
@@ -479,6 +510,7 @@ object QueriesCore {
     "w_running_total" -> runningTotalSql,
     "w_lag_lead" -> lagLeadSql,
     "o_asof_join" -> asofJoinSql,
+    "o_asof_nearest" -> asofNearestSql,
     "g_wkt_assembly" -> wktAssemblySql,
     "g_poly_explode" -> polyExplodeSql,
     "s_filter_project" -> filterProjectSql,
