@@ -191,6 +191,39 @@ object QueriesExt2 {
               round(stddev_samp(l_quantity), 6) AS sd_q
        FROM lineitem GROUP BY 1"""
 
+  // ---- rolling median over a bounded ROWS frame -------------------------
+  // The despiking filter a time-series cleaner runs (median-of-11 around
+  // each sample). Spark has no exact windowed percentile; the bounded
+  // frame makes collect_list + array_sort + interpolation EXACT and
+  // cheap (≤11 values per row, map-side). Values are cents-quantized
+  // first, so both engines' median interpolations are exact half-integer
+  // arithmetic (DuckDB's lower+(upper−lower)·0.5 and our (a+b)/2 are
+  // bit-equal on integers < 2^53) — no float-order tolerance needed.
+  // Frame edges shrink naturally (n_frame column shows it) in both
+  // engines.
+  private val rollingMedian: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-5, 5)
+    Tables.events(s, d)
+      .filter(col("user_id") < 20)
+      .withColumn("c2", floor(col("value") * 100 + 0.5).cast("long"))
+      .withColumn("arr", array_sort(collect_list(col("c2")).over(w)))
+      .withColumn("n", size(col("arr")))
+      .select(col("user_id"), col("event_id"), col("n").as("n_frame"),
+        (((element_at(col("arr"), floor((col("n") + 1) / 2).cast("int")) +
+          element_at(col("arr"), (floor(col("n") / 2) + 1).cast("int")))
+          .cast("double") / 2.0) / 100.0).as("roll_med"))
+  }
+  private val rollingMedianSql =
+    """SELECT user_id, event_id,
+              CAST(count(*) OVER w AS INT) AS n_frame,
+              quantile_cont(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.5)
+                OVER w / 100.0 AS roll_med
+       FROM events WHERE user_id < 20
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                    ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)"""
+
   // ---- weighted sampling without replacement (Efraimidis–Spirakis) ------
   // k rows per group, inclusion probability ∝ weight: rank by
   // ln(u)/w (monotone in u^{1/w}) with u from the counter RNG keyed on the
@@ -264,6 +297,7 @@ object QueriesExt2 {
     "a_unpivot" -> unpivot,
     "w_rank_funcs" -> rankFuncs,
     "w_ewma" -> ewma,
+    "w_rolling_median" -> rollingMedian,
     "a_histogram" -> histogram,
     "a_corr_stats" -> corrStats,
   )
@@ -276,6 +310,7 @@ object QueriesExt2 {
     "a_unpivot" -> unpivotSql,
     "w_rank_funcs" -> rankFuncsSql,
     "w_ewma" -> ewmaSql,
+    "w_rolling_median" -> rollingMedianSql,
     "a_histogram" -> histogramSql,
     "a_corr_stats" -> corrStatsSql,
   )

@@ -111,6 +111,33 @@ class ExtOpsSpec extends SparkSuite {
     }
   }
 
+  test("w_rolling_median equals a driver-side sliding-window median") {
+    val got = graft.queries.QueriesExt2.queries("w_rolling_median")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getDouble(3))))
+      .toMap
+    assert(got.nonEmpty)
+    val rows = Tables.events(spark, sf001)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = rows.groupBy(_._1).flatMap { case (u, g) =>
+      val ordered = g.sortBy(e => (e._3, e._2))
+      ordered.indices.map { i =>
+        val frame = ordered.slice(math.max(0, i - 5), math.min(ordered.length, i + 6))
+        val cents = frame.map(e => math.floor(e._4 * 100 + 0.5).toLong).sorted
+        val n = cents.length
+        val med = ((cents((n + 1) / 2 - 1) + cents(n / 2)).toDouble / 2.0) / 100.0
+        (u, ordered(i)._2) -> ((n, med))
+      }
+    }
+    assert(got.size == expected.size)
+    got.foreach { case (k, v) =>
+      assert(v == expected(k), s"rolling median mismatch at $k: got $v expect ${expected(k)}")
+    }
+  }
+
   test("n_sq8_topk quantizes against true per-dim extrema and rescores exactly") {
     val vecs = Tables.embeddings(spark, sf001)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
