@@ -224,6 +224,50 @@ object QueriesExt2 {
        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                     ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)"""
 
+  // ---- Hampel filter: rolling median ± 3·MAD outlier flag ---------------
+  // The robust despiking decision built on w_rolling_median's frame: a
+  // sample is an outlier when |x − median| > 3·MAD over the ±5-row
+  // neighborhood. EVERYTHING stays integer-exact: cents c are scaled so
+  // the median (×2), the absolute deviations (×4) and the MAD (×8) are
+  // all integers, and the outlier test compares 2·dev4 > 3·mad4x2 — a
+  // pure integer inequality that is bit-equivalent to DuckDB's
+  // abs(c−median) > 3·mad on its exact dyadic doubles. No float-order
+  // tolerance anywhere.
+  private val hampel: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-5, 5)
+    def medX2(a: Column, n: Column): Column =
+      element_at(a, floor((n + 1) / 2).cast("int")) +
+        element_at(a, (floor(n / 2) + 1).cast("int"))
+    Tables.events(s, d)
+      .filter(col("user_id") < 20)
+      .withColumn("c2", floor(col("value") * 100 + 0.5).cast("long"))
+      .withColumn("arr", array_sort(collect_list(col("c2")).over(w)))
+      .withColumn("n", size(col("arr")))
+      .withColumn("m2", medX2(col("arr"), col("n")))
+      .withColumn("dev4",
+        array_sort(transform(col("arr"), c => abs(c * 4 - col("m2") * 2))))
+      .withColumn("mad4x2", medX2(col("dev4"), col("n")))
+      .select(col("user_id"), col("event_id"), col("n").as("n_frame"),
+        (col("m2").cast("double") / 200.0).as("med"),
+        (col("mad4x2").cast("double") / 800.0).as("mad"),
+        (abs(col("c2") * 4 - col("m2") * 2) * 2 > col("mad4x2") * 3)
+          .as("is_outlier"))
+  }
+  private val hampelSql =
+    """SELECT user_id, event_id,
+              CAST(count(*) OVER w AS INT) AS n_frame,
+              quantile_cont(c2, 0.5) OVER w / 100.0 AS med,
+              mad(c2) OVER w / 100.0 AS mad,
+              abs(CAST(c2 AS DOUBLE) - quantile_cont(c2, 0.5) OVER w)
+                > 3 * mad(c2) OVER w AS is_outlier
+       FROM (SELECT user_id, event_id, ts,
+                    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c2
+             FROM events WHERE user_id < 20)
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                    ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)"""
+
   // ---- weighted sampling without replacement (Efraimidis–Spirakis) ------
   // k rows per group, inclusion probability ∝ weight: rank by
   // ln(u)/w (monotone in u^{1/w}) with u from the counter RNG keyed on the
@@ -298,6 +342,7 @@ object QueriesExt2 {
     "w_rank_funcs" -> rankFuncs,
     "w_ewma" -> ewma,
     "w_rolling_median" -> rollingMedian,
+    "w_hampel" -> hampel,
     "a_histogram" -> histogram,
     "a_corr_stats" -> corrStats,
   )
@@ -311,6 +356,7 @@ object QueriesExt2 {
     "w_rank_funcs" -> rankFuncsSql,
     "w_ewma" -> ewmaSql,
     "w_rolling_median" -> rollingMedianSql,
+    "w_hampel" -> hampelSql,
     "a_histogram" -> histogramSql,
     "a_corr_stats" -> corrStatsSql,
   )

@@ -138,6 +138,41 @@ class ExtOpsSpec extends SparkSuite {
     }
   }
 
+  test("w_hampel equals a driver-side median/MAD sweep") {
+    val got = graft.queries.QueriesExt2.queries("w_hampel")(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    assert(got.nonEmpty)
+    assert(got.values.exists(_._4), "fixture should flag at least one outlier")
+    val rows = Tables.events(spark, sf001)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def med(xs: Seq[Long]): Double = {
+      val s = xs.sorted; val n = s.length
+      (s((n + 1) / 2 - 1) + s(n / 2)).toDouble / 2.0
+    }
+    val expected = rows.groupBy(_._1).flatMap { case (u, g) =>
+      val ordered = g.sortBy(e => (e._3, e._2))
+      ordered.indices.map { i =>
+        val frame = ordered.slice(math.max(0, i - 5), math.min(ordered.length, i + 6))
+        val cents = frame.map(e => math.floor(e._4 * 100 + 0.5).toLong)
+        val m = med(cents)
+        val mad = med(cents.map(c => math.abs(4 * c - (2 * m).toLong * 2))) / 4.0
+        val self = math.floor(ordered(i)._4 * 100 + 0.5)
+        (u, ordered(i)._2) -> ((cents.length, m / 100.0, mad / 100.0,
+          math.abs(self - m) > 3.0 * mad))
+      }
+    }
+    assert(got.size == expected.size)
+    got.foreach { case (k, v) =>
+      assert(v == expected(k), s"hampel mismatch at $k: got $v expect ${expected(k)}")
+    }
+  }
+
   test("n_sq8_topk quantizes against true per-dim extrema and rescores exactly") {
     val vecs = Tables.embeddings(spark, sf001)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
