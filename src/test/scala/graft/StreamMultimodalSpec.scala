@@ -153,10 +153,16 @@ class StreamMultimodalSpec extends SparkSuite {
     val events = Tables.events(spark, sf001)
     val dir = java.nio.file.Files.createTempDirectory("graft-ssoj").toFile
     dir.deleteOnExit()
-    // ONE file for the real data: parquet parts would become separate
-    // microbatches, and rows in part k+1 below the watermark advanced by
-    // part k are late input that stream-stream joins rightly drop
-    events.coalesce(1).write.mode("overwrite")
+    // TIME-ORDERED file slices for the real data: range partitioning on ts
+    // means file k+1's rows are never below the watermark advanced by file
+    // k (no late drops), while the watermark really ADVANCES during the
+    // stream — so state evicts progressively and the peak measures the
+    // watermark horizon, not the whole stream. (A single file would put
+    // every row in one micro-batch and the 'peak' would trivially be the
+    // full purchase+error row count; arbitrary hash parts would make rows
+    // late and get dropped.)
+    events.repartitionByRange(10, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite")
       .parquet(new java.io.File(dir, "batch1").getAbsolutePath)
     // sentinel: one event 10 days after the LATEST event, in its own file
     events.orderBy(col("ts").desc).limit(1)
@@ -166,12 +172,21 @@ class StreamMultimodalSpec extends SparkSuite {
       .parquet(new java.io.File(dir, "batch2").getAbsolutePath)
     val stage = java.nio.file.Files.createTempDirectory("graft-ssoj-in").toFile
     stage.deleteOnExit()
+    // The file source replays in modification-time order; same-millisecond
+    // copies tie and the replay becomes filesystem-arbitrary — a late
+    // slice replayed first jumps the watermark and the rest of the stream
+    // is dropped as late. Explicit strictly-increasing mtimes (part-name
+    // order = ts-range order) make the replay deterministic.
+    var mtimeSeq = 0
     def copyParts(sub: String, prefix: String): Unit = {
       val src = new java.io.File(dir, sub)
-      src.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex
+      src.listFiles().filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName).zipWithIndex
         .foreach { case (f, i) =>
-          java.nio.file.Files.copy(f.toPath,
-            new java.io.File(stage, s"$prefix$i.parquet").toPath)
+          val dst = new java.io.File(stage, f"$prefix$i%03d.parquet")
+          java.nio.file.Files.copy(f.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + mtimeSeq * 60000L)
+          mtimeSeq += 1
         }
     }
     copyParts("batch1", "a")
