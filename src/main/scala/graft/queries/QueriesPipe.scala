@@ -362,6 +362,63 @@ object QueriesPipe {
         QUALIFY rk <= $DSIR_K"""
   }
 
+  // ---- x_mixture_budget: target-mixture token allocation ---------------
+  // The static data-mixing step (DoReMi/Pile-style): given target
+  // language shares and a total token budget (half the corpus here),
+  // compute each language's desired tokens, what it can actually supply,
+  // the sampling rate, and the shortfall when a domain lacks data. All
+  // allocation arithmetic is INTEGER (shares are /100 ints, desired =
+  // budget·share div 100), so the plan is one aggregate over per-doc
+  // token counts + a 5-row projection — the whole query's shuffle is
+  // ≤|langs| rows of partial sums.
+  private val MIX_SHARES = Seq( // percent, sums to 100
+    "en" -> 50L, "fr" -> 20L, "es" -> 15L, "de" -> 10L, "zh" -> 5L)
+
+  private val mixtureBudget: Q = (s, d) => {
+    val shareCol = MIX_SHARES.tail.foldLeft(
+      when(col("lang") === MIX_SHARES.head._1, lit(MIX_SHARES.head._2))) {
+      case (acc, (l, p)) => acc.when(col("lang") === l, lit(p))
+    }.otherwise(lit(0L))
+    val perLang = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("lang"), size(TextOps.words(col("text"))).cast("long").as("tk"))
+      .groupBy("lang").agg(sum("tk").as("tokens"))
+    val total = perLang.agg(sum("tokens").as("tt"))
+    perLang.crossJoin(broadcast(total))
+      .select(col("lang"), col("tokens"),
+        shareCol.as("share100"),
+        // budget = half the corpus, floored; desired = budget·share div
+        // 100 — explicit floor: DuckDB's double→BIGINT CAST rounds where
+        // Spark's truncates
+        floor(floor(col("tt") / 2).cast("long") * shareCol / 100)
+          .cast("long").as("desired"))
+      .select(col("lang"), col("tokens"), col("share100"), col("desired"),
+        least(col("desired"), col("tokens")).as("kept"),
+        round(least(lit(1.0),
+          col("desired").cast("double") / col("tokens").cast("double")), 6)
+          .as("rate"),
+        greatest(lit(0L), col("desired") - col("tokens")).as("shortfall"))
+  }
+
+  private val mixtureBudgetSql = {
+    val shareCase = "CASE " + MIX_SHARES.map { case (l, p) =>
+      s"WHEN lang = '$l' THEN $p" }.mkString(" ") + " ELSE 0 END"
+    s"""WITH pl AS (SELECT lang,
+                           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+                    FROM documents WHERE text IS NOT NULL GROUP BY 1),
+        t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt FROM pl),
+        a AS (SELECT lang, tokens,
+                     CAST($shareCase AS BIGINT) AS share100,
+                     CAST(floor(CAST(floor(tt / 2) AS BIGINT) * ($shareCase) / 100)
+                          AS BIGINT) AS desired
+              FROM pl, t)
+        SELECT lang, tokens, share100, desired,
+               least(desired, tokens) AS kept,
+               round(least(1.0, CAST(desired AS DOUBLE)
+                                / CAST(tokens AS DOUBLE)), 6) AS rate,
+               greatest(0, desired - tokens) AS shortfall
+        FROM a"""
+  }
+
   // ---- x_bm25_topk: BM25 retrieval over the corpus ---------------------
   // Okapi BM25 (k1 = 1.2, b = 0.75) for a fixed 3-term query. Corpus
   // stats (N, avgdl, per-term df) are tiny and broadcast; the only
@@ -846,6 +903,7 @@ object QueriesPipe {
     "x_dsir_weights" -> dsirWeights,
     "x_dsir_resample" -> dsirResample,
     "x_bloom_decon" -> bloomDecon,
+    "x_mixture_budget" -> mixtureBudget,
     "x_bm25_topk" -> bm25TopK,
     "g_pagerank" -> pagerank,
     "g_pagerank6" -> pagerankQ(6),
@@ -864,6 +922,7 @@ object QueriesPipe {
     "x_dsir_weights" -> dsirWeightsSql,
     "x_dsir_resample" -> dsirResampleSql,
     "x_bloom_decon" -> bloomDeconSql,
+    "x_mixture_budget" -> mixtureBudgetSql,
     "x_bm25_topk" -> bm25TopKSql,
     "g_pagerank" -> pagerankSql,
     "g_pagerank6" -> pagerankSqlFor(6),

@@ -380,6 +380,34 @@ class PipeSpec extends SparkSuite {
       s"resampled mean logw $meanSel should exceed corpus mean $meanAll")
   }
 
+  test("x_mixture_budget conserves the budget and matches a driver recompute") {
+    val shares = Map("en" -> 50L, "fr" -> 20L, "es" -> 15L, "de" -> 10L, "zh" -> 5L)
+    val perLang = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("lang", "text").collect()
+      .filter(_.getString(1) != null)
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+      .groupBy(_._1).map { case (l, g) => l -> g.map(_._2).sum }
+    val tt = perLang.values.sum
+    val budget = tt / 2
+    val expected = perLang.map { case (l, tokens) =>
+      val sh = shares.getOrElse(l, 0L)
+      val desired = budget * sh / 100
+      l -> ((tokens, sh, desired, math.min(desired, tokens),
+        math.floor(math.min(1.0, desired.toDouble / tokens.toDouble) * 1e6 + 0.5) / 1e6,
+        math.max(0L, desired - tokens)))
+    }
+    val got = QueriesPipe.queries("x_mixture_budget")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getLong(6)))).toMap
+    assert(got.size == expected.size)
+    got.foreach { case (l, v) =>
+      assert(v == expected(l), s"mixture mismatch at $l: got $v expect ${expected(l)}")
+    }
+    // allocation sanity: desired sums to ≤ the budget (shares sum to 100)
+    assert(got.values.map(_._3).sum <= budget)
+  }
+
   test("st_late_events matches an imperative per-user frontier sweep") {
     val ev = Tables.events(spark, sf001)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
