@@ -96,6 +96,35 @@ class PlanQualitySpec extends SparkSuite {
       s"unbounded whole-table windows (or unplannable queries):\n${offenders.mkString("\n")}")
   }
 
+  test("binned range join degrades to a partitioned equi-join when nothing broadcasts") {
+    // o_range_join's bin decomposition is what makes a range join
+    // shuffle-partitionable: with broadcast disabled (the both-sides-huge
+    // case), the same query must still plan an EQUI join on the bin key —
+    // never a BroadcastNestedLoopJoin or CartesianProduct, which is what
+    // a naive t0 <= ts < t1 range predicate alone would produce.
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ev = Tables.events(spark, sf001).select("event_id", "ts", "value")
+      val probes = ev.filter(col("event_id") % 997 === 0)
+        .select(col("event_id").as("probe_id"), col("ts").as("t0"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("t1"))
+        .withColumn("bkt", explode(sequence(
+          expr("unix_micros(t0) div 3600000000"),
+          expr("unix_micros(t1) div 3600000000"))))
+      val eb = ev.withColumn("bkt", expr("unix_micros(ts) div 3600000000"))
+      val j = eb.join(probes, "bkt")
+        .filter(col("ts") >= col("t0") && col("ts") < col("t1"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"binned range join must not plan a pair-space join:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a partitioned equi-join on the bin key:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed co-located join + same-key agg: ZERO exchanges end to end") {
     // The 100-TB repeated-join shape: pre-bucketing both fact tables on
     // the join key makes every later join/aggregate on that key
