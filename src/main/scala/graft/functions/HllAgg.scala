@@ -23,15 +23,34 @@ object HllAgg extends Aggregator[String, Array[Byte], Double]
     with Serializable {
 
   private val M = 64
-  private[functions] val smallTab: Array[Double] = (1 to M).map(v =>
+
+  /** The small-range (linear-counting) correction table — SHARED with
+    * the a_hll_est query so the two implementations cannot drift. */
+  val smallTab: Array[Double] = (1 to M).map(v =>
     math.floor(M.toDouble * math.log(M.toDouble / v) * 1e6 + 0.5) / 1e6).toArray
+
+  /** Estimate from the exact integer harmonic denominator Σ2^(49−M[j])
+    * and the zero-register count — the single definition of the
+    * estimator math (query literals and driver recomputes mirror it). */
+  def estimate(sint: Long, vz: Int): Double = {
+    val raw = ((0.709 * 4096.0) * 562949953421312.0) / sint.toDouble
+    if (raw <= 2.5 * M && vz > 0) smallTab(vz - 1)
+    else math.floor(raw * 1e6 + 0.5) / 1e6
+  }
+
+  // md5() resets after each digest call; thread-local so the hot
+  // aggregation path never re-runs the security-provider lookup
+  @transient private lazy val mdLocal =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
 
   override def zero: Array[Byte] = new Array[Byte](M)
 
   override def reduce(regs: Array[Byte], x: String): Array[Byte] = {
     if (x != null) {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(x.getBytes("UTF-8"))
+      val h = mdLocal.get().digest(x.getBytes("UTF-8"))
       val idx = (h(0) & 0xff) % M
       var w = 0L // next 48 bits = hash bytes 1..6 (hex digits 3..14)
       var i = 1
@@ -60,9 +79,7 @@ object HllAgg extends Aggregator[String, Array[Byte], Double]
       if (regs(i) == 0) vz += 1
       i += 1
     }
-    val raw = ((0.709 * 4096.0) * 562949953421312.0) / sint.toDouble
-    if (raw <= 2.5 * M && vz > 0) smallTab(vz - 1)
-    else math.floor(raw * 1e6 + 0.5) / 1e6
+    estimate(sint, vz)
   }
 
   override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY

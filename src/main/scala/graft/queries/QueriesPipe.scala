@@ -141,16 +141,16 @@ object QueriesPipe {
     val evalG = docs.filter(col("doc_id") % 50 === 0)
       .select(explode(col("sh")).as("g")).distinct()
       .persist() // bloom build AND the exact-hit join read it
-    def digit(p: Int) =
-      (expr(s"instr('0123456789abcdef', substr(m, $p, 1))") - 1).cast("long")
     def pos(off: Int) = (0 until 5).map(i =>
-      digit(off + i + 1) * lit(1L << (4 * (4 - i)))).reduce(_ + _) % BLOOM_BITS
+      TextOps.hexDigit(col("m"), off + i + 1).cast("long") *
+        lit(1L << (4 * (4 - i)))).reduce(_ + _) % BLOOM_BITS
     val bloom = evalG.withColumn("m", md5(col("g")))
       .select(explode(array(pos(0), pos(5))).as("p"))
       .select(expr("shiftright(p, 5)").as("word"),
         (col("p") % 32).cast("int").as("bit"))
       .groupBy("word")
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
+      .persist() // probed twice (one join per hash) — build the bits once
     val train = docs.filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .withColumn("m", md5(col("g")))
@@ -263,15 +263,13 @@ object QueriesPipe {
     val inst = Tables.documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
         explode(TextOps.words(col("text"))).as("w"))
+    def bucket(md5Col: Column): Column =
+      (TextOps.hexDigit(md5Col, 1) * 16 + TextOps.hexDigit(md5Col, 2)) % DSIR_B
     val wcnt = inst.groupBy("w")
       .agg(count(lit(1)).as("cr"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
       .withColumn("wmd5", md5(col("w")))
-      .select(col("w"), col("cr"), col("ct"),
-        (((expr("instr('0123456789abcdef', substr(wmd5, 1, 1))") - 1) * 16 +
-          (expr("instr('0123456789abcdef', substr(wmd5, 2, 1))") - 1))
-          % DSIR_B).as("b"))
-      .persist()
+      .select(col("w"), col("cr"), col("ct"), bucket(col("wmd5")).as("b"))
     val bkt = wcnt.groupBy("b").agg(sum("cr").as("cr"), sum("ct").as("ct"))
     val tot = bkt.agg(sum("cr").as("tr"), sum("ct").as("tt"))
     val lr = bkt.crossJoin(broadcast(tot))
@@ -282,9 +280,13 @@ object QueriesPipe {
           ((col("cr").cast("double") + lit(1.0)) /
             (col("tr").cast("double") + lit(DSIR_B.toDouble)))) * 1e6 + 0.5)
           .cast("long").as("lr6"))
+    // b is a pure md5 function of w, so per-doc counts derive their
+    // bucket DIRECTLY — only the B-row log-ratio table is ever broadcast
+    // (a vocab-sized word→bucket broadcast would not survive 100 TB)
     val dw = inst.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-    dw.join(broadcast(wcnt.select("w", "b")), "w")
-      .join(broadcast(lr), "b")
+      .withColumn("wmd5", md5(col("w")))
+      .select(col("doc_id"), col("c"), bucket(col("wmd5")).as("b"))
+    dw.join(broadcast(lr), "b")
       .groupBy("doc_id")
       .agg(sum("c").as("n_words"), sum(col("c") * col("lr6")).as("s6"))
   }

@@ -85,8 +85,9 @@ object QueriesText {
   // carries ≤ sources×64 register rows — this is the mergeable-state
   // shape that replaces count(DISTINCT) when exact counts stop fitting.
   private val HLLM = 64
-  private val hllSmall: Seq[Double] = (1 to HLLM).map(v =>
-    math.floor(HLLM.toDouble * math.log(HLLM.toDouble / v) * 1e6 + 0.5) / 1e6)
+  // shared with functions.HllAgg (the typed-Aggregator twin) so the two
+  // implementations of the estimator cannot drift
+  private val hllSmall: Seq[Double] = graft.functions.HllAgg.smallTab.toSeq
 
   private val hllEst: Q = (s, d) => {
     val wd = Tables.documents(s, d)
@@ -95,8 +96,7 @@ object QueriesText {
       .distinct()
       .withColumn("m", md5(col("w")))
       .persist() // registers AND the exact count read it
-    def digit(p: Int) =
-      (expr(s"instr('0123456789abcdef', substr(m, $p, 1))") - 1).cast("long")
+    def digit(p: Int) = TextOps.hexDigit(col("m"), p).cast("long")
     val idx = ((digit(1) * 16 + digit(2)) % HLLM).as("idx")
     val w48 = (0 until 12).map(i =>
       digit(i + 3) * lit(1L << (4 * (11 - i)))).reduce(_ + _)

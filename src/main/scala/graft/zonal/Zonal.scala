@@ -20,6 +20,12 @@ object Zonal {
   /** 12-stat aggregate over column `v` of a zone-tagged table
     * `[name, v]`, per zone plus an 'ALL' rollup row.
     *
+    * CONTRACT: `v` must be non-null. Zone rows count with count(*) (like
+    * the DuckDB oracle's ROLLUP) while the fused ALL scan counts
+    * non-null values for the radix rank math — with null v the two row
+    * families (and the oracle) would disagree on n. All callers feed
+    * filtered pixel/measure columns, which never carry nulls.
+    *
     * Quantiles are computed by RANK SELECTION, not Spark's `Percentile`
     * aggregate: `Percentile` buffers every value per group and merges on
     * one thread (9s at sf0.1 for this query); picking the two order
