@@ -89,6 +89,9 @@ object Bench {
     val compact = head.toString + "}" +
       s""","other_n":${rest.size},"other_sec":${f3(otherSec)},"sf":"$sfDir"}"""
     println(compact)
+    // storage hygiene: every shared persist in the query family is
+    // registered; release them so a long-lived session ends at baseline
+    graft.functions.CacheRegistry.releaseAll()
     spark.stop()
   }
 }

@@ -30,8 +30,8 @@ object Dev {
         build().write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      once()
-      println(f"TIME $name ${math.min(once(), once())}%.3f sec (min of 2, warm)")
+      val t1 = once(); val t2 = once(); val t3 = once()
+      println(f"TIME $name ${math.min(t2, t3)}%.3f sec (min of 2, warm; runs: $t1%.3f $t2%.3f $t3%.3f)")
     } else df.show(50, false)
     spark.stop()
   }

@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.CacheRegistry.Shareable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.api.ErrorAnalysis
@@ -28,7 +29,7 @@ object Pipeline {
     val meta = GridMeta(width = PixelGrid.W, height = PixelGrid.W)
     val ea = new ErrorAnalysis(spark, meta)
     val dz = ea.difference(
-      PixelGrid.grid(spark, dir, 0), PixelGrid.grid(spark, dir, 1)).persist()
+      PixelGrid.grid(spark, dir, 0), PixelGrid.grid(spark, dir, 1)).persistShared()
 
     val stableWkt = "POLYGON ((4.2 4.2, 60.4 4.2, 60.4 123.7, 4.2 123.7))"
     val (bias, biasUnc) = ea.biasOverStable(dz, stableWkt)

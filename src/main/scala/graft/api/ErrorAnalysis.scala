@@ -1,5 +1,6 @@
 package graft.api
 
+import graft.functions.CacheRegistry.Shareable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Canon.round
@@ -43,7 +44,7 @@ class ErrorAnalysis(spark: SparkSession, meta: GridMeta = GridMeta()) {
                      seed: Long = 42L): (Double, Double) = {
     val verts = Geom.polyLit(Geom.wktToPoints(stableWkt))
     val stable = dz.filter(Geom.pointInPolygon(col("x"), col("y"), verts))
-      .select(col("value")).persist()
+      .select(col("value")).persistShared()
     val bias = stable.agg(percentile(col("value"), lit(0.5))).head().getDouble(0)
     val idx = stable.withColumn("idx",
       row_number().over(org.apache.spark.sql.expressions.Window
@@ -70,7 +71,7 @@ class ErrorAnalysis(spark: SparkSession, meta: GridMeta = GridMeta()) {
   def nmad(dz: DataFrame, wkt: String): Double = {
     val verts = Geom.polyLit(Geom.wktToPoints(wkt))
     val in = dz.filter(Geom.pointInPolygon(col("x"), col("y"), verts))
-      .select(col("value")).persist()
+      .select(col("value")).persistShared()
     try {
       val med = in.agg(percentile(col("value"), lit(0.5))).head().getDouble(0)
       1.4826 * in.select(abs(col("value") - lit(med)).as("a"))

@@ -32,9 +32,24 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** Internal working columns; a caller column with one of these names
+    * (or a left column shadowing a right payload name) would silently
+    * produce wrong matches, so both entry points reject the collision
+    * up front instead. */
+  private val reserved = Set("_side", "_r", "_b", "_f", "_m")
+
+  private def checkColumns(left: DataFrame, right: DataFrame, key: String,
+                           ts: String, payload: Seq[String]): Unit = {
+    require(payload.nonEmpty, "asof needs at least one right payload column")
+    val clash = (left.columns ++ right.columns).filter(reserved).distinct
+    require(clash.isEmpty,
+      s"asof reserves internal column names ${reserved.mkString(", ")}; " +
+        s"rename input column(s) ${clash.mkString(", ")}")
+  }
+
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
            payload: Seq[String]): DataFrame = {
-    require(payload.nonEmpty, "asof needs at least one right payload column")
+    checkColumns(left, right, key, ts, payload)
     val rStruct = struct((ts +: payload).map(col): _*)
     val rNull = lit(null).cast(
       right.select(rStruct).schema.head.dataType)
@@ -68,7 +83,7 @@ object AsofJoin {
     * compares distances by subtraction. `right` unique per (key, ts). */
   def asofNearest(left: DataFrame, right: DataFrame, key: String, ts: String,
                   payload: Seq[String]): DataFrame = {
-    require(payload.nonEmpty, "asof needs at least one right payload column")
+    checkColumns(left, right, key, ts, payload)
     val rStruct = struct((ts +: payload).map(col): _*)
     val rNull = lit(null).cast(
       right.select(rStruct).schema.head.dataType)

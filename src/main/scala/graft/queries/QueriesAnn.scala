@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.CacheRegistry.Shareable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -560,7 +561,7 @@ object QueriesAnn {
     })
     val coded = e.crossJoin(broadcast(stats))
       .select(col("vec_id"), col("v"), codes.as("c"))
-      .persist()
+      .persistShared()
     val q = coded.filter(col("vec_id") < NQUERIES).toDF("q_id", "qv", "qc")
     coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("qv"), col("v"),

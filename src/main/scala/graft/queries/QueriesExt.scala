@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.CacheRegistry.Shareable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -302,7 +303,7 @@ object QueriesExt {
     val banded = sig.select(col("vec_id"),
       posexplode(array((0 until RPBANDS).map(b => col(s"b$b")): _*))
         .as(Seq("band_id", "bval")))
-      .persist()
+      .persistShared()
     val r = banded.toDF("r_vec_id", "r_band_id", "r_bval")
     val pairs = banded.join(r, col("band_id") === col("r_band_id") &&
         col("bval") === col("r_bval") && col("vec_id") < col("r_vec_id"))

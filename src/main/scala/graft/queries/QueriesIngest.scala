@@ -1,9 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{QuantileSketch, QuantileSketchAgg, TDigestState}
+import graft.functions.Canon.round
+import graft.functions.{GlobalRank, HllCols}
 import graft.ingest.PointCloud
 
 /** Ingest-lifecycle operators (SURVEY.md §3.1): point-cloud →
@@ -53,34 +55,182 @@ object QueriesIngest {
               CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
        FROM documents GROUP BY 1, 2"""
 
-  // sketch surfaces for the 100-TB path: HLL distinct + approximate
-  // quantiles. Declared WITHOUT oracle SQL (algorithm-specific estimates
-  // cannot hash-match a different engine) → driver records the weaker
-  // rows-only check, as the contract allows.
-  private val approxStats: Q = (s, d) =>
-    Tables.lineitem(s, d).groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+  // Sketch surfaces for the 100-TB path, EXACTLY oracle-gated: both
+  // estimators are built from merge-order-independent state (register
+  // max / integer bin counts), so the approximate answers hash-match the
+  // DuckDB oracle bit-for-bit. This replaces Spark's engine-private
+  // approx_count_distinct/percentile_approx, whose estimates depend on
+  // partial-merge order and cannot be reproduced by another engine.
+  //   - approx_parts: md5-register HLL (functions/HllCols — the shared
+  //     estimator definition behind a_hll_est, Aggregator twin HllAgg).
+  //   - approx_median_price: fixed-width histogram sketch — $64 integer
+  //     cent bins, median = midpoint of the bin where 2·cum ≥ n+1. Bin
+  //     counts are a mergeable sketch: bounded state however large the
+  //     group, exact integer arithmetic all the way to the final /100.
+  private val approxStats: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+      md5(col("l_partkey").cast("string")).as("m"),
+      expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val regs = li
+      .select(col("l_returnflag"), HllCols.idx(col("m")).as("idx"),
+        HllCols.rho(col("m")).as("rho"))
+      .groupBy("l_returnflag", "idx").agg(max("rho").as("r"))
+    val est = HllCols.estimate(regs, Seq("l_returnflag"), "approx_parts")
+    val hist = li.groupBy(col("l_returnflag"), expr("cents div 6400").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy("l_returnflag").agg(sum("c").as("n"))
+    val wnd = Window.partitionBy("l_returnflag").orderBy("bin")
+    val med = hist.withColumn("cum", sum("c").over(wnd))
+      .join(tot, "l_returnflag")
+      .filter(col("cum") * 2 >= col("n") + 1)
+      .groupBy("l_returnflag").agg(min("bin").as("mbin"))
+    est.join(med, "l_returnflag").join(tot, "l_returnflag")
+      .select(col("l_returnflag"), col("approx_parts"),
+        ((col("mbin") * 6400 + 3200).cast("double") / 100.0)
           .as("approx_median_price"),
-        count(lit(1)).as("n_rows"))
+        col("n").as("n_rows"))
+  }
 
-  // Own mergeable t-digest (functions/QuantileSketch) beside Spark's
-  // builtin sketches above: O(δ) state per group however large the
-  // group, merged by Spark's partial aggregation. Estimates depend on
-  // merge order → rows-only like a_approx_sketches; QuantileSketchSpec
-  // pins rank error against ExactQuantile ground truth instead.
+  private val approxStatsSql =
+    s"""WITH li AS (SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS m,
+                           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+                    FROM lineitem),
+        r AS (SELECT l_returnflag, ${HllCols.idxSql} AS idx,
+                     max(${HllCols.rhoSql}) AS r
+              FROM li GROUP BY 1, 2),
+        sums AS (${HllCols.sumsSql("r", "l_returnflag")}),
+        est AS (SELECT l_returnflag, ${HllCols.estSql} AS approx_parts
+                FROM sums),
+        hist AS (SELECT l_returnflag, cents // 6400 AS bin, count(*) AS c
+                 FROM li GROUP BY 1, 2),
+        tot AS (SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n
+                FROM hist GROUP BY 1),
+        cum AS (SELECT l_returnflag, bin,
+                       sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum
+                FROM hist),
+        med AS (SELECT l_returnflag, min(bin) AS mbin
+                FROM cum JOIN tot USING (l_returnflag)
+                WHERE cum * 2 >= n + 1 GROUP BY 1)
+        SELECT e.l_returnflag, e.approx_parts,
+               CAST(mbin * 6400 + 3200 AS DOUBLE) / 100.0e0 AS approx_median_price,
+               t.n AS n_rows
+        FROM est e JOIN med USING (l_returnflag) JOIN tot t USING (l_returnflag)"""
+
+  // t-digest quantiles, EXACTLY oracle-gated via the canonical-order
+  // construction: rank rows per group (two-level GlobalRank — no
+  // whole-group window funnel), map each rank's q = (rk−½)/n onto the
+  // k1 scale function's unit intervals, and aggregate each cluster's
+  // exact integer (weight, Σcents). Cluster boundaries are the δ/2−1
+  // PRECOMPUTED q-literals where k(q) = (δ/2π)·asin(2q−1) crosses an
+  // integer — embedding the same 12-dp literals in both engines sidesteps
+  // any cross-engine asin() ulp drift. Quantile estimates interpolate
+  // between centroid midpoints in doubled-integer rank space.
+  //
+  // functions/QuantileSketchAgg is the arbitrary-merge-order Aggregator
+  // twin of this digest (same k1 scale, same interpolation rule) for
+  // pipelines that cannot sort first; its rank error is pinned against
+  // ExactQuantile ground truth in QuantileSketchSpec.
+  private val TDELTA = 100
+  private val tdBounds: Seq[BigDecimal] =
+    (-(TDELTA / 4 - 1) to (TDELTA / 4 - 1)).map { m =>
+      BigDecimal((1.0 + math.sin(math.Pi * m / (TDELTA / 2).toDouble)) / 2.0)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+  private val tdQs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+
   private val tdigestQuantiles: Q = (s, d) => {
-    val sk = udaf(new QuantileSketchAgg(100))
-    val est = udf((r: Row, q: Double) => QuantileSketch.quantileOf(
-      TDigestState(r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray,
-        r.getInt(2), r.getLong(3), r.getDouble(4), r.getDouble(5)), q))
-    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
-    Tables.lineitem(s, d)
-      .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("x"))
-      .groupBy("l_returnflag")
-      .agg(sk(col("x")).as("dig"), count(lit(1)).as("n_rows"))
-      .select(col("l_returnflag") +: col("n_rows") +:
-        qs.map(q => est(col("dig"), lit(q)).as(s"q${(q * 100).toInt}")): _*)
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+      col("l_orderkey"), col("l_linenumber"),
+      expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    // global index over (flag, cents, pk): flag leads, so per-flag rank =
+    // global index − count of rows in earlier flags (3-row offset table)
+    val ranked = GlobalRank.withGlobalIndex(li, "gidx",
+      col("l_returnflag"), col("cents"), col("l_orderkey"), col("l_linenumber"))
+    val offs = ranked.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum("n").over(Window.orderBy("l_returnflag")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val bArr = array(tdBounds.map(b => lit(b.toDouble)): _*)
+    val cent = ranked.join(broadcast(offs), "l_returnflag")
+      .withColumn("q", ((col("gidx") - col("off")).cast("double") - 0.5) /
+        col("n").cast("double"))
+      .withColumn("cid", size(filter(bArr, b => b <= col("q"))))
+      .groupBy("l_returnflag", "cid")
+      .agg(count(lit(1)).as("w"), sum("cents").as("sc"))
+    val wnd = Window.partitionBy("l_returnflag").orderBy("cid")
+    val seg0 = cent
+      .withColumn("meanc", col("sc").cast("double") / col("w").cast("double"))
+      .withColumn("mid2", sum("w").over(wnd) * 2 - col("w"))
+    val seg = seg0
+      .withColumn("mid2n", lead("mid2", 1).over(wnd))
+      .withColumn("meancn", lead("meanc", 1).over(wnd))
+    val edges = seg0.groupBy("l_returnflag").agg(
+      min("mid2").as("mid2min"), max("mid2").as("mid2max"),
+      min_by(col("meanc"), col("cid")).as("mean_first"),
+      max_by(col("meanc"), col("cid")).as("mean_last"))
+    val targets = offs.select(col("l_returnflag"), col("n"))
+      .withColumn("qq", explode(array(tdQs.map(lit): _*)))
+      .withColumn("t2",
+        (floor(col("qq") * col("n").cast("double")) + 1L) * 2L)
+    val interp = targets.join(seg, Seq("l_returnflag"))
+      .filter(col("mid2n").isNotNull &&
+        col("mid2") <= col("t2") && col("t2") < col("mid2n"))
+      .select(col("l_returnflag"), col("qq"),
+        (col("meanc") + (col("meancn") - col("meanc")) *
+          ((col("t2") - col("mid2")).cast("double") /
+            (col("mid2n") - col("mid2")).cast("double"))).as("estc"))
+    targets.join(broadcast(edges), "l_returnflag")
+      .join(interp, Seq("l_returnflag", "qq"), "left")
+      .select(col("l_returnflag"), col("qq").as("q"), col("n").as("n_rows"),
+        round(coalesce(col("estc"),
+          when(col("t2") <= col("mid2min"), col("mean_first"))
+            .otherwise(col("mean_last"))) / 100.0, 6).as("est"))
+  }
+
+  private val tdigestQuantilesSql = {
+    val bounds = tdBounds.map(b => b.underlying.toPlainString + "e0")
+      .mkString("[", ", ", "]")
+    val qList = tdQs.map(q => s"${q}e0").mkString("[", ", ", "]")
+    s"""WITH li AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+                           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+                    FROM lineitem),
+        rk AS (SELECT l_returnflag, cents,
+                      row_number() OVER (PARTITION BY l_returnflag
+                        ORDER BY cents, l_orderkey, l_linenumber) AS rk,
+                      count(*) OVER (PARTITION BY l_returnflag) AS n
+               FROM li),
+        cent AS (SELECT l_returnflag,
+                        len(list_filter($bounds,
+                          b -> b <= (CAST(rk AS DOUBLE) - 0.5e0) / CAST(n AS DOUBLE))) AS cid,
+                        CAST(count(*) AS BIGINT) AS w,
+                        CAST(sum(cents) AS BIGINT) AS sc
+                 FROM rk GROUP BY 1, 2),
+        seg0 AS (SELECT l_returnflag, cid, w,
+                        CAST(sc AS DOUBLE) / CAST(w AS DOUBLE) AS meanc,
+                        (sum(w) OVER (PARTITION BY l_returnflag ORDER BY cid)) * 2 - w AS mid2
+                 FROM cent),
+        seg AS (SELECT *,
+                       lead(mid2) OVER (PARTITION BY l_returnflag ORDER BY cid) AS mid2n,
+                       lead(meanc) OVER (PARTITION BY l_returnflag ORDER BY cid) AS meancn
+                FROM seg0),
+        edges AS (SELECT l_returnflag, min(mid2) AS mid2min, max(mid2) AS mid2max,
+                         min_by(meanc, cid) AS mean_first,
+                         max_by(meanc, cid) AS mean_last
+                  FROM seg0 GROUP BY 1),
+        tot AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1),
+        tgt AS (SELECT l_returnflag, n, q,
+                       (CAST(floor(q * CAST(n AS DOUBLE)) AS BIGINT) + 1) * 2 AS t2
+                FROM tot, (SELECT unnest($qList) AS q)),
+        interp AS (SELECT t.l_returnflag, t.q,
+                          meanc + (meancn - meanc) *
+                            (CAST(t.t2 - mid2 AS DOUBLE) / CAST(mid2n - mid2 AS DOUBLE)) AS estc
+                   FROM tgt t JOIN seg s ON t.l_returnflag = s.l_returnflag
+                   WHERE mid2n IS NOT NULL AND mid2 <= t.t2 AND t.t2 < mid2n)
+        SELECT t.l_returnflag, t.q AS q, t.n AS n_rows,
+               round(coalesce(i.estc,
+                 CASE WHEN t.t2 <= e.mid2min THEN e.mean_first
+                      ELSE e.mean_last END) / 100.0e0, 6) AS est
+        FROM tgt t JOIN edges e USING (l_returnflag)
+        LEFT JOIN interp i ON i.l_returnflag = t.l_returnflag AND i.q = t.q"""
   }
 
   // frame sampling over video payloads: up to 4 evenly-strided byte
@@ -191,5 +341,7 @@ object QueriesIngest {
     "i_geotiff_roundtrip" -> geotiffRoundtripSql,
     "i_las_roundtrip" -> lasRoundtripSql,
     "a_count_distinct" -> countDistinctSql,
+    "a_approx_sketches" -> approxStatsSql,
+    "a_tdigest_quantiles" -> tdigestQuantilesSql,
   )
 }

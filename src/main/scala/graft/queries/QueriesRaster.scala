@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.CacheRegistry.Shareable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Canon.round
@@ -181,7 +182,7 @@ object QueriesRaster {
   private val biasRemove: Q = (s, d) => {
     // persist dz: both the bias scalar and the output scan read it, and
     // without reuse the two-raster join pipeline would run twice
-    val dz = PixelGrid.withXY(PixelGrid.difference(gA(s, d), gB(s, d))).persist()
+    val dz = PixelGrid.withXY(PixelGrid.difference(gA(s, d), gB(s, d))).persistShared()
     val bias = dz.filter(col("x").between(4.2, 60.4) && col("y").between(4.2, 123.7))
       .agg(percentile(col("dz"), lit(0.5)).as("bias"))
     dz.crossJoin(broadcast(bias))

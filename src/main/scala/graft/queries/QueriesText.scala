@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.CacheRegistry.Shareable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -42,7 +43,7 @@ object QueriesText {
       .withColumn("wmd5", md5(col("w")))
     val wcells = wc.select(col("w"), col("cnt"),
       posexplode(array((0 until 4).map(cmsCell): _*)).as(Seq("j", "cell")))
-      .persist() // read by the counter aggregate AND the estimate join
+      .persistShared() // read by the counter aggregate AND the estimate join
     val counters = wcells.groupBy("j", "cell").agg(sum("cnt").as("c"))
     wcells.join(broadcast(counters), Seq("j", "cell"))
       .groupBy("w", "cnt").agg(min("c").as("est"))
@@ -95,7 +96,7 @@ object QueriesText {
       .select(col("source"), explode(TextOps.shinglesOf(col("ws"), 3)).as("w"))
       .distinct()
       .withColumn("m", md5(col("w")))
-      .persist() // registers AND the exact count read it
+      .persistShared() // registers AND the exact count read it
     def digit(p: Int) = TextOps.hexDigit(col("m"), p).cast("long")
     val idx = ((digit(1) * 16 + digit(2)) % HLLM).as("idx")
     val w48 = (0 until 12).map(i =>
@@ -184,14 +185,14 @@ object QueriesText {
       // instead of re-splitting the text per shingle element
       .select(col("doc_id"), TextOps.words(col("text")).as("w"))
       .select(col("doc_id"), explode(TextOps.shinglesOf(col("w"), 3)).as("sh"))
-      .persist()
+      .persistShared()
 
   /** DISTINCT (doc_id, shingle) — its own persist: the dedup shuffle
     * otherwise re-runs per consumer (containment/est/novelty each read
     * it up to three times: two join sides + sizes). CacheManager keys
     * on the logical plan, so every call shares one materialization. */
   private def shingleSet(s: SparkSession, d: String): DataFrame =
-    shingleTable(s, d).distinct().persist()
+    shingleTable(s, d).distinct().persistShared()
 
   private def signatures(s: SparkSession, d: String): DataFrame =
     shingleTable(s, d)
@@ -210,11 +211,20 @@ object QueriesText {
   // bucket rows) instead of one join per band — the signature subtree is
   // evaluated twice, not 2×BANDS times, and the join shuffles once on the
   // composite bucket key.
-  private val dedupMinhash: Q = (s, d) => {
+  // The candidate-pair frame is persisted (tiny: one row per LSH
+  // candidate pair) because the whole QA family reads it — the query
+  // itself, x_minhash_est (twice: exact-intersection build + final
+  // join), x_lsh_recall, x_dedup_containment. Without it each consumer
+  // re-ran the banded self-join: x_minhash_est regressed 3.8× in round
+  // 4 purely on this recompute. CacheManager keys on the logical plan,
+  // so every dedupMinhash(s, d) call shares one materialization.
+  private val dedupMinhash: Q = (s, d) => dedupMinhashBuild(s, d).persistShared()
+
+  private val dedupMinhashBuild: Q = (s, d) => {
     // persist: both sides of the banded self-join read the signatures —
     // one materialization instead of two 8-way min aggregates over the
     // shingle table. (doc_id + 8 hex slices per doc: tiny.)
-    val sig = signatures(s, d).persist()
+    val sig = signatures(s, d).persistShared()
     val bandVals = array((0 until BANDS).map(b =>
       concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))): _*)
     val banded = sig.select(col("*"),
@@ -287,7 +297,7 @@ object QueriesText {
     // persist: the banded self-join references the signature frame on
     // both sides — without it the whole (word-count ⋈ vocab → 32-sum)
     // pipeline executes twice. The frame is (doc_id, long): tiny.
-    val sh = simhashes(s, d).persist()
+    val sh = simhashes(s, d).persistShared()
     val bandVals = array((0 until 4).map(b =>
       shiftright(col("simhash"), 8 * b).bitwiseAND(255)): _*)
     val banded = sh.select(col("doc_id"), col("simhash"),
@@ -406,7 +416,7 @@ object QueriesText {
     Tables.documents(s, d)
       .select(col("doc_id"), TextOps.words(col("text")).as("w"))
       .select(col("doc_id"), explode(TextOps.shinglesOf(col("w"), 2)).as("g"))
-      .persist()
+      .persistShared()
 
   private val knPpl: Q = (s, d) => {
     val grams = bigramTable(s, d)
@@ -414,7 +424,7 @@ object QueriesText {
       .select(col("g"), col("c2"),
         split(col("g"), " ").getItem(0).as("w1"),
         split(col("g"), " ").getItem(1).as("w2"))
-      .persist()
+      .persistShared()
     val ctx = lm.groupBy("w1")
       .agg(sum("c2").as("c1"), count(lit(1)).as("n1fw"))
     val bw = lm.groupBy("w2").agg(count(lit(1)).as("n1bw"))
@@ -465,7 +475,7 @@ object QueriesText {
     Tables.documents(s, d)
       .select(col("doc_id"), TextOps.words(col("text")).as("w"))
       .select(col("doc_id"), explode(TextOps.shinglesOf(col("w"), 3)).as("g"))
-      .persist()
+      .persistShared()
 
   private val kn3Ppl: Q = (s, d) => {
     val grams3 = trigramTable(s, d)
@@ -475,7 +485,7 @@ object QueriesText {
           split(col("g"), " ").getItem(1)).as("ctx"),
         concat_ws(" ", split(col("g"), " ").getItem(1),
           split(col("g"), " ").getItem(2)).as("bg"))
-      .persist()
+      .persistShared()
     val ctx3 = lm3.groupBy("ctx")
       .agg(sum("c123").as("c12"), count(lit(1)).as("n1fw12"))
     // bigram interpolated-KN layer (same derivation as x_kn_ppl)
@@ -484,7 +494,7 @@ object QueriesText {
       .select(col("g").as("bg"), col("c2"),
         split(col("g"), " ").getItem(0).as("w1"),
         split(col("g"), " ").getItem(1).as("w2"))
-      .persist()
+      .persistShared()
     val ctx2 = lm2.groupBy("w1")
       .agg(sum("c2").as("c1"), count(lit(1)).as("n1fw"))
     val bw2 = lm2.groupBy("w2").agg(count(lit(1)).as("n1bw"))
@@ -821,7 +831,7 @@ object QueriesText {
       .select(col("doc_id"), explode(col("bs")).as("bk"))
       // persist: consumed by the per-block df aggregate AND the join
       // back — one md5-block explode pass instead of two
-      .persist()
+      .persistShared()
     val df = blocks.groupBy("bk")
       .agg(countDistinct(col("doc_id")).as("ndocs"))
     blocks.join(df, "bk")
@@ -914,7 +924,7 @@ object QueriesText {
   private val lshRecall: Q = (s, d) => {
     val sh = shingleSet(s, d)
     // persist: consumed three times (prefix cut + both size joins)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz")).persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz")).persistShared()
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     // per-doc prefix under the global (df asc, sh asc) order, cut
     // in-row: one groupBy instead of a window + size join (the struct
@@ -926,7 +936,7 @@ object QueriesText {
       .select(col("doc_id"), explode(expr(
         s"slice(array_sort(a), 1, cast(size(a) - ceil($LSH_TAU * size(a)) + 1 as int))")).as("p"))
       .select(col("doc_id"), col("p.sh").as("sh"))
-      .persist() // both sides of the prefix self-join
+      .persistShared() // both sides of the prefix self-join
     val pairs = prefixes.toDF("a_id", "sh")
       .join(prefixes.toDF("b_id", "sh"), Seq("sh"))
       .filter(col("a_id") < col("b_id"))

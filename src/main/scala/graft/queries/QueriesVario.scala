@@ -54,7 +54,10 @@ object QueriesVario {
 
   // §2.4 bootstrap median distribution: 200 iters × 500 draws w/
   // replacement → median per iter → std + mean of medians
-  // (bootstrap_uncertainty_subsample, variography_uncertainty.py:289–316)
+  // (bootstrap_uncertainty_subsample, variography_uncertainty.py:289–316).
+  // Fixture sizes: the reference defaults to 1000 iters × 10% of the
+  // sample; 200×500 keeps the sf0.01 gate fast with identical semantics —
+  // both knobs are plain constants below (no shape change at any size).
   private val bootstrapMedian: Q = (s, d) => {
     val spark = s
     // two-level global rank: the 1..n draw index without funneling the
@@ -136,7 +139,10 @@ object QueriesVario {
 
   // §2.9+§2.3 Monte-Carlo correlated uncertainty: zip-join of paired
   // uniform draws in a rectangle, mean covariance → σ_corr
-  // (estimate_monte_carlo, variography_uncertainty.py:1238–1274)
+  // (estimate_monte_carlo, variography_uncertainty.py:1238–1274).
+  // Fixture size: the reference notebook draws 25 000 pairs (library
+  // default 200 000); 20 000 here is the same constant-factor knob — the
+  // plan is one seeded range + one aggregate at any count.
   private val mcCorrelated: Q = (s, d) => {
     val m = Spherical.canonical
     val nPairs = 20000
@@ -219,7 +225,10 @@ object QueriesVario {
   }
 
   // §2.3 Hugonnet K-centers cross join: mean ρ(dist) between every sample
-  // point and K=50 random centers (variography_uncertainty.py:1322–1378)
+  // point and K random centers (variography_uncertainty.py:1322–1378).
+  // Fixture size: the reference uses K=100 centers; K=50 here — the
+  // centers side is a broadcast constant either way, so only the
+  // per-point flop count changes, never the plan shape.
   private val hugonnet: Q = (s, d) => {
     val m = Spherical.canonical
     val centers = s.range(50)

@@ -1,5 +1,6 @@
 package graft.raster
 
+import graft.functions.CacheRegistry.Shareable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Canon.round
@@ -64,7 +65,7 @@ object PixelGrid {
       // materialized columns. (2) identical grid plans across queries in
       // one session share the cache entry (CacheManager canonical match),
       // exactly how a shared 100-TB base table would be staged.
-      .persist()
+      .persistShared()
   }
 
   /** DuckDB CTE body equivalent to [[grid]]. */

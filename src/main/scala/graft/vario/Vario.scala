@@ -1,5 +1,6 @@
 package graft.vario
 
+import graft.functions.CacheRegistry.Shareable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -32,7 +33,7 @@ object Vario {
       (Rand.mix(col("c_custkey"), 1) % 1000).cast("double") + 0.5 as "x",
       (Rand.mix(col("c_custkey"), 2) % 1000).cast("double") + 0.5 as "y",
       round(col("c_acctbal") / 1000.0, 6).as("v"))
-      .persist() // shared across the variogram/uncertainty query family
+      .persistShared() // shared across the variogram/uncertainty query family
 
   def pointsSql: String =
     s"""SELECT c_custkey AS k,

@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.functions.{QuantileSketch, QuantileSketchAgg, TDigestState}
 
-/** The t-digest surface is rows-only at the driver gate (estimates
-  * depend on merge order), so the correctness contract lives here:
-  * rank error against exact order statistics, tail exactness, and
-  * bound-preservation under the partition merge path. */
+/** The t-digest family's ACCURACY contract: the a_tdigest_quantiles
+  * query (canonical-order construction, exactly oracle-gated since
+  * round 5) must land within the δ=100 rank-error bound of the exact
+  * order statistics, and the arbitrary-merge-order Aggregator twin
+  * must keep tails exact and preserve the same bound across merges. */
 class QuantileSketchSpec extends SparkSuite {
 
   private val QS = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
@@ -21,17 +22,17 @@ class QuantileSketchSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getDouble(1)))
     val byFlag = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
 
+    // long format since round 5: (l_returnflag, q, n_rows, est)
     val out = SparkEntry.queries("a_tdigest_quantiles")(spark, sf001).collect()
-    assert(out.nonEmpty)
+    assert(out.length == byFlag.size * QS.size)
     out.foreach { r =>
       val flag = r.getString(0)
+      val q = r.getDouble(1)
       val sorted = byFlag(flag)
-      assert(r.getLong(1) == sorted.length)
-      QS.zipWithIndex.foreach { case (q, i) =>
-        val est = r.getDouble(2 + i)
-        val err = math.abs(rankOf(sorted, est) - q)
-        assert(err <= TOL, s"flag=$flag q=$q est=$est rank_err=$err")
-      }
+      assert(r.getLong(2) == sorted.length)
+      val est = r.getDouble(3)
+      val err = math.abs(rankOf(sorted, est) - q)
+      assert(err <= TOL, s"flag=$flag q=$q est=$est rank_err=$err")
     }
   }
 
