@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
 object GlobalRank {
 
   def withGlobalIndex(df: DataFrame, out: String, orderCols: Column*): DataFrame = {
-    val parts = df.repartitionByRange(orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
+    // two consumers (local ranks + per-partition counts): share one
+    // materialization of the range shuffle instead of running it twice
+    // (registered with CacheRegistry like every shared persist)
+    val parts = CacheRegistry.share(df.repartitionByRange(orderCols: _*)
+      .withColumn("__pid", spark_partition_id()))
     val local = parts.withColumn("__rn0",
       row_number().over(Window.partitionBy("__pid").orderBy(orderCols: _*)))
     val counts = parts.groupBy("__pid").agg(count(lit(1)).as("__cnt"))

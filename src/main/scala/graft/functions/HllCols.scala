@@ -24,18 +24,17 @@ object HllCols {
     * next 48 bits. */
   val M = 64
 
-  private def digit(m: Column, p: Int): Column =
-    graft.text.TextOps.hexDigit(m, p).cast("long")
-
-  /** Register index from an md5-hex column (must be a plain named
-    * column — the digit extraction round-trips through `expr`). */
-  def idx(m: Column): Column = (digit(m, 1) * 16 + digit(m, 2)) % M
+  /** Register index from an md5-hex column: first byte (2 hex digits)
+    * mod 64. One hex parse per row (`conv` / `0x`-cast), not a per-digit
+    * instr chain — 14 string ops fewer than the digit-wise form on the
+    * query's hottest path. */
+  def idx(m: Column): Column =
+    conv(substring(m, 1, 2), 16, 10).cast("long") % M
 
   /** Rank ρ = leading-zero count of the next 48 hash bits + 1 (capped at
     * 49 for the all-zero word). */
   def rho(m: Column): Column = {
-    val w48 = (0 until 12).map(i =>
-      digit(m, i + 3) * lit(1L << (4 * (11 - i)))).reduce(_ + _)
+    val w48 = conv(substring(m, 3, 12), 16, 10).cast("long")
     when(w48 === 0L, lit(49)).otherwise(lit(49) - length(bin(w48)))
   }
 
@@ -61,13 +60,9 @@ object HllCols {
 
   // ---- DuckDB-side fragments (the oracle mirror of the above) ----------
 
-  def digitSql(p: Int): String =
-    s"(strpos('0123456789abcdef', substr(m, $p, 1)) - 1)"
+  def idxSql: String = s"(CAST('0x' || substr(m, 1, 2) AS BIGINT) % $M)"
 
-  def idxSql: String = s"((${digitSql(1)} * 16 + ${digitSql(2)}) % $M)"
-
-  def w48Sql: String = (0 until 12).map(i =>
-    s"${digitSql(i + 3)} * ${1L << (4 * (11 - i))}").mkString(" + ")
+  def w48Sql: String = s"CAST('0x' || substr(m, 3, 12) AS BIGINT)"
 
   def rhoSql: String =
     s"CASE WHEN ($w48Sql) = 0 THEN 49 ELSE 49 - length(bin($w48Sql)) END"

@@ -98,7 +98,9 @@ object GeoTiff {
     val w = scalar(TAG_WIDTH).toInt
     val h = scalar(TAG_HEIGHT).toInt
     val bits = scalar(TAG_BITS).toInt
-    require(scalar(TAG_COMPRESSION, 1) == 1, "only Compression=1 (none) supported")
+    val compression = scalar(TAG_COMPRESSION, 1).toInt
+    require(compression == 1 || compression == 5,
+      s"only Compression=1 (none) or 5 (LZW) supported, got $compression")
     require(scalar(TAG_SAMPLES_PER_PX, 1) == 1, "only single-band rasters supported")
     require(scalar(TAG_SAMPLE_FORMAT, 1) == 3, "only IEEE-float SampleFormat=3 supported")
     require(bits == 32 || bits == 64, s"only 32/64-bit float samples, got $bits")
@@ -115,8 +117,15 @@ object GeoTiff {
       dy = if (scale.length >= 2) scale(1) else 1.0,
       width = w, height = h, nodata = nodata)
     val px = if (bits == 64) 8 else 4
-    def sample(at: Int): Double =
-      if (px == 8) b.getDouble(at) else b.getFloat(at).toDouble
+    def sample(buf: ByteBuffer, at: Int): Double =
+      if (px == 8) buf.getDouble(at) else buf.getFloat(at).toDouble
+    // per-chunk view: uncompressed chunks read in place; LZW chunks
+    // (Compression=5) decompress into a chunk-local buffer first
+    def chunkBuf(off: Int, cnt: Int): (ByteBuffer, Int) =
+      if (compression == 5)
+        (ByteBuffer.wrap(Lzw.decode(
+          java.util.Arrays.copyOfRange(bytes, off, off + cnt))).order(order), 0)
+      else (b, off)
     val rows =
       if (tags.contains(TAG_TILE_OFFSETS)) {
         // tile-organized layout (TIFF §15): tiles across then down,
@@ -128,23 +137,35 @@ object GeoTiff {
         val across = (w + tw - 1) / tw
         val down = (h + th - 1) / th
         val offsets = longArray(TAG_TILE_OFFSETS, across * down)
+        val counts = longArray(TAG_TILE_COUNTS, across * down)
         val out = Array.fill(h)(new Array[Double](w))
         for (t <- 0 until across * down) {
-          val base = offsets(t).toInt
+          val (cb, base) = chunkBuf(offsets(t).toInt, counts(t).toInt)
           val r0 = (t / across) * th
           val c0 = (t % across) * tw
           for (r <- 0 until math.min(th, h - r0); c <- 0 until math.min(tw, w - c0))
-            out(r0 + r)(c0 + c) = sample(base + px * (r * tw + c))
+            out(r0 + r)(c0 + c) = sample(cb, base + px * (r * tw + c))
         }
         out
       } else {
         val rowsPerStrip = scalar(TAG_ROWS_PER_STRIP, h).toInt
         val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
         val offsets = longArray(TAG_STRIP_OFFSETS, nStrips)
-        Array.tabulate(h) { r =>
-          val base = offsets(r / rowsPerStrip).toInt + (r % rowsPerStrip) * w * px
-          Array.tabulate(w)(c => sample(base + px * c))
+        val countOf: Int => Int =
+          if (tags.contains(TAG_STRIP_COUNTS)) {
+            val a = longArray(TAG_STRIP_COUNTS, nStrips); i => a(i).toInt
+          } else { // uncompressed only: geometry determines the size
+            require(compression == 1, "LZW strips need StripByteCounts")
+            i => math.min(rowsPerStrip, h - i * rowsPerStrip) * w * px
+          }
+        val out = Array.fill(h)(new Array[Double](w))
+        for (s <- 0 until nStrips) {
+          val (cb, base) = chunkBuf(offsets(s).toInt, countOf(s))
+          val r0 = s * rowsPerStrip
+          for (r <- 0 until math.min(rowsPerStrip, h - r0); c <- 0 until w)
+            out(r0 + r)(c) = sample(cb, base + px * (r * w + c))
         }
+        out
       }
     (meta, rows)
   }
@@ -257,6 +278,119 @@ object GeoTiff {
           val gc = (t % across) * tw + c
           put(if (gr < h && gc < w) rows(gr)(gc) else meta.nodata)
         }
+    }
+    b.array()
+  }
+
+  /** LZW writer (Compression=5, the variant GDAL emits for the
+    * reference's compressed rasters — differencing_functions.py:696–705):
+    * same strip/tile layout as [[encode]], but every chunk is an
+    * [[Lzw]] stream and the byte-count arrays carry the real compressed
+    * sizes. [[decode]] reads both compressions, so the oracle round-trip
+    * gates the codec end to end. */
+  def encodeLzw(meta: GridMeta, rows: Array[Array[Double]], bits: Int,
+                tile: Option[(Int, Int)]): Array[Byte] = {
+    val w = meta.width
+    val h = meta.height
+    require(rows.length == h, s"expected $h rows, got ${rows.length}")
+    rows.foreach(r => require(r.length == w, s"expected $w cols, got ${r.length}"))
+    require(bits == 32 || bits == 64, s"bits must be 32 or 64, got $bits")
+    val px = bits / 8
+    def rawChunk(fill: ByteBuffer => Unit, size: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+      fill(bb)
+      bb.array()
+    }
+    def put(bb: ByteBuffer, v: Double): Unit =
+      if (px == 8) { bb.putDouble(v); () } else { bb.putFloat(v.toFloat); () }
+    val rawChunks: Array[Array[Byte]] = tile match {
+      case None => // one strip per row, like encode
+        rows.map(r => rawChunk(bb => r.foreach(put(bb, _)), px * w))
+      case Some((tw, th)) =>
+        require(tw > 0 && th > 0 && tw % 16 == 0 && th % 16 == 0,
+          s"TIFF tile dims must be positive multiples of 16, got ${tw}x$th")
+        val across = (w + tw - 1) / tw
+        val down = (h + th - 1) / th
+        Array.tabulate(across * down) { t =>
+          rawChunk(bb => {
+            for (r <- 0 until th; c <- 0 until tw) {
+              val gr = (t / across) * th + r
+              val gc = (t % across) * tw + c
+              put(bb, if (gr < h && gc < w) rows(gr)(gc) else meta.nodata)
+            }
+          }, px * tw * th)
+        }
+    }
+    val chunks = rawChunks.map(Lzw.encode)
+    val nChunks = chunks.length
+    val nodataStr = {
+      val s = if (meta.nodata == meta.nodata.toLong.toDouble)
+        meta.nodata.toLong.toString else meta.nodata.toString
+      s + " "
+    }
+    val entries = if (tile.isEmpty) 13 else 14
+    val ifdOff = 8
+    var cursor = ifdOff + 2 + entries * 12 + 4
+    val chunkOffsetsOff = cursor; cursor += 4 * nChunks
+    val chunkCountsOff = cursor; cursor += 4 * nChunks
+    val scaleOff = cursor; cursor += 8 * 3
+    val tieOff = cursor; cursor += 8 * 6
+    val nodataOff = cursor; cursor += nodataStr.length
+    cursor = (cursor + 1) & ~1
+    val dataOff = cursor
+    val chunkStarts = chunks.scanLeft(dataOff)((acc, c) => (acc + c.length + 1) & ~1)
+    val b = ByteBuffer.allocate(chunkStarts.last).order(ByteOrder.LITTLE_ENDIAN)
+
+    b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    b.position(ifdOff)
+    b.putShort(entries.toShort)
+    def entry(tag: Int, typ: Int, count: Int)(writeValue: ByteBuffer => Unit): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      val p = b.position()
+      writeValue(b)
+      b.position(p + 4)
+    }
+    def offsetsEntry(tag: Int, valueAt: Int, inlineVal: Int): Unit =
+      entry(tag, 4, nChunks)(_.putInt(if (nChunks == 1) inlineVal else valueAt))
+    entry(TAG_WIDTH, 4, 1)(_.putInt(w))
+    entry(TAG_HEIGHT, 4, 1)(_.putInt(h))
+    entry(TAG_BITS, 3, 1)(_.putShort(bits.toShort))
+    entry(TAG_COMPRESSION, 3, 1)(_.putShort(5))
+    entry(TAG_PHOTOMETRIC, 3, 1)(_.putShort(1))
+    tile match {
+      case None =>
+        offsetsEntry(TAG_STRIP_OFFSETS, chunkOffsetsOff, dataOff)
+        entry(TAG_SAMPLES_PER_PX, 3, 1)(_.putShort(1))
+        entry(TAG_ROWS_PER_STRIP, 4, 1)(_.putInt(1))
+        offsetsEntry(TAG_STRIP_COUNTS, chunkCountsOff, chunks(0).length)
+        entry(TAG_SAMPLE_FORMAT, 3, 1)(_.putShort(3))
+      case Some((tw, th)) =>
+        entry(TAG_SAMPLES_PER_PX, 3, 1)(_.putShort(1))
+        entry(TAG_TILE_WIDTH, 3, 1)(_.putShort(tw.toShort))
+        entry(TAG_TILE_LENGTH, 3, 1)(_.putShort(th.toShort))
+        offsetsEntry(TAG_TILE_OFFSETS, chunkOffsetsOff, dataOff)
+        offsetsEntry(TAG_TILE_COUNTS, chunkCountsOff, chunks(0).length)
+        entry(TAG_SAMPLE_FORMAT, 3, 1)(_.putShort(3))
+    }
+    entry(TAG_PIXEL_SCALE, 12, 3)(_.putInt(scaleOff))
+    entry(TAG_TIEPOINT, 12, 6)(_.putInt(tieOff))
+    entry(TAG_GDAL_NODATA, 2, nodataStr.length)(_.putInt(nodataOff))
+    b.putInt(0)
+
+    b.position(chunkOffsetsOff)
+    for (t <- 0 until nChunks) b.putInt(chunkStarts(t))
+    b.position(chunkCountsOff)
+    for (t <- 0 until nChunks) b.putInt(chunks(t).length)
+    b.position(scaleOff)
+    b.putDouble(meta.dx).putDouble(meta.dy).putDouble(0.0)
+    b.position(tieOff)
+    b.putDouble(0.0).putDouble(0.0).putDouble(0.0)
+    b.putDouble(meta.originX).putDouble(meta.originY).putDouble(0.0)
+    b.position(nodataOff)
+    b.put(nodataStr.getBytes("US-ASCII"))
+    for (t <- 0 until nChunks) {
+      b.position(chunkStarts(t))
+      b.put(chunks(t))
     }
     b.array()
   }

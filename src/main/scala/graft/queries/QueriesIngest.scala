@@ -20,6 +20,13 @@ object QueriesIngest {
   private val pointcloudGridSql =
     PointCloud.gridDemSql(PointCloud.pointsSql)
 
+  // §3.1 SMRF-style morphological ground re-classification (the
+  // reference's filters.smrf stage) — see ingest/Smrf for the shape
+  private val smrfReclassify: Q = (s, d) =>
+    graft.ingest.Smrf.reclassify(PointCloud.points(s, d))
+  private val smrfReclassifySql =
+    graft.ingest.Smrf.reclassifySql(PointCloud.pointsSql)
+
   // §2.4 distinct counting (engine surface; exact form is oracle-gated,
   // approx_count_distinct is the 100-TB path — same query shape)
   private val countDistinctQ: Q = (s, d) =>
@@ -143,9 +150,12 @@ object QueriesIngest {
       col("l_orderkey"), col("l_linenumber"),
       expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
     // global index over (flag, cents, pk): flag leads, so per-flag rank =
-    // global index − count of rows in earlier flags (3-row offset table)
-    val ranked = GlobalRank.withGlobalIndex(li, "gidx",
-      col("l_returnflag"), col("cents"), col("l_orderkey"), col("l_linenumber"))
+    // count of rows in earlier flags (a 3-row offset table) subtracted
+    // from the global index. persistShared: the offsets aggregate AND the
+    // centroid pass both consume the ranked frame — one sort, not two.
+    val ranked = graft.functions.CacheRegistry.share(
+      GlobalRank.withGlobalIndex(li, "gidx",
+        col("l_returnflag"), col("cents"), col("l_orderkey"), col("l_linenumber")))
     val offs = ranked.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
       .withColumn("off", coalesce(sum("n").over(Window.orderBy("l_returnflag")
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -295,6 +305,28 @@ object QueriesIngest {
     s"""WITH g AS (${graft.raster.PixelGrid.gridSql(1)})
         SELECT col, "row", value FROM g"""
 
+  // LZW-compressed, tile-organized GeoTIFF round trip — the layout the
+  // reference actually writes ("compress": "LZW", tiled blocks;
+  // differencing_functions.py:696–705). Same oracle as the uncompressed
+  // round trip: the row is green only if LZW encode → decode is
+  // bit-lossless over every 64×64 tile.
+  private val geotiffLzwRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val meta = graft.raster.GridMeta()
+    val dense = graft.ingest.DenseRaster.toDense(
+      graft.raster.PixelGrid.grid(s, d, 1), meta)
+    val tiles = dense.select(col("row"), col("values"))
+      .as[(Int, Seq[Double])]
+      .groupByKey(_ => 0)
+      .mapGroups { (id: Int, it: Iterator[(Int, Seq[Double])]) =>
+        val rows = it.toArray.sortBy(_._1).map(_._2.toArray)
+        (id, graft.ingest.GeoTiff.encodeLzw(meta, rows, 64, Some((64, 64))))
+      }
+      .toDF("tile_id", "data")
+    graft.ingest.GeoTiff.tilesToPixels(tiles)
+      .select(col("col"), col("row"), col("value"))
+  }
+
   // LAS byte-boundary round trip (the reference's PDAL read,
   // differencing_functions.py:738–828): synthetic points → LAS 1.2
   // format-0 bytes assembled in an executor → decoded tile-parallel →
@@ -325,9 +357,11 @@ object QueriesIngest {
 
   val queries: Map[String, Q] = Map(
     "i_pointcloud_grid" -> pointcloudGrid,
+    "i_smrf_reclassify" -> smrfReclassify,
     "i_multimodal_meta" -> multimodalMeta,
     "i_frame_sample" -> frameSample,
     "i_geotiff_roundtrip" -> geotiffRoundtrip,
+    "i_geotiff_lzw_roundtrip" -> geotiffLzwRoundtrip,
     "i_las_roundtrip" -> lasRoundtrip,
     "a_count_distinct" -> countDistinctQ,
     "a_approx_sketches" -> approxStats,
@@ -336,9 +370,11 @@ object QueriesIngest {
 
   val oracle: Map[String, String] = Map(
     "i_pointcloud_grid" -> pointcloudGridSql,
+    "i_smrf_reclassify" -> smrfReclassifySql,
     "i_multimodal_meta" -> multimodalMetaSql,
     "i_frame_sample" -> frameSampleSql,
     "i_geotiff_roundtrip" -> geotiffRoundtripSql,
+    "i_geotiff_lzw_roundtrip" -> geotiffRoundtripSql,
     "i_las_roundtrip" -> lasRoundtripSql,
     "a_count_distinct" -> countDistinctSql,
     "a_approx_sketches" -> approxStatsSql,

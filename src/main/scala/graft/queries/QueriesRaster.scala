@@ -246,7 +246,37 @@ object QueriesRaster {
         SELECT name, count(*) AS count FROM ( $unions ) GROUP BY 1"""
   }
 
+  // §7.5 geoid hook closed: vertical-datum offset application — the
+  // engine analog of the reference's GeoidTransformer / gdal.Warp
+  // vertical warp (differencing_functions.py:2239–2277). The undulation
+  // surface N(x, y) is a COARSE grid (one node per 16 px tile; a
+  // deterministic counter-RNG stand-in for the PROJ geoid raster the
+  // container cannot ship) broadcast onto the pixel table:
+  // z_ortho = z_ell − N. Real geoid grids are MB-sized at any raster
+  // scale, so at 100 TB this stays a broadcast join — zero raster shuffle.
+  private val geoidOffset: Q = (s, d) => {
+    val nodes = s.range(8L * 8)
+      .select(expr("CAST(id % 8 AS INT)").as("gc"),
+        expr("CAST(id div 8 AS INT)").as("gr"),
+        round(Rand.u01(col("id"), 91) * 4.0 + 28.0, 6).as("n_geoid"))
+    gA(s, d)
+      .withColumn("gc", expr("CAST(col div 16 AS INT)"))
+      .withColumn("gr", expr("CAST(`row` div 16 AS INT)"))
+      .join(broadcast(nodes), Seq("gc", "gr"))
+      .select(col("col"), col("row"), col("value"), col("n_geoid"),
+        round(col("value") - col("n_geoid"), 6).as("z_ortho"))
+  }
+  private val geoidOffsetSql =
+    s"""WITH g AS ($cteA),
+        nodes AS (SELECT CAST(i % 8 AS INT) AS gc, CAST(i // 8 AS INT) AS gr,
+                         round(${Rand.u01Sql("i", 91)} * 4.0 + 28.0, 6) AS n_geoid
+                  FROM (SELECT unnest(range(64)) AS i))
+        SELECT g.col, g."row", g.value, n.n_geoid,
+               round(g.value - n.n_geoid, 6) AS z_ortho
+        FROM g JOIN nodes n ON n.gc = g.col // 16 AND n.gr = g."row" // 16"""
+
   val queries: Map[String, Q] = Map(
+    "r_geoid_offset" -> geoidOffset,
     "r_scan_valid" -> scanValid,
     "r_stable_anti" -> stableAnti,
     "r_zone_counts" -> zoneCounts,
@@ -270,6 +300,7 @@ object QueriesRaster {
   )
 
   val oracle: Map[String, String] = Map(
+    "r_geoid_offset" -> geoidOffsetSql,
     "r_scan_valid" -> scanValidSql,
     "r_stable_anti" -> stableAntiSql,
     "r_zone_counts" -> zoneCountsSql,

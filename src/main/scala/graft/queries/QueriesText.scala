@@ -97,13 +97,9 @@ object QueriesText {
       .distinct()
       .withColumn("m", md5(col("w")))
       .persistShared() // registers AND the exact count read it
-    def digit(p: Int) = TextOps.hexDigit(col("m"), p).cast("long")
-    val idx = ((digit(1) * 16 + digit(2)) % HLLM).as("idx")
-    val w48 = (0 until 12).map(i =>
-      digit(i + 3) * lit(1L << (4 * (11 - i)))).reduce(_ + _)
-    val rho = when(w48 === 0L, lit(49))
-      .otherwise(lit(49) - length(bin(w48))).as("rho")
-    val regs = wd.select(col("source"), idx, rho)
+    val regs = wd.select(col("source"),
+        graft.functions.HllCols.idx(col("m")).as("idx"),
+        graft.functions.HllCols.rho(col("m")).as("rho"))
       .groupBy("source", "idx").agg(max("rho").as("r"))
     val sums = regs.groupBy("source")
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - r)")).as("sp"),
@@ -126,22 +122,14 @@ object QueriesText {
   }
 
   private val hllEstSql = {
-    val digit = (p: Int) => s"(strpos('0123456789abcdef', substr(m, $p, 1)) - 1)"
-    val w48 = (0 until 12).map(i =>
-      s"${digit(i + 3)} * ${1L << (4 * (11 - i))}").mkString(" + ")
     val smallList = hllSmall.mkString("[", ", ", "]")
     s"""WITH wd AS (SELECT DISTINCT source, w FROM
                       (SELECT source, unnest(${TextOps.shinglesSql("text")}) AS w
                        FROM documents)),
         h AS (SELECT source, w, md5(w) AS m FROM wd),
-        hh AS (SELECT source,
-                      ((${digit(1)} * 16 + ${digit(2)}) % $HLLM) AS idx,
-                      ($w48) AS w48
-               FROM h),
-        r AS (SELECT source, idx,
-                     max(CASE WHEN w48 = 0 THEN 49
-                              ELSE 49 - length(bin(w48)) END) AS r
-              FROM hh GROUP BY 1, 2),
+        r AS (SELECT source, ${graft.functions.HllCols.idxSql} AS idx,
+                     max(${graft.functions.HllCols.rhoSql}) AS r
+              FROM h GROUP BY 1, 2),
         sums AS (SELECT source,
                         CAST($HLLM - count(*) AS BIGINT) AS vz,
                         CAST(sum(CAST(1 AS BIGINT) << (49 - r)) AS BIGINT)
