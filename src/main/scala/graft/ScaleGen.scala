@@ -49,7 +49,15 @@ object ScaleGen {
           df.withColumn(c, col(c) + lit(stride * i))
         }
         if (saltText && i > 0)
-          shifted.withColumn("text", concat(lit(s"r$i "), col("text")))
+          // suffix EVERY word with the replica id: replicas become fully
+          // distinct corpora (disjoint shingle universes), so dedup/LSH
+          // work grows linearly like real corpus growth. A prefix-only
+          // salt left replicas ~identical and the truth pair space grew
+          // QUADRATICALLY in the replication factor (measured: 126× at
+          // 10× on x_lsh_recall) — that benchmarks the generator, not
+          // the engine.
+          shifted.withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"$$1$i"))
         else shifted
       }
       reps.reduce(_.unionByName(_))

@@ -249,6 +249,62 @@ object ExactQuantile {
     st.map { case (i, (p, _)) => i -> fromFoldedBits(p) }
   }
 
+  /** Grouped [[nthsByRadix]]: exact order statistics PER GROUP in the
+    * same 4 histogram scans TOTAL (every group's probes advance in
+    * lockstep inside one aggregate per pass). This removes the
+    * per-group window sort a grouped quantile otherwise needs — with
+    * few, data-heavy groups (zonal stats over 3–4 zones of a 100-TB
+    * table) a `PARTITION BY zone` window funnels each zone through one
+    * task, while this stays aggregation-only at every size. Contract:
+    * the GROUP COUNT must be driver-bounded (each pass collects
+    * ≤ groups × live-prefix histograms); ranks are 0-based among each
+    * group's non-null `c` values. */
+  def groupedNthsByRadix(df: DataFrame, g: String, c: String,
+      ranks: Map[String, Seq[Long]]): Map[String, Map[Long, Double]] = {
+    val wanted = ranks.filter(_._2.nonEmpty)
+    if (wanted.isEmpty) return ranks.map { case (k, _) => k -> Map.empty[Long, Double] }
+    val v = col(c).cast("double")
+    val bits = ColumnBridge.column(DoubleBitsFolded(ColumnBridge.expression(v)))
+    val base = df.select(col(g).as("g"), bits.as("b")).where(col("b").isNotNull)
+    val step = 16
+    var shift = 64
+    var st: Map[(String, Long), (Long, Long)] =
+      wanted.toSeq.flatMap { case (gv, is) =>
+        is.distinct.map(i => (gv, i) -> ((0L, i)))
+      }.toMap
+    while (shift > 0) {
+      val newShift = shift - step
+      val filtered =
+        if (shift >= 64) base
+        else {
+          val liveByGroup = st.toSeq.groupBy(_._1._1)
+            .map { case (gv, es) => gv -> es.map(_._2._1).distinct }
+          val conds = liveByGroup.toSeq.map { case (gv, ps) =>
+            col("g") === lit(gv) && shiftright(col("b"), shift).isin(ps: _*)
+          }
+          base.where(conds.reduce(_ || _))
+        }
+      val hist = filtered
+        .groupBy(col("g"), shiftright(col("b"), newShift).as("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val byGroupPrefix: Map[(String, Long), Array[(Long, Long)]] =
+        hist.groupBy(t => (t._1, if (shift >= 64) 0L else t._2 >> step))
+          .map { case (k, a) => k -> a.map(t => (t._2, t._3)).sortBy(_._1) }
+      st = st.map { case ((gv, i), (p, lr)) =>
+        val buckets = byGroupPrefix((gv, p))
+        var rem = lr
+        var idx = 0
+        while (rem >= buckets(idx)._2) { rem -= buckets(idx)._2; idx += 1 }
+        (gv, i) -> ((buckets(idx)._1, rem))
+      }
+      shift = newShift
+    }
+    st.toSeq.groupBy(_._1._1).map { case (gv, es) =>
+      gv -> es.map { case ((_, i), (p, _)) => i -> fromFoldedBits(p) }.toMap
+    }
+  }
+
   /** Interpolated quantiles for several p at once via [[nthsByRadix]] —
     * one count + exactly 4 histogram scans, independent of |ps|. */
   def quantilesByRadix(df: DataFrame, c: String, ps: Seq[Double]): Map[Double, Double] = {

@@ -62,11 +62,20 @@ object Smrf {
     * zmin, opened_z). Gate-compact (one row per cell) while still pinning
     * every point's ground/object decision through n_ground. */
   def reclassify(pts: DataFrame): DataFrame = {
-    val clean = pts.filter(!col("classification").isin(7, 18))
-      .select(floor(col("x")).cast("int").as("c"),
-        floor(col("y")).cast("int").as("r"), col("z"))
-    val cells = clean.groupBy("c", "r").agg(min("z").as("zmin"))
-    val eroded = neighborAgg(cells, "zmin", doMin = true, "ez")
+    // clean feeds the min-surface aggregate AND the final classify join;
+    // (c, r, z) rows are 20 bytes each, so persisting beats re-deriving
+    // the synthetic point columns twice
+    val clean = graft.functions.CacheRegistry.share(
+      pts.filter(!col("classification").isin(7, 18))
+        .select(floor(col("x")).cast("int").as("c"),
+          floor(col("y")).cast("int").as("r"), col("z")))
+    // cells/eroded are tiny (one row per grid cell) but each feeds two
+    // consumers (neighbor explode + real-cell join-back): persist so the
+    // point-table scan underneath runs once, not 2× per morphology stage
+    val cells = graft.functions.CacheRegistry.share(
+      clean.groupBy("c", "r").agg(min("z").as("zmin")))
+    val eroded = graft.functions.CacheRegistry.share(
+      neighborAgg(cells, "zmin", doMin = true, "ez"))
     val opened = neighborAgg(eroded, "ez", doMin = false, "oz")
     clean.join(opened.select("c", "r", "oz"), Seq("c", "r"))
       .groupBy("c", "r")

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -124,19 +124,31 @@ object QueriesIngest {
         FROM est e JOIN med USING (l_returnflag) JOIN tot t USING (l_returnflag)"""
 
   // t-digest quantiles, EXACTLY oracle-gated via the canonical-order
-  // construction: rank rows per group (two-level GlobalRank — no
-  // whole-group window funnel), map each rank's q = (rk−½)/n onto the
-  // k1 scale function's unit intervals, and aggregate each cluster's
-  // exact integer (weight, Σcents). Cluster boundaries are the δ/2−1
-  // PRECOMPUTED q-literals where k(q) = (δ/2π)·asin(2q−1) crosses an
-  // integer — embedding the same 12-dp literals in both engines sidesteps
-  // any cross-engine asin() ulp drift. Quantile estimates interpolate
-  // between centroid midpoints in doubled-integer rank space.
+  // construction — in WEIGHTED VALUE SPACE, never row space. Rows with
+  // equal cents are interchangeable inside the digest (their centroid
+  // contribution is weight·cents regardless of which copies land where),
+  // so the construction needs only the DISTINCT (flag, cents) table with
+  // counts: cumulative weights give each value-run its rank interval
+  // [s, e]; the k1 scale function's cluster boundaries become integer
+  // rank thresholds t_j = ⌊qb_j·n + ½⌋ from the δ/2−1 PRECOMPUTED
+  // q-literals (where k(q) = (δ/2π)·asin(2q−1) crosses an integer —
+  // identical 12-dp literals in both engines, no cross-engine asin ulp
+  // risk); a run spanning several clusters splits by exact integer
+  // overlap (only runs crossing one of the 49 thresholds explode — ≤49
+  // extra rows per group). Centroids aggregate exact integer
+  // (weight, Σcents); quantile estimates interpolate between centroid
+  // midpoints in doubled-integer rank space.
+  //
+  // Scale shape: one hash aggregate over rows, then everything is
+  // O(|value domain|) — the cumulative window runs over distinct cents
+  // per group (bounded by the price domain, NOT by row count; the
+  // previous row-ranked form paid a 60M-row global sort at sf1 — 39 s —
+  // where this is one groupBy + a domain-sized window).
   //
   // functions/QuantileSketchAgg is the arbitrary-merge-order Aggregator
   // twin of this digest (same k1 scale, same interpolation rule) for
-  // pipelines that cannot sort first; its rank error is pinned against
-  // ExactQuantile ground truth in QuantileSketchSpec.
+  // pipelines that cannot pre-aggregate; its rank error is pinned
+  // against ExactQuantile ground truth in QuantileSketchSpec.
   private val TDELTA = 100
   private val tdBounds: Seq[BigDecimal] =
     (-(TDELTA / 4 - 1) to (TDELTA / 4 - 1)).map { m =>
@@ -147,25 +159,39 @@ object QueriesIngest {
 
   private val tdigestQuantiles: Q = (s, d) => {
     val li = Tables.lineitem(s, d).select(col("l_returnflag"),
-      col("l_orderkey"), col("l_linenumber"),
       expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"))
-    // global index over (flag, cents, pk): flag leads, so per-flag rank =
-    // count of rows in earlier flags (a 3-row offset table) subtracted
-    // from the global index. persistShared: the offsets aggregate AND the
-    // centroid pass both consume the ranked frame — one sort, not two.
-    val ranked = graft.functions.CacheRegistry.share(
-      GlobalRank.withGlobalIndex(li, "gidx",
-        col("l_returnflag"), col("cents"), col("l_orderkey"), col("l_linenumber")))
-    val offs = ranked.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-      .withColumn("off", coalesce(sum("n").over(Window.orderBy("l_returnflag")
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val dv = li.groupBy("l_returnflag", "cents").agg(count(lit(1)).as("w"))
+    val tot = dv.groupBy("l_returnflag").agg(sum("w").as("n"))
     val bArr = array(tdBounds.map(b => lit(b.toDouble)): _*)
-    val cent = ranked.join(broadcast(offs), "l_returnflag")
-      .withColumn("q", ((col("gidx") - col("off")).cast("double") - 0.5) /
-        col("n").cast("double"))
-      .withColumn("cid", size(filter(bArr, b => b <= col("q"))))
-      .groupBy("l_returnflag", "cid")
-      .agg(count(lit(1)).as("w"), sum("cents").as("sc"))
+    // rank thresholds t_j = ⌊qb_j·n + ½⌋; cluster of rank r = #{t_j < r}
+    val tArr = transform(bArr, qb => floor(qb * col("n").cast("double") + 0.5))
+    def cidOf(r: Column) = size(filter(tArr, t => t < r))
+    // cumulative window over DISTINCT values per group (domain-bounded)
+    val cwnd = Window.partitionBy("l_returnflag").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val runs = graft.functions.CacheRegistry.share(
+      dv.join(broadcast(tot), "l_returnflag")
+        .withColumn("s", coalesce(sum("w").over(cwnd), lit(0L)) + 1L)
+        .withColumn("e", col("s") + col("w") - 1L)
+        .withColumn("cs", cidOf(col("s")))
+        .withColumn("ce", cidOf(col("e"))))
+    val single = runs.filter(col("cs") === col("ce"))
+      .select(col("l_returnflag"), col("cs").as("cid"),
+        col("w").as("wp"), (col("w") * col("cents")).as("scp"))
+    val loT = when(col("cid") === 0, lit(0L))
+      .otherwise(element_at(tArr, col("cid")))
+    val hiT = when(col("cid") === TDELTA / 2 - 1, col("n"))
+      .otherwise(element_at(tArr, col("cid") + 1))
+    val multi = runs.filter(col("cs") =!= col("ce"))
+      .withColumn("cid", explode(sequence(col("cs"), col("ce"))))
+      .withColumn("lo", greatest(col("s") - 1, loT))
+      .withColumn("hi", least(col("e"), hiT))
+      .select(col("l_returnflag"), col("cid"),
+        (col("hi") - col("lo")).as("wp"),
+        ((col("hi") - col("lo")) * col("cents")).as("scp"))
+    val cent = single.unionByName(multi)
+      .groupBy("l_returnflag", "cid").agg(sum("wp").as("w"), sum("scp").as("sc"))
+    val offs = tot.select(col("l_returnflag"), col("n"))
     val wnd = Window.partitionBy("l_returnflag").orderBy("cid")
     val seg0 = cent
       .withColumn("meanc", col("sc").cast("double") / col("w").cast("double"))
@@ -200,20 +226,43 @@ object QueriesIngest {
     val bounds = tdBounds.map(b => b.underlying.toPlainString + "e0")
       .mkString("[", ", ", "]")
     val qList = tdQs.map(q => s"${q}e0").mkString("[", ", ", "]")
-    s"""WITH li AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+    // same weighted-value-space construction as the Spark side: integer
+    // rank thresholds from the shared boundary literals, runs split by
+    // exact integer overlap
+    val tList =
+      s"list_transform($bounds, qb -> CAST(floor(qb * CAST(n AS DOUBLE) + 0.5e0) AS BIGINT))"
+    s"""WITH li AS (SELECT l_returnflag,
                            CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
                     FROM lineitem),
-        rk AS (SELECT l_returnflag, cents,
-                      row_number() OVER (PARTITION BY l_returnflag
-                        ORDER BY cents, l_orderkey, l_linenumber) AS rk,
-                      count(*) OVER (PARTITION BY l_returnflag) AS n
-               FROM li),
-        cent AS (SELECT l_returnflag,
-                        len(list_filter($bounds,
-                          b -> b <= (CAST(rk AS DOUBLE) - 0.5e0) / CAST(n AS DOUBLE))) AS cid,
-                        CAST(count(*) AS BIGINT) AS w,
-                        CAST(sum(cents) AS BIGINT) AS sc
-                 FROM rk GROUP BY 1, 2),
+        dv AS (SELECT l_returnflag, cents, CAST(count(*) AS BIGINT) AS w
+               FROM li GROUP BY 1, 2),
+        tot AS (SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS n
+                FROM dv GROUP BY 1),
+        runs0 AS (SELECT d.l_returnflag, cents, w, n,
+                         COALESCE(CAST(sum(w) OVER (PARTITION BY d.l_returnflag
+                           ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS BIGINT), 0) + 1 AS s
+                  FROM dv d JOIN tot USING (l_returnflag)),
+        runs AS (SELECT *, s + w - 1 AS e,
+                        len(list_filter($tList, t -> t < s)) AS cs,
+                        len(list_filter($tList, t -> t < e)) AS ce
+                 FROM runs0),
+        single AS (SELECT l_returnflag, cs AS cid, w AS wp, w * cents AS scp
+                   FROM runs WHERE cs = ce),
+        multi0 AS (SELECT l_returnflag, cents, s, e, n,
+                          unnest(generate_series(cs, ce)) AS cid
+                   FROM runs WHERE cs <> ce),
+        multi AS (SELECT l_returnflag, cid, (hi - lo) AS wp, (hi - lo) * cents AS scp
+                  FROM (SELECT l_returnflag, cents, cid,
+                               greatest(s - 1, CASE WHEN cid = 0 THEN 0
+                                 ELSE ($tList)[CAST(cid AS INT)] END) AS lo,
+                               least(e, CASE WHEN cid = ${TDELTA / 2 - 1} THEN n
+                                 ELSE ($tList)[CAST(cid AS INT) + 1] END) AS hi
+                        FROM multi0)),
+        cent AS (SELECT l_returnflag, cid,
+                        CAST(sum(wp) AS BIGINT) AS w, CAST(sum(scp) AS BIGINT) AS sc
+                 FROM (SELECT * FROM single UNION ALL SELECT * FROM multi)
+                 GROUP BY 1, 2),
         seg0 AS (SELECT l_returnflag, cid, w,
                         CAST(sc AS DOUBLE) / CAST(w AS DOUBLE) AS meanc,
                         (sum(w) OVER (PARTITION BY l_returnflag ORDER BY cid)) * 2 - w AS mid2
@@ -226,7 +275,6 @@ object QueriesIngest {
                          min_by(meanc, cid) AS mean_first,
                          max_by(meanc, cid) AS mean_last
                   FROM seg0 GROUP BY 1),
-        tot AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1),
         tgt AS (SELECT l_returnflag, n, q,
                        (CAST(floor(q * CAST(n AS DOUBLE)) AS BIGINT) + 1) * 2 AS t2
                 FROM tot, (SELECT unnest($qList) AS q)),
