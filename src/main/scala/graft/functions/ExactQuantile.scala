@@ -260,49 +260,91 @@ object ExactQuantile {
     * ≤ groups × live-prefix histograms); ranks are 0-based among each
     * group's non-null `c` values. */
   def groupedNthsByRadix(df: DataFrame, g: String, c: String,
-      ranks: Map[String, Seq[Long]]): Map[String, Map[Long, Double]] = {
-    val wanted = ranks.filter(_._2.nonEmpty)
-    if (wanted.isEmpty) return ranks.map { case (k, _) => k -> Map.empty[Long, Double] }
+      ranks: Map[String, Seq[Long]]): Map[String, Map[Long, Double]] =
+    groupedNthsByRadixWithAll(df, g, c, ranks, Nil, None)._1
+
+  /** [[groupedNthsByRadix]] plus an ALL pseudo-group (ranks over the
+    * whole relation, ignoring `g`) walked in the SAME passes — the ALL
+    * histogram is the per-group histogram summed across groups, so the
+    * combined selection still costs 4 scans total (3 with `hist48`).
+    *
+    * `hist48` hands in pass 1 pre-grouped by (group, bits>>48) — the
+    * caller usually produced it from a scan that also computed moments
+    * (Zonal.descriptiveStats fuses both into one job). */
+  def groupedNthsByRadixWithAll(df: DataFrame, g: String, c: String,
+      ranks: Map[String, Seq[Long]], allRanks: Seq[Long],
+      hist48: Option[Array[(String, Long, Long)]])
+      : (Map[String, Map[Long, Double]], Map[Long, Double]) = {
+    type K = Option[String] // Some(group) | None = the ALL pseudo-group
+    val wanted: Map[K, Seq[Long]] =
+      ranks.filter(_._2.nonEmpty).map { case (k, v) => (Some(k): K) -> v } ++
+        (if (allRanks.nonEmpty) Map((None: K) -> allRanks)
+         else Map.empty[K, Seq[Long]])
+    if (wanted.isEmpty)
+      return (ranks.map { case (k, _) => k -> Map.empty[Long, Double] }, Map.empty)
     val v = col(c).cast("double")
     val bits = ColumnBridge.column(DoubleBitsFolded(ColumnBridge.expression(v)))
     val base = df.select(col(g).as("g"), bits.as("b")).where(col("b").isNotNull)
     val step = 16
     var shift = 64
-    var st: Map[(String, Long), (Long, Long)] =
-      wanted.toSeq.flatMap { case (gv, is) =>
-        is.distinct.map(i => (gv, i) -> ((0L, i)))
+    var st: Map[(K, Long), (Long, Long)] =
+      wanted.toSeq.flatMap { case (k, is) =>
+        is.distinct.map(i => (k, i) -> ((0L, i)))
       }.toMap
     while (shift > 0) {
       val newShift = shift - step
-      val filtered =
-        if (shift >= 64) base
+      // (group, child-bucket, count) — for pass 1 optionally handed in
+      val hist: Array[(String, Long, Long)] =
+        if (shift >= 64 && hist48.isDefined) hist48.get
         else {
-          val liveByGroup = st.toSeq.groupBy(_._1._1)
-            .map { case (gv, es) => gv -> es.map(_._2._1).distinct }
-          val conds = liveByGroup.toSeq.map { case (gv, ps) =>
-            col("g") === lit(gv) && shiftright(col("b"), shift).isin(ps: _*)
-          }
-          base.where(conds.reduce(_ || _))
+          val liveByKey = st.toSeq.groupBy(_._1._1)
+            .map { case (k, es) => k -> es.map(_._2._1).distinct }
+          val filtered =
+            if (shift >= 64) base
+            else {
+              // a row passes if ITS group's walk needs its prefix, or
+              // the ALL walk does (no group constraint on that side)
+              val conds = liveByKey.toSeq.map {
+                case (Some(gv), ps) =>
+                  col("g") === lit(gv) && shiftright(col("b"), shift).isin(ps: _*)
+                case (None, ps) => shiftright(col("b"), shift).isin(ps: _*)
+              }
+              base.where(conds.reduce(_ || _))
+            }
+          filtered
+            .groupBy(col("g"), shiftright(col("b"), newShift).as("k"))
+            .agg(count(lit(1)).as("cnt"))
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         }
-      val hist = filtered
-        .groupBy(col("g"), shiftright(col("b"), newShift).as("k"))
-        .agg(count(lit(1)).as("cnt"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      val byGroupPrefix: Map[(String, Long), Array[(Long, Long)]] =
-        hist.groupBy(t => (t._1, if (shift >= 64) 0L else t._2 >> step))
+      def parent(k: Long): Long = if (shift >= 64) 0L else k >> step
+      val perGroup: Map[(K, Long), Array[(Long, Long)]] =
+        hist.groupBy(t => (Some(t._1): K, parent(t._2)))
           .map { case (k, a) => k -> a.map(t => (t._2, t._3)).sortBy(_._1) }
-      st = st.map { case ((gv, i), (p, lr)) =>
-        val buckets = byGroupPrefix((gv, p))
+      // ALL buckets: per-group counts summed across groups, key order
+      val allBuckets: Map[(K, Long), Array[(Long, Long)]] =
+        if (!wanted.contains(None)) Map.empty
+        else hist.groupBy(t => parent(t._2)).map { case (p, a) =>
+          ((None: K, p),
+            a.groupBy(_._2).map { case (k, rs) => (k, rs.map(_._3).sum) }
+              .toArray.sortBy(_._1))
+        }
+      val buckets = perGroup ++ allBuckets
+      st = st.map { case ((k, i), (p, lr)) =>
+        val bs = buckets((k, p))
         var rem = lr
         var idx = 0
-        while (rem >= buckets(idx)._2) { rem -= buckets(idx)._2; idx += 1 }
-        (gv, i) -> ((buckets(idx)._1, rem))
+        while (rem >= bs(idx)._2) { rem -= bs(idx)._2; idx += 1 }
+        (k, i) -> ((bs(idx)._1, rem))
       }
       shift = newShift
     }
-    st.toSeq.groupBy(_._1._1).map { case (gv, es) =>
-      gv -> es.map { case ((_, i), (p, _)) => i -> fromFoldedBits(p) }.toMap
-    }
+    val zs = st.toSeq.collect { case ((Some(gv), i), (p, _)) => (gv, i, p) }
+      .groupBy(_._1).map { case (gv, es) =>
+        gv -> es.map(e => e._2 -> fromFoldedBits(e._3)).toMap
+      }
+    val all = st.toSeq.collect { case ((None, i), (p, _)) =>
+      i -> fromFoldedBits(p) }.toMap
+    (zs, all)
   }
 
   /** Interpolated quantiles for several p at once via [[nthsByRadix]] —
