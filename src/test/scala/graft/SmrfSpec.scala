@@ -1,0 +1,49 @@
+package graft
+
+import graft.ingest.{PointCloud, Smrf}
+
+/** Second method for the SMRF morphology (beyond the DuckDB oracle,
+  * which shares the BETWEEN-join formulation): an imperative driver
+  * recompute of min-surface → 3×3 erode → 3×3 dilate → threshold
+  * classification over the same synthetic cloud, compared cell by cell.
+  * Also pins the structural property that makes the opening a GROUND
+  * filter: opened(c) ≤ zmin(c) never holds strictly above the terrain —
+  * erosion can only lower, dilation recovers at most the eroded max.
+  */
+class SmrfSpec extends SparkSuite {
+
+  test("reclassify matches an imperative morphology recompute") {
+    val pts = PointCloud.points(spark, sf001)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getInt(3)))
+    val clean = pts.filter(p => p._4 != 7 && p._4 != 18)
+      .map(p => (math.floor(p._1).toInt, math.floor(p._2).toInt, p._3))
+    val zmin = clean.groupBy(p => (p._1, p._2))
+      .map { case (k, v) => k -> v.map(_._3).min }
+    def neigh(k: (Int, Int)) = for {
+      dc <- -1 to 1; dr <- -1 to 1
+      n = (k._1 + dc, k._2 + dr) if zmin.contains(n)
+    } yield n
+    val eroded = zmin.keys.map(k => k -> neigh(k).map(zmin).min).toMap
+    val opened = zmin.keys.map(k => k -> neigh(k).map(eroded).max).toMap
+    val expect = clean.groupBy(p => (p._1, p._2)).map { case (k, v) =>
+      k -> (v.length.toLong,
+        v.count(p => p._3 - opened(k) <= Smrf.Threshold).toLong,
+        v.map(_._3).min, opened(k))
+    }
+
+    val got = Smrf.reclassify(PointCloud.points(spark, sf001)).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val k = (r.getInt(0), r.getInt(1))
+      val (n, ground, zm, oz) = expect(k)
+      assert(r.getLong(2) == n, s"n_points at $k")
+      assert(r.getLong(3) == ground, s"n_ground at $k")
+      assert(math.abs(r.getDouble(4) - zm) < 1e-9, s"zmin at $k")
+      assert(math.abs(r.getDouble(5) - oz) < 1e-9, s"opened_z at $k")
+    }
+    // the opening never rises above the min surface (ground-filter law)
+    zmin.keys.foreach(k => assert(opened(k) <= zmin(k) + 1e-12, s"$k"))
+    graft.functions.CacheRegistry.releaseAll()
+  }
+}
