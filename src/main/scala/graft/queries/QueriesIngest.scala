@@ -189,7 +189,10 @@ object QueriesIngest {
       .select(col("l_returnflag"), col("cid"),
         (col("hi") - col("lo")).as("wp"),
         ((col("hi") - col("lo")) * col("cents")).as("scp"))
-    val cent = single.unionByName(multi)
+    // wp = 0 slices appear when adjacent thresholds collapse (groups
+    // smaller than the boundary spacing) — drop them or an empty cluster
+    // would aggregate to w = 0 and a NaN centroid
+    val cent = single.unionByName(multi).filter(col("wp") > 0)
       .groupBy("l_returnflag", "cid").agg(sum("wp").as("w"), sum("scp").as("sc"))
     val offs = tot.select(col("l_returnflag"), col("n"))
     val wnd = Window.partitionBy("l_returnflag").orderBy("cid")
@@ -262,6 +265,7 @@ object QueriesIngest {
         cent AS (SELECT l_returnflag, cid,
                         CAST(sum(wp) AS BIGINT) AS w, CAST(sum(scp) AS BIGINT) AS sc
                  FROM (SELECT * FROM single UNION ALL SELECT * FROM multi)
+                 WHERE wp > 0
                  GROUP BY 1, 2),
         seg0 AS (SELECT l_returnflag, cid, w,
                         CAST(sc AS DOUBLE) / CAST(w AS DOUBLE) AS meanc,

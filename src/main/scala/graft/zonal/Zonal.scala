@@ -113,7 +113,9 @@ object Zonal {
         hist48 = Some(pre.map(t => (t._1, t._2, t._3))))
     val sums = (t: (String, Long, Long, Double, Double, Double, Double,
       Double, Double)) => (t._4, t._5, t._6, t._7, t._8, t._9)
-    val zoneRows = zoneNs.keys.toSeq.sorted.map { nm =>
+    // null-safe sort: a caller tagging rows with a null zone keeps its
+    // own group (relabeled by the final coalesce), it must not NPE here
+    val zoneRows = zoneNs.keys.toSeq.sortBy(Option(_).getOrElse("")).map { nm =>
       rowFor(nm, zoneNs(nm), byZone(nm).toSeq.map(sums), zoneNths(nm))
     }
     val allRow = rowFor("ALL", nAll, pre.toSeq.map(sums), allNths)
