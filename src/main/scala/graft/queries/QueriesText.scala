@@ -165,15 +165,19 @@ object QueriesText {
   private val NHASH = 8
   private val BANDS = 4 // 2 hashes per band
 
-  /** doc_id × shingle, persisted: shared by the minhash signatures,
-    * clustering, and fingerprint queries within a session. */
+  /** doc_id × shingle — deliberately NOT persisted: it is a NARROW
+    * explode of the parquet scan (whole-stage codegen, no shuffle), and
+    * its only direct consumers each cache their own aggregation of it
+    * (shingleSet's distinct, the minhash signatures). Caching the
+    * exploded table itself made warm runs SLOWER than cold at the 10×
+    * fixture — reading a multi-GB columnar cache twice loses to
+    * recomputing a cheap projection (measured on x_lsh_recall). */
   private def shingleTable(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       // words materialized first: shinglesOf slices an attribute array
       // instead of re-splitting the text per shingle element
       .select(col("doc_id"), TextOps.words(col("text")).as("w"))
       .select(col("doc_id"), explode(TextOps.shinglesOf(col("w"), 3)).as("sh"))
-      .persistShared()
 
   /** DISTINCT (doc_id, shingle) — its own persist: the dedup shuffle
     * otherwise re-runs per consumer (containment/est/novelty each read
