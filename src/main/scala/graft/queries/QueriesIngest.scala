@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Canon.round
-import graft.functions.{GlobalRank, HllCols}
+import graft.functions.HllCols
 import graft.ingest.PointCloud
 
 /** Ingest-lifecycle operators (SURVEY.md §3.1): point-cloud →
