@@ -19,8 +19,12 @@ object QueriesStream {
   private val hourlyUsers: Q = (s, d) =>
     StreamOps.hourlyUsers(Tables.events(s, d))
 
+  private val hllUsers: Q = (s, d) =>
+    StreamOps.hllUsers(Tables.events(s, d))
+
   val queries: Map[String, Q] = Map(
     "st_hourly_users" -> hourlyUsers,
+    "st_hll_users" -> hllUsers,
     "st_hourly_window" -> hourly,
     "st_sliding_rms" -> sliding,
     "st_sessionize" -> sessions,
@@ -29,6 +33,7 @@ object QueriesStream {
 
   val oracle: Map[String, String] = Map(
     "st_hourly_users" -> StreamOps.hourlyUsersSql,
+    "st_hll_users" -> StreamOps.hllUsersSql,
     "st_hourly_window" -> StreamOps.hourlyAggSql,
     "st_sliding_rms" -> StreamOps.slidingRmsSql,
     "st_sessionize" -> StreamOps.sessionizeSql,

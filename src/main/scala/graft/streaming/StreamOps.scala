@@ -52,6 +52,54 @@ object StreamOps {
               count(DISTINCT user_id) AS n_users
        FROM events GROUP BY 1"""
 
+  /** Hourly distinct users via the mergeable md5-register HLL
+    * (functions/HllCols) BESIDE the exact count — the sketch twin of
+    * [[hourlyUsers]] for when exact count(DISTINCT) stops fitting.
+    * Register max is merge-order free, so the estimate hash-matches the
+    * oracle exactly AND the identical aggregation runs under Structured
+    * Streaming: per-(hour, register) max-state merges across
+    * micro-batches (the HllAgg mergeability property, proven live for
+    * the complete-mode query form in StreamMultimodalSpec). At 100 TB
+    * the post-hash shuffle carries ≤ hours×64 register rows. */
+  def hllUsers(events: DataFrame): DataFrame = {
+    import graft.functions.HllCols
+    val base = events
+      .select(window(col("ts"), "1 hour").as("w"),
+        md5(col("user_id").cast("string")).as("m"))
+      .select(col("w.start").as("hour_start"), col("m"))
+    val regs = base
+      .select(col("hour_start"), HllCols.idx(col("m")).as("idx"),
+        HllCols.rho(col("m")).as("rho"))
+      .groupBy("hour_start", "idx").agg(max("rho").as("r"))
+    val est = HllCols.estimate(regs, Seq("hour_start"), "users_est")
+    events.groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("w.start").as("hour_start"), col("n_users"))
+      .join(est, "hour_start")
+      .select(col("hour_start"), col("n_users"), col("users_est"),
+        round((col("users_est") - col("n_users").cast("double")) /
+          col("n_users").cast("double"), 6).as("rel_err"))
+  }
+
+  val hllUsersSql: String = {
+    import graft.functions.HllCols
+    s"""WITH ev AS (SELECT date_trunc('hour', ts) AS hour_start,
+                           md5(CAST(user_id AS VARCHAR)) AS m
+                    FROM events),
+        r AS (SELECT hour_start, ${HllCols.idxSql} AS idx,
+                     max(${HllCols.rhoSql}) AS r
+              FROM ev GROUP BY 1, 2),
+        sums AS (${HllCols.sumsSql("r", "hour_start")}),
+        est AS (SELECT hour_start, ${HllCols.estSql} AS users_est FROM sums),
+        ex AS (SELECT date_trunc('hour', ts) AS hour_start,
+                      count(DISTINCT user_id) AS n_users
+               FROM events GROUP BY 1)
+        SELECT x.hour_start, x.n_users, e.users_est,
+               round((e.users_est - CAST(x.n_users AS DOUBLE))
+                     / CAST(x.n_users AS DOUBLE), 6) AS rel_err
+        FROM ex x JOIN est e USING (hour_start)"""
+  }
+
   /** Sliding 2-hour window advancing hourly (each event lands in 2
     * windows) — RMS + uncorrelated-term shape from §2.4 over streams. */
   def slidingRms(events: DataFrame): DataFrame =
