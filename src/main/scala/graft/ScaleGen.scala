@@ -44,6 +44,14 @@ object ScaleGen {
     def replicate(table: String, shifts: Map[String, Long],
                   saltText: Boolean = false): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
+      // the disjoint-replica invariant rests on stride > max(key): on a
+      // larger source (sf10's o_orderkey exceeds 10M) a silent overlap
+      // would merge replica key universes and corrupt every join fan-out
+      shifts.foreach { case (c, stride) =>
+        val mx = base.agg(max(col(c).cast("long"))).head.getLong(0)
+        require(mx < stride,
+          s"$table.$c max=$mx >= stride=$stride: replica keys would overlap")
+      }
       val reps = (0 until factor).map { i =>
         val shifted = shifts.foldLeft(base) { case (df, (c, stride)) =>
           df.withColumn(c, col(c) + lit(stride * i))

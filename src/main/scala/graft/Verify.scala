@@ -26,9 +26,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Family-scoped cache release (see Bench): shared persisted frames are
+    // only reused within one name-prefix family, so drop them at each
+    // boundary to keep the dump's storage footprint one-family-bounded.
+    var prevFam: String = null
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      val fam = name.takeWhile(_ != '_')
+      if (prevFam != null && fam != prevFam)
+        graft.functions.CacheRegistry.releaseAll()
+      prevFam = fam
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

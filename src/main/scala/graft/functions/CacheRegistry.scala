@@ -30,20 +30,6 @@ object CacheRegistry {
     df
   }
 
-  /** Persist a LARGE shared frame DISK_ONLY and register it. The big
-    * text-family frames (exploded shingle tables, τ-prefixes) are
-    * hundreds of MB at the 10× fixture; cached in memory they raise
-    * heap pressure enough that eviction/GC order makes repeat bench
-    * runs swing 3–6× on the family (measured: x_lsh_recall 32/180/94 s
-    * across identical sf1 runs). DISK_ONLY columnar batches re-read at
-    * page-cache speed and keep the heap for execution. */
-  def shareBig(df: DataFrame): DataFrame = synchronized {
-    df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    frames += df
-    df
-  }
-
-
   /** Unpersist every registered frame (blocking, so a following storage
     * probe observes the freed state) and clear the registry. */
   def releaseAll(): Unit = synchronized {
@@ -61,6 +47,5 @@ object CacheRegistry {
     * `df.persist()` at the ~30 call sites. */
   implicit class Shareable(private val df: DataFrame) extends AnyVal {
     def persistShared(): DataFrame = share(df)
-    def persistSharedBig(): DataFrame = shareBig(df)
   }
 }

@@ -306,7 +306,10 @@ object ExactQuantile {
               // the ALL walk does (no group constraint on that side)
               val conds = liveByKey.toSeq.map {
                 case (Some(gv), ps) =>
-                  col("g") === lit(gv) && shiftright(col("b"), shift).isin(ps: _*)
+                  // <=> not ===: a null group value must keep matching its
+                  // own walk (=== is never true against NULL, which would
+                  // starve passes 2–4 of that group's histogram rows)
+                  (col("g") <=> lit(gv)) && shiftright(col("b"), shift).isin(ps: _*)
                 case (None, ps) => shiftright(col("b"), shift).isin(ps: _*)
               }
               base.where(conds.reduce(_ || _))

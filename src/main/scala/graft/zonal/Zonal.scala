@@ -104,7 +104,15 @@ object Zonal {
     val byZone = pre.groupBy(_._1)
     val zoneNs = byZone.map { case (nm, rows) => nm -> rows.map(_._3).sum }
     val nAll = zoneNs.values.sum
-    require(nAll > 0, "descriptiveStats over an empty relation")
+    // empty relation → empty result with the output schema (not a throw:
+    // callers that filter a raster to nothing still deserve a frame)
+    if (nAll == 0) {
+      val doubles = Seq("mean_v", "median_v", "var_v", "std_v", "min_v",
+        "max_v", "skew_v", "kurt_v", "p005", "p995", "p25", "p75")
+      return spark.range(0).select(
+        (Seq(lit("").as("name"), lit(0L).as("n")) ++
+          doubles.map(c => lit(0.0).as(c))): _*)
+    }
     val (zoneNths, allNths) =
       graft.functions.ExactQuantile.groupedNthsByRadixWithAll(
         tagged.select(col("name"), x.as(v)), "name", v,
