@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * at the central meridian must equal k0 × the meridian arc integrated
   * numerically, round trips must close to ~1e-10 rad, and the Column path
   * must agree with the scalar path bit-for-bit (both run java.lang.Math).
-  * Transcendental chains cannot hash-match a foreign engine, so the query
-  * surface is declared rows-only (the documented non-oracle contract,
-  * same as the FFT estimators).
+  * The query surface (`r_utm_project`) is additionally hash-gated against
+  * `tools/utm_expected.parquet`, a pinned artifact produced by a THIRD
+  * independent evaluation (numpy 80-bit longdouble, tools/
+  * gen_utm_expected.py) — a live transcendental chain cannot hash-match
+  * a foreign engine at the ulp level, but a mm-rounded pinned table can.
   */
 object Proj {
 

@@ -143,12 +143,18 @@ object QueriesRaster {
   // §2.2 CRS reprojection math (differencing_functions.py:1181-1202,
   // 2239-2277): real Kruger-series UTM forward+inverse over synthetic
   // lat/lon, per-row zone, all inside whole-stage codegen (Proj.scala —
-  // no UDFs, no native PROJ). Transcendental chains cannot hash-match a
-  // foreign engine, so this surface is declared WITHOUT oracle SQL →
-  // driver rows-only check; the math itself is second-method-pinned in
-  // ProjSpec (numeric meridian-arc integration, 1e-9-degree round trips,
-  // Column ≡ scalar bit-identity). rt_err_deg in the output makes any
-  // silent projection drift visible in the dumped rows themselves.
+  // no UDFs, no native PROJ). FULLY oracle-gated since round 6: DuckDB
+  // has no PROJ and a 50-op transcendental chain cannot hash-match a
+  // foreign engine at the ulp level, so the expected easting/northing
+  // are PINNED in tools/utm_expected.parquet — generated once by
+  // tools/gen_utm_expected.py from an independent numpy-longdouble
+  // (80-bit) Krueger evaluation over the bit-identical RNG inputs, mm-
+  // rounded with the canonical floor chain. The oracle joins that static
+  // table, so any projection drift beyond the engine's ~1e-9 m accuracy
+  // budget fails the hash gate. The round trip stays visible as rt_ok
+  // (drift tripwire at 1e-6 deg, far above the ~1e-10 deg ulp noise that
+  // made the old rt_err_deg column engine-specific); the fine-grained
+  // round-trip + meridian-arc pins live in ProjSpec.
   private val utmProject: Q = (s, d) => {
     val base = graft.Tables.customer(s, d).select(col("c_custkey"),
       (Rand.u01(col("c_custkey"), 91) * 160.0 - 80.0).as("lat"),
@@ -162,7 +168,26 @@ object QueriesRaster {
       ((col("lon0") + 183.0) / 6.0).cast("int").as("zone"),
       round(col("easting"), 3).as("easting"),
       round(col("northing"), 3).as("northing"),
-      round(abs(lat2 - col("lat")) + abs(lon2 - col("lon")), 9).as("rt_err_deg"))
+      (abs(lat2 - col("lat")) + abs(lon2 - col("lon")) < 1e-6).as("rt_ok"))
+  }
+  private val utmProjectSql = {
+    val lat = s"(${Rand.u01Sql("c_custkey", 91)} * 160.0 - 80.0)"
+    val lon = s"(${Rand.u01Sql("c_custkey", 92)} * 360.0 - 180.0)"
+    // zone/lon0 mirror Proj.centralMeridianCol; (lon0+183)/6 is an exact
+    // small-integer double, so DuckDB's round-half-even CAST and Spark's
+    // truncating cast agree
+    s"""WITH pts AS (
+          SELECT c_custkey, $lon AS lon FROM customer),
+        zoned AS (
+          SELECT c_custkey,
+                 (least(60.0, greatest(1.0, floor((lon + 180.0) / 6.0) + 1.0))
+                  - 1.0) * 6.0 - 180.0 + 3.0 AS lon0
+          FROM pts)
+        SELECT z.c_custkey, CAST((z.lon0 + 183.0) / 6.0 AS INT) AS zone,
+               x.easting, x.northing, TRUE AS rt_ok
+        FROM zoned z
+        JOIN read_parquet('/root/repo/tools/utm_expected.parquet') x
+          ON z.c_custkey = x.c_custkey"""
   }
 
   // §2.5 cubic gap-fill variant (local Hermite, central-difference
@@ -320,5 +345,6 @@ object QueriesRaster {
     "t_gapfill_linear" -> gapfillLinearSql,
     "t_gapfill_2d" -> gapfill2dSql,
     "t_gapfill_cubic" -> gapfillCubicSql,
+    "r_utm_project" -> utmProjectSql,
   )
 }
