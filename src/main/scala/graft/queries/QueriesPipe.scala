@@ -507,8 +507,8 @@ object QueriesPipe {
   // node has degree ≥ 1 (edges are symmetric), so no dangling mass.
   private val PR_ITERS = 3
 
-  private def prStep(edges: DataFrame, deg: DataFrame, r: DataFrame): DataFrame =
-    edges.join(r, "src").join(deg, "src")
+  private def prStep(contrib: DataFrame, r: DataFrame): DataFrame =
+    contrib.join(r, "src")
       .select(col("dst"),
         floor(lit(1e9) * (col("r") / col("deg").cast("double")))
           .cast("long").as("c"))
@@ -518,8 +518,19 @@ object QueriesPipe {
 
   /** The cust/supp co-purchase graph: nodes 2k (customers) / 2k+1
     * (suppliers), symmetric edges from distinct (custkey, suppkey) pairs
-    * through orders ⋈ lineitem. Edges + degrees persisted — every
-    * iteration re-reads them from cache. */
+    * through orders ⋈ lineitem.
+    *
+    * Returns (contrib, deg), where `contrib` is the iteration-ready edge
+    * table `(src, dst, deg)` — degrees PRE-JOINED and the whole table
+    * hash-partitioned on `src` BEFORE caching. Every power iteration then
+    * needs exactly ONE join (contrib ⋈ rank) whose big side arrives
+    * already partitioned from cache, so per iteration only the node-sized
+    * rank vector moves and the single real exchange is the groupBy(dst)
+    * — the same one-shuffle-per-superstep shape Pregel/GraphX run. (For a
+    * persistent multi-session pipeline the same layout comes from
+    * `Layout.saveBucketed(edges, buckets = src)`; inside a query builder,
+    * which must stay a pure function of (session, sfDir), the
+    * repartition-then-cache form is the session-scoped equivalent.) */
   private def orderGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
@@ -527,11 +538,13 @@ object QueriesPipe {
       .select((col("o_custkey") * 2).as("cust"),
         (col("l_suppkey") * 2 + 1).as("supp"))
       .distinct()
+      .persistShared()
     val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
       .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-      .persistShared()
+      .repartition(col("src"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).persistShared()
-    (edges, deg)
+    val contrib = edges.join(deg, "src").persistShared()
+    (contrib, deg)
   }
 
   /** Run `iters` rank iterations with the DedupCluster checkpoint
@@ -540,18 +553,34 @@ object QueriesPipe {
     * instead of compounding — the shape that makes a 6- or 20-iteration
     * run cost ~linearly more than a 3-iteration one. (On a real cluster,
     * reliable checkpointing replaces localCheckpoint.) The final round
-    * stays lazy so the consumer's projection fuses into it. */
+    * stays lazy so the consumer's projection fuses into it.
+    *
+    * Checkpoint rounds also log the L1 convergence delta vs the previous
+    * MATERIALIZED iterate — a node-sized join of two already-computed
+    * frames (never a re-derivation of a lazy step), so convergence is
+    * observable in any long run at ~zero cost. */
   private def iterateRanks(r0: DataFrame, iters: Int)
-      (step: DataFrame => DataFrame): DataFrame =
+      (step: DataFrame => DataFrame): DataFrame = {
+    var lastChk = r0
     (1 to iters).foldLeft(r0) { (r, i) =>
       val nxt = step(r)
-      if (i % 2 == 0 && i < iters) nxt.localCheckpoint(true) else nxt
+      if (i % 2 == 0 && i < iters) {
+        val chk = nxt.localCheckpoint(true)
+        val delta = chk.join(
+            lastChk.select(col("src"), col("r").as("rp")), "src")
+          .agg(sum(abs(col("r") - col("rp"))).as("d"))
+          .head.getDouble(0)
+        System.err.println(f"[graft.pagerank] iter=$i%d l1_delta=$delta%.6f")
+        lastChk = chk
+        chk
+      } else nxt
     }
+  }
 
   private def pagerankQ(iters: Int): Q = (s, d) => {
-    val (edges, deg) = orderGraph(s, d)
+    val (contrib, deg) = orderGraph(s, d)
     val r0 = deg.select(col("src"), lit(1.0).as("r"))
-    val rN = iterateRanks(r0, iters)(prStep(edges, deg, _))
+    val rN = iterateRanks(r0, iters)(prStep(contrib, _))
     rN.select(col("src").as("node"), round(col("r"), 6).as("pagerank"))
       .orderBy(col("pagerank").desc, col("node").asc).limit(20)
       .withColumn("rank", row_number().over(
@@ -595,7 +624,7 @@ object QueriesPipe {
   // integers. Seeds are graph nodes (customers with ≥1 order), so the
   // restart vector never resurrects isolated ids.
   private val ppr: Q = (s, d) => {
-    val (edges, deg) = orderGraph(s, d)
+    val (contrib, deg) = orderGraph(s, d)
     val seeds = Tables.customer(s, d).filter(col("c_nationkey") === 0)
       .select((col("c_custkey") * 2).as("src"))
       .join(deg.select("src"), "src")
@@ -611,7 +640,7 @@ object QueriesPipe {
       .persistShared()
     val r0 = rst.select(col("src"), col("rst").as("r"))
     val rN = iterateRanks(r0, PR_ITERS) { r =>
-      edges.join(r, "src").join(deg, "src")
+      contrib.join(r, "src")
         .select(col("dst"),
           floor(lit(1e9) * (col("r") / col("deg").cast("double")))
             .cast("long").as("c"))
