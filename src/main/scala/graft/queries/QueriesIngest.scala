@@ -400,6 +400,27 @@ object QueriesIngest {
     PointCloud.gridDem(graft.ingest.Las.tilesToPoints(tiles))
   }
 
+  // LAZ (laszip-compressed) byte-boundary round trip — the format the
+  // reference writes whenever pc_outType='laz' (PDAL writers.las with
+  // "compression": "laszip", differencing_functions.py:707–735), and the
+  // last reference artifact the engine could not read before round 6.
+  // Same oracle as the uncompressed LAS round trip: the row is green only
+  // if arithmetic-coded chunked encode → decode is exactly the LAS int32
+  // quantization and nothing else. chunkSize=1000 forces multiple chunks
+  // (model restarts + chunk-table math) through the gate at every sf.
+  private val lazRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val tiles = PointCloud.points(s, d)
+      .select(col("x"), col("y"), col("z"), col("classification"))
+      .as[(Double, Double, Double, Int)]
+      .groupByKey(_ => 0)
+      .mapGroups { (id: Int, it: Iterator[(Double, Double, Double, Int)]) =>
+        (id, graft.ingest.Laz.encode(it.toArray, chunkSize = 1000))
+      }
+      .toDF("tile_id", "data")
+    PointCloud.gridDem(graft.ingest.Laz.tilesToPoints(tiles))
+  }
+
   private val lasRoundtripSql = PointCloud.gridDemSql(
     s"""SELECT floor(x / 0.000001 + 0.5) * 0.000001 AS x,
                floor(y / 0.000001 + 0.5) * 0.000001 AS y,
@@ -415,6 +436,7 @@ object QueriesIngest {
     "i_geotiff_roundtrip" -> geotiffRoundtrip,
     "i_geotiff_lzw_roundtrip" -> geotiffLzwRoundtrip,
     "i_las_roundtrip" -> lasRoundtrip,
+    "i_laz_roundtrip" -> lazRoundtrip,
     "a_count_distinct" -> countDistinctQ,
     "a_approx_sketches" -> approxStats,
     "a_tdigest_quantiles" -> tdigestQuantiles,
@@ -428,6 +450,7 @@ object QueriesIngest {
     "i_geotiff_roundtrip" -> geotiffRoundtripSql,
     "i_geotiff_lzw_roundtrip" -> geotiffRoundtripSql,
     "i_las_roundtrip" -> lasRoundtripSql,
+    "i_laz_roundtrip" -> lasRoundtripSql,
     "a_count_distinct" -> countDistinctSql,
     "a_approx_sketches" -> approxStatsSql,
     "a_tdigest_quantiles" -> tdigestQuantilesSql,
