@@ -27,6 +27,17 @@ object QueriesIngest {
   private val smrfReclassifySql =
     graft.ingest.Smrf.reclassifySql(PointCloud.pointsSql)
 
+  // §2.2 SMRF with the FULL windowed schedule (round 6): min-inpaint →
+  // progressive opening over growing windows with the slope-scaled
+  // threshold (Pingel 2013 §3; PDAL filters.smrf defaults slope=0.15,
+  // scalar=1.25, threshold=0.5; differencing_functions.py:1672–1676).
+  // Window=5 m on the fixture — each further meter repeats the same
+  // erode/dilate stage pair.
+  private val smrfMultiwindow: Q = (s, d) =>
+    graft.ingest.Smrf.reclassifyMultiWindow(PointCloud.points(s, d))
+  private val smrfMultiwindowSql =
+    graft.ingest.Smrf.reclassifyMultiWindowSql(PointCloud.pointsSql)
+
   // §2.4 distinct counting (engine surface; exact form is oracle-gated,
   // approx_count_distinct is the 100-TB path — same query shape)
   private val countDistinctQ: Q = (s, d) =>
@@ -431,6 +442,7 @@ object QueriesIngest {
   val queries: Map[String, Q] = Map(
     "i_pointcloud_grid" -> pointcloudGrid,
     "i_smrf_reclassify" -> smrfReclassify,
+    "i_smrf_multiwindow" -> smrfMultiwindow,
     "i_multimodal_meta" -> multimodalMeta,
     "i_frame_sample" -> frameSample,
     "i_geotiff_roundtrip" -> geotiffRoundtrip,
@@ -445,6 +457,7 @@ object QueriesIngest {
   val oracle: Map[String, String] = Map(
     "i_pointcloud_grid" -> pointcloudGridSql,
     "i_smrf_reclassify" -> smrfReclassifySql,
+    "i_smrf_multiwindow" -> smrfMultiwindowSql,
     "i_multimodal_meta" -> multimodalMetaSql,
     "i_frame_sample" -> frameSampleSql,
     "i_geotiff_roundtrip" -> geotiffRoundtripSql,
