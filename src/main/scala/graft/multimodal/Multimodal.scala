@@ -9,11 +9,17 @@ import org.apache.spark.sql.types._
   * decode / feature-extract run as partition-batched transforms
   * (`mapPartitions` — the Scala analog of `mapInPandas` batching).
   *
-  * The actual codec step is STUBBED with a deterministic fake (this
-  * container ships no image/audio libraries — see the build brief): the
-  * "decoder" derives width/height/channels/luma from the payload bytes via
-  * FNV-1a, so the Spark-side plumbing — schema, batch shape, partitioning,
-  * null handling — is real and tested while the codec is swappable.
+  * Codec honesty (round 6): image and audio payloads are now REAL
+  * containers parsed from their bytes — uncompressed 24-bit BMP
+  * (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up padded rows; the
+  * public Windows DIB layout) and canonical-form RIFF/WAVE PCM16 — with
+  * pure-JVM [[encodeBmp24]]/[[bmpDims]] and [[encodeWavPcm16]]/
+  * [[wavInfo]] in the same spirit as `ingest.GeoTiff`/`Las`.
+  * Compressed formats (JPEG/H.264/Opus …) remain stubbed — this
+  * container ships no codec libraries — so the deep-feature step
+  * ([[decodeFeatures]]) still derives its vector from payload bytes via
+  * FNV-1a while the container/metadata layer is real and oracle-gated
+  * (`i_multimodal_meta` parses width/height/duration out of the bytes).
   */
 object Multimodal {
 
@@ -73,15 +79,159 @@ object Multimodal {
     }(enc)
   }
 
-  /** Synthetic media table derived from `documents` (text bytes as the
-    * opaque payload) — exercises the pipeline without real codecs. */
-  def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame =
-    graft.Tables.documents(spark, dir).select(
+  // ---- real containers (pure JVM, public formats) ----------------------
+
+  /** Uncompressed 24-bit BMP: 14-byte BITMAPFILEHEADER + 40-byte
+    * BITMAPINFOHEADER + bottom-up rows padded to 4 bytes. Pixels are a
+    * deterministic LCG fill of `seed` (content is irrelevant to the
+    * metadata path but the container is byte-complete — any BMP reader
+    * opens it). */
+  def encodeBmp24(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0, "BMP dims must be positive")
+    val rowBytes = (3 * width + 3) / 4 * 4
+    val size = 54 + rowBytes * height
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(size)
+    b.putInt(0) // reserved
+    b.putInt(54) // pixel data offset
+    b.putInt(40) // BITMAPINFOHEADER size
+    b.putInt(width)
+    b.putInt(height)
+    b.putShort(1) // planes
+    b.putShort(24) // bpp
+    b.putInt(0) // BI_RGB, uncompressed
+    b.putInt(rowBytes * height)
+    b.putInt(2835).putInt(2835) // 72 dpi
+    b.putInt(0).putInt(0) // palette
+    var s = seed
+    var i = 54
+    while (i < size) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      b.put(i, (s >>> 40).toByte)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** Parse (width, height) from BMP bytes; validates magic, header size,
+    * and 24-bit uncompressed layout. */
+  def bmpDims(bytes: Array[Byte]): (Int, Int) = {
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    require(b.getInt(14) == 40, "only BITMAPINFOHEADER supported")
+    require(b.getShort(28) == 24 && b.getInt(30) == 0,
+      "only uncompressed 24-bit BMP supported")
+    (b.getInt(18), b.getInt(22))
+  }
+
+  /** Canonical-form RIFF/WAVE, PCM 16-bit mono: RIFF header, `fmt ` chunk
+    * (16 bytes, audio format 1), `data` chunk with the samples. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataBytes = 2 * samples.length
+    val b = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1) // PCM
+    b.putShort(1) // mono
+    b.putInt(sampleRate)
+    b.putInt(sampleRate * 2) // byte rate
+    b.putShort(2) // block align
+    b.putShort(16) // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  /** Walk the RIFF chunks of a WAV and return (sampleRate, nSamples,
+    * durationMs). durationMs is the exact integer floor
+    * dataBytes·1000 / byteRate. */
+  def wavInfo(bytes: Array[Byte]): (Int, Long, Long) = {
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE", "not a WAV")
+    var off = 12
+    var rate = 0; var blockAlign = 0; var dataBytes = -1L
+    while (off + 8 <= bytes.length && (rate == 0 || dataBytes < 0)) {
+      val id = tag(off)
+      val len = b.getInt(off + 4)
+      if (id == "fmt ") {
+        require(b.getShort(off + 8) == 1, "only PCM WAV supported")
+        rate = b.getInt(off + 12)
+        blockAlign = b.getShort(off + 20)
+      } else if (id == "data") dataBytes = len.toLong
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(rate > 0 && blockAlign > 0 && dataBytes >= 0, "missing fmt/data chunk")
+    (rate, dataBytes / blockAlign, dataBytes * 1000L / (rate.toLong * blockAlign))
+  }
+
+  /** Synthetic media table derived from `documents`: image rows carry a
+    * REAL BMP whose dimensions derive from doc_id, audio rows a REAL
+    * PCM16 WAV whose sample count derives from the text length, video
+    * rows the raw text bytes (the one remaining stub — no video container
+    * is hand-assemblable without codec libs; loudly documented). The
+    * derivations are pure integer functions of (doc_id, octet length), so
+    * the DuckDB oracle can recompute every parsed header field. */
+  def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.documents(spark, dir).select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("payload"),
+      encode(col("text"), "UTF-8").as("textBytes"),
       col("source").as("meta_source"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(mediaSchema)
+    // positional access: Catalyst pipelines consecutive object-typed
+    // operators without re-serializing, so downstream mapPartitions may
+    // receive these literal Rows (no schema attached — name lookup throws)
+    base.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val tb = r.getAs[Array[Byte]](2)
+        val payload = r.getString(1) match {
+          case "image" =>
+            encodeBmp24((16 + id % 48).toInt, (16 + (id * 7) % 48).toInt, id)
+          case "audio" =>
+            val n = 64 + tb.length % 256
+            var s = id
+            encodeWavPcm16(8000, Array.tabulate(n) { _ =>
+              s = s * 6364136223846793005L + 1442695040888963407L
+              (s >>> 48).toShort
+            })
+          case _ => tb
+        }
+        Row(id, r.getString(1), payload, r.getString(3))
+      }
+    }(enc)
+  }
+
+  /** Parsed per-item container metadata: width/height from the BMP
+    * header, duration from the WAV chunks, zeros for the video stub. */
+  def containerMeta(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("meta_source", StringType, nullable = true),
+      StructField("byte_len", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("duration_ms", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select("media_id", "kind", "payload", "meta_source").mapPartitions { it =>
+      it.flatMap { r =>
+        Option(r.getAs[Array[Byte]](2)).map { p =>
+          val kind = r.getString(1)
+          val (w, h) = if (kind == "image") bmpDims(p) else (0, 0)
+          val dur = if (kind == "audio") wavInfo(p)._3 else 0L
+          Row(r.getLong(0), kind, r.getString(3), p.length.toLong, w, h, dur)
+        }
+      }
+    }(enc)
+  }
 
   /** Frame-sample: pick every `stride`-th feature vector per media group —
     * the video-frame subsampling shape, pure relational. */

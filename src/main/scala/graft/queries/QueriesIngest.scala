@@ -54,13 +54,23 @@ object QueriesIngest {
   // the oracle-checkable boundary of the multimodal pipeline (the decode
   // itself is the stubbed mapPartitions stage, tested in
   // StreamMultimodalSpec)
+  // Multimodal container metadata, parsed FROM THE BYTES (round 6): the
+  // media table carries real uncompressed BMPs (image) and PCM16 WAVs
+  // (audio) assembled per row in executors; the query reads width/height
+  // back out of the BITMAPINFOHEADER and duration out of the RIFF chunk
+  // walk. The oracle recomputes every header field from the pure integer
+  // derivations (doc_id, text byte length) the synthesizer used — so the
+  // row is green only if container assembly → header parse round-trips
+  // exactly. Video stays a documented stub (raw text bytes).
   private val multimodalMeta: Q = (s, d) =>
-    graft.multimodal.Multimodal.mediaFromDocuments(s, d)
+    graft.multimodal.Multimodal.containerMeta(
+      graft.multimodal.Multimodal.mediaFromDocuments(s, d))
       .groupBy("kind", "meta_source")
       .agg(count(lit(1)).as("n"),
-        sum(length(col("payload")).cast("long")).as("total_bytes"),
-        min(length(col("payload")).cast("long")).as("min_bytes"),
-        max(length(col("payload")).cast("long")).as("max_bytes"))
+        sum(col("byte_len")).as("total_bytes"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"),
+        sum(col("duration_ms")).as("sum_duration_ms"))
   // Oracle sums are CAST to BIGINT: DuckDB sum(BIGINT) -> HUGEINT, which
   // serializes as a different physical type than Spark's LongType even
   // when the values agree (round-1 gate recorded hash_match:false here).
@@ -68,9 +78,18 @@ object QueriesIngest {
     """SELECT CASE CAST(doc_id % 3 + 1 AS INT) WHEN 1 THEN 'image'
                    WHEN 2 THEN 'audio' ELSE 'video' END AS kind,
               source AS meta_source, count(*) AS n,
-              CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-              CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,
-              CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+              CAST(sum(CASE doc_id % 3
+                WHEN 0 THEN 54 + ((3 * (16 + doc_id % 48) + 3) // 4 * 4)
+                                 * (16 + (doc_id * 7) % 48)
+                WHEN 1 THEN 44 + 2 * (64 + octet_length(encode(text)) % 256)
+                ELSE octet_length(encode(text)) END) AS BIGINT) AS total_bytes,
+              CAST(sum(CASE WHEN doc_id % 3 = 0
+                THEN 16 + doc_id % 48 ELSE 0 END) AS BIGINT) AS sum_width,
+              CAST(sum(CASE WHEN doc_id % 3 = 0
+                THEN 16 + (doc_id * 7) % 48 ELSE 0 END) AS BIGINT) AS sum_height,
+              CAST(sum(CASE WHEN doc_id % 3 = 1
+                THEN (64 + octet_length(encode(text)) % 256) // 8
+                ELSE 0 END) AS BIGINT) AS sum_duration_ms
        FROM documents GROUP BY 1, 2"""
 
   // Sketch surfaces for the 100-TB path, EXACTLY oracle-gated: both

@@ -283,6 +283,41 @@ class StreamMultimodalSpec extends SparkSuite {
     assert(Multimodal.decodeFeatures(withNull).count() == 1)
   }
 
+  test("BMP and WAV containers round-trip their header fields") {
+    // BMP: dims parse back for padded and unpadded row widths
+    for ((w, h) <- Seq((16, 16), (17, 23), (63, 1), (1, 63))) {
+      val bmp = Multimodal.encodeBmp24(w, h, seed = w * 1000L + h)
+      assert(Multimodal.bmpDims(bmp) == (w, h), s"dims $w x $h")
+      val rowBytes = (3 * w + 3) / 4 * 4
+      assert(bmp.length == 54 + rowBytes * h, s"size $w x $h")
+    }
+    // WAV: rate/samples/duration parse back through the chunk walk
+    val samples = Array.tabulate(12345)(i => (i * 31).toShort)
+    val wav = Multimodal.encodeWavPcm16(8000, samples)
+    val (rate, n, ms) = Multimodal.wavInfo(wav)
+    assert(rate == 8000 && n == 12345L)
+    assert(ms == 12345L * 2 * 1000 / 16000)
+    // junk is rejected, not misparsed
+    intercept[IllegalArgumentException] { Multimodal.bmpDims("junk".getBytes) }
+    intercept[IllegalArgumentException] { Multimodal.wavInfo(wav.take(20)) }
+    intercept[IllegalArgumentException] { Multimodal.bmpDims(wav) }
+  }
+
+  test("media table carries parseable containers per kind") {
+    val media = Multimodal.mediaFromDocuments(spark, sf001)
+    val meta = Multimodal.containerMeta(media).collect()
+    meta.foreach { r =>
+      val kind = r.getAs[String]("kind")
+      val id = r.getAs[Long]("media_id")
+      if (kind == "image") {
+        assert(r.getAs[Int]("width") == (16 + id % 48).toInt, s"width $id")
+        assert(r.getAs[Int]("height") == (16 + (id * 7) % 48).toInt, s"height $id")
+      } else if (kind == "audio") {
+        assert(r.getAs[Long]("duration_ms") > 0, s"duration $id")
+      } else assert(r.getAs[Int]("width") == 0 && r.getAs[Long]("duration_ms") == 0L)
+    }
+  }
+
   test("streaming exact dedup: dropDuplicates with watermark") {
     // duplicate the event stream; streaming dedup on event_id must
     // restore the original cardinality
