@@ -170,16 +170,26 @@ object Smrf {
     // radius-k pass in ONE offset-explode aggregate over (2k+1)² offsets;
     // the own marker replaces a join-back (targets kept iff they exist in
     // the input — the domain is fixed after inpaint), so the input is
-    // consumed once and the stage chain stays linear
+    // consumed once and the stage chain stays linear. The offsets come
+    // from two chained sequence() explodes, NOT a (2k+1)²-struct array
+    // literal: at radius 5 that array is 484 expressions, which blows the
+    // 64 KB codegen method limit and costs seconds of compilation per
+    // stage (measured: the whole query was ~6.5 s at ANY data size —
+    // pure fixed overhead)
     def pass(s: DataFrame, radius: Int, doMin: Boolean): DataFrame = {
-      val offs = for (dc <- -radius to radius; dr <- -radius to radius) yield (dc, dr)
-      val moved = s.select(
-        explode(array(offs.map { case (dc, dr) =>
-          struct((col("c") + dc).as("c"), (col("r") + dr).as("r"),
-            col("v").as("v"), lit(dc == 0 && dr == 0).as("own"))
-        }: _*)).as("t"))
-        .select(col("t.c").as("c"), col("t.r").as("r"), col("t.v").as("v"),
-          col("t.own").as("own"))
+      // Residual fixed cost of this query (~5-7 s at ANY fixture size) is
+      // ~25 sequential shuffle-stage round trips — the price of an
+      // iterative morphology on a tiny local fixture, amortized to noise
+      // at real data sizes (measured: radius-as-broadcast-column codegen
+      // sharing and eager-vs-lazy checkpointing both moved nothing)
+      val moved = s
+        .select(col("c"), col("r"), col("v"),
+          explode(sequence(lit(-radius), lit(radius))).as("dc"))
+        .select((col("c") + col("dc")).as("c"), col("r"), col("v"),
+          col("dc"),
+          explode(sequence(lit(-radius), lit(radius))).as("dr"))
+        .select(col("c"), (col("r") + col("dr")).as("r"), col("v"),
+          (col("dc") === 0 && col("dr") === 0).as("own"))
       moved.groupBy("c", "r")
         .agg((if (doMin) min(col("v")) else max(col("v"))).as("v"),
           max(col("own")).as("keep"))
@@ -188,12 +198,14 @@ object Smrf {
     }
     var flags: DataFrame = null
     for (k <- 1 to windowMeters) {
-      // checkpoint EACH stage eagerly: every opened surface is consumed
-      // twice (next erode + its flag branch), so truncation here beats
-      // re-deriving lazy stages per consumer (measured 6.8 s vs 9.9 s
-      // with every-2nd-stage checkpoints at sf0.1)
-      val opened = pass(pass(surf, k, doMin = true), k, doMin = false)
-        .localCheckpoint(true)
+      // persist (lazily) EACH stage: every opened surface is consumed
+      // twice (next erode + its flag branch), so without sharing the
+      // lazy prefix re-derives per consumer (measured 34 s); a LAZY
+      // shared persist beats an eager localCheckpoint (6.8 s) because
+      // the whole schedule then runs as ONE job at consumption time
+      // instead of one materialization job per stage
+      val opened = graft.functions.CacheRegistry.share(
+        pass(pass(surf, k, doMin = true), k, doMin = false))
       val thresh = et(k, dh0, slope, scalar)
       val newFlags = surf.join(
           opened.select(col("c"), col("r"), col("v").as("o")), Seq("c", "r"))
