@@ -300,8 +300,101 @@ object QueriesRaster {
                round(g.value - n.n_geoid, 6) AS z_ortho
         FROM g JOIN nodes n ON n.gc = g.col // 16 AND n.gr = g."row" // 16"""
 
+  // §7.5 arbitrary-datum grid RESAMPLING (closes the last documented
+  // pass-through non-goal): transform a raster between two vertical
+  // datums whose undulation surfaces live on DIFFERENT coarse grids
+  // (spacings 16 px and 26 px here) — the GeoidTransformer / gdal.Warp
+  // analog (differencing_functions.py:2239–2277). Each geoid is sampled
+  // at every pixel center by TRUE bilinear interpolation: the 4 corner
+  // nodes arrive via 4 broadcast hash joins per grid (geoid grids are
+  // MB-sized at any raster scale), so the whole transform is 8 chained
+  // broadcast joins + one codegen projection — ZERO shuffles. The
+  // 4-term weighted sums are written in one fixed expression order,
+  // mirrored verbatim in the oracle (the regridBilinear determinism
+  // rule: engine-ordered accumulation would flip canonical rounding at
+  // exact midpoints).
+  private val geoidResample: Q = (s, d) => {
+    def nodes(n: Int, salt: Long, lo: Double, span: Double) =
+      s.range(n.toLong * n)
+        .select(expr(s"CAST(id % $n AS INT)").as("gc"),
+          expr(s"CAST(id div $n AS INT)").as("gr"),
+          round(Rand.u01(col("id"), salt) * span + lo, 6).as("nv"))
+    val na = nodes(9, 91, 28.0, 4.0)
+    val nb = nodes(6, 77, 10.0, 3.0)
+    def corner(px: DataFrame, grid: DataFrame, tag: String,
+               dx: Int, dy: Int): DataFrame =
+      px.join(
+        broadcast(grid.select(col("gc").as(s"${tag}c$dx$dy"),
+          col("gr").as(s"${tag}r$dx$dy"), col("nv").as(s"$tag$dx$dy"))),
+        col(s"${tag}c0") + dx === col(s"${tag}c$dx$dy") &&
+          col(s"${tag}r0") + dy === col(s"${tag}r$dx$dy"))
+    def keys(px: DataFrame, sp: Double, tag: String): DataFrame =
+      px.withColumn(s"${tag}gx", (col("col") + 0.5) / sp)
+        .withColumn(s"${tag}gy", (col("row") + 0.5) / sp)
+        .withColumn(s"${tag}c0", floor(col(s"${tag}gx")).cast("int"))
+        .withColumn(s"${tag}r0", floor(col(s"${tag}gy")).cast("int"))
+        .withColumn(s"${tag}fx", col(s"${tag}gx") - col(s"${tag}c0"))
+        .withColumn(s"${tag}fy", col(s"${tag}gy") - col(s"${tag}r0"))
+    def interp(tag: String): org.apache.spark.sql.Column =
+      round((lit(1.0) - col(s"${tag}fx")) * (lit(1.0) - col(s"${tag}fy")) * col(s"${tag}00") +
+        col(s"${tag}fx") * (lit(1.0) - col(s"${tag}fy")) * col(s"${tag}10") +
+        (lit(1.0) - col(s"${tag}fx")) * col(s"${tag}fy") * col(s"${tag}01") +
+        col(s"${tag}fx") * col(s"${tag}fy") * col(s"${tag}11"), 6)
+    var px = keys(keys(gA(s, d), 16.0, "a"), 26.0, "b")
+    for ((dx, dy) <- Seq((0, 0), (1, 0), (0, 1), (1, 1))) {
+      px = corner(px, na, "a", dx, dy)
+      px = corner(px, nb, "b", dx, dy)
+    }
+    px.select(col("col"), col("row"), col("value"),
+      interp("a").as("n_a"), interp("b").as("n_b"),
+      round(col("value") + interp("a") - interp("b"), 6).as("z_dst"))
+  }
+  private val geoidResampleSql = {
+    def nodesCte(name: String, n: Int, salt: Long, lo: Double, span: Double) =
+      s"""$name AS (SELECT CAST(i % $n AS INT) AS gc, CAST(i // $n AS INT) AS gr,
+                           round(${Rand.u01Sql("i", salt)} * $span + $lo, 6) AS nv
+                    FROM (SELECT unnest(range(${n.toLong * n})) AS i))"""
+    def interp(tag: String) =
+      s"""((1.0 - ${tag}fx) * (1.0 - ${tag}fy) * ${tag}00 +
+           ${tag}fx * (1.0 - ${tag}fy) * ${tag}10 +
+           (1.0 - ${tag}fx) * ${tag}fy * ${tag}01 +
+           ${tag}fx * ${tag}fy * ${tag}11)"""
+    s"""WITH g AS ($cteA),
+        ${nodesCte("na", 9, 91, 28.0, 4.0)},
+        ${nodesCte("nb", 6, 77, 10.0, 3.0)},
+        k AS (SELECT col, "row", value,
+                     (col + 0.5) / 16.0 AS agx, ("row" + 0.5) / 16.0 AS agy,
+                     (col + 0.5) / 26.0 AS bgx, ("row" + 0.5) / 26.0 AS bgy
+              FROM g),
+        k2 AS (SELECT *, CAST(floor(agx) AS INT) AS ac0, CAST(floor(agy) AS INT) AS ar0,
+                         CAST(floor(bgx) AS INT) AS bc0, CAST(floor(bgy) AS INT) AS br0,
+                         agx - CAST(floor(agx) AS INT) AS afx,
+                         agy - CAST(floor(agy) AS INT) AS afy,
+                         bgx - CAST(floor(bgx) AS INT) AS bfx,
+                         bgy - CAST(floor(bgy) AS INT) AS bfy
+               FROM k),
+        j AS (SELECT k2.*,
+                     a00.nv AS a00, a10.nv AS a10, a01.nv AS a01, a11.nv AS a11,
+                     b00.nv AS b00, b10.nv AS b10, b01.nv AS b01, b11.nv AS b11
+              FROM k2
+              JOIN na a00 ON a00.gc = ac0     AND a00.gr = ar0
+              JOIN na a10 ON a10.gc = ac0 + 1 AND a10.gr = ar0
+              JOIN na a01 ON a01.gc = ac0     AND a01.gr = ar0 + 1
+              JOIN na a11 ON a11.gc = ac0 + 1 AND a11.gr = ar0 + 1
+              JOIN nb b00 ON b00.gc = bc0     AND b00.gr = br0
+              JOIN nb b10 ON b10.gc = bc0 + 1 AND b10.gr = br0
+              JOIN nb b01 ON b01.gc = bc0     AND b01.gr = br0 + 1
+              JOIN nb b11 ON b11.gc = bc0 + 1 AND b11.gr = br0 + 1)
+        SELECT col, "row", value,
+               round(${interp("a")}, 6) AS n_a,
+               round(${interp("b")}, 6) AS n_b,
+               round(value + round(${interp("a")}, 6) - round(${interp("b")}, 6), 6) AS z_dst
+        FROM j"""
+  }
+
   val queries: Map[String, Q] = Map(
     "r_geoid_offset" -> geoidOffset,
+    "r_geoid_resample" -> geoidResample,
     "r_scan_valid" -> scanValid,
     "r_stable_anti" -> stableAnti,
     "r_zone_counts" -> zoneCounts,
@@ -326,6 +419,7 @@ object QueriesRaster {
 
   val oracle: Map[String, String] = Map(
     "r_geoid_offset" -> geoidOffsetSql,
+    "r_geoid_resample" -> geoidResampleSql,
     "r_scan_valid" -> scanValidSql,
     "r_stable_anti" -> stableAntiSql,
     "r_zone_counts" -> zoneCountsSql,
