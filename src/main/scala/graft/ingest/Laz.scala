@@ -604,10 +604,22 @@ object Laz {
   def decode(bytes: Array[Byte]): Array[(Double, Double, Double, Int)] =
     decodeTimed(bytes).map(p => (p._1, p._2, p._3, p._4))
 
-  /** LAZ bytes → (x, y, z, classification, gps_time); format-0 inputs
-    * yield time 0.0. Chunks decode independently off the chunk table —
-    * the unit a distributed reader would fan out. */
-  def decodeTimed(bytes: Array[Byte]): Array[(Double, Double, Double, Int, Double)] = {
+  /** Parsed container layout: everything a reader needs to decode ANY
+    * chunk independently — the unit of distribution for a LAZ ingest
+    * (each chunk restarts all codec state and the chunk table gives
+    * exact byte extents). */
+  final case class Layout(fmt: Int, n: Int, chunkSize: Int,
+      sx: Double, sy: Double, sz: Double, ox: Double, oy: Double, oz: Double,
+      chunkStarts: Array[Int], chunkEnds: Array[Int]) {
+    def numChunks: Int = chunkStarts.length
+    /** Index of the first point of chunk `c`. */
+    def chunkBase(c: Int): Int = c * chunkSize
+    /** Point count of chunk `c`. */
+    def chunkCount(c: Int): Int = math.min(chunkSize, n - chunkBase(c))
+  }
+
+  /** Parse header + laszip VLR + chunk table into a [[Layout]]. */
+  def layout(bytes: Array[Byte]): Layout = {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bytes.length >= HEADER_SIZE &&
       new String(bytes, 0, 4, "US-ASCII") == "LASF", "not a LAS/LAZ file")
@@ -645,56 +657,67 @@ object Laz {
     val numChunks = b.getInt(tableOff + 4)
     val tdec = new ArithDecoder(bytes, tableOff + 8, bytes.length)
     val tic = new IntComp(32, 2, forDecoding = true)
-    val sizes = new Array[Int](numChunks)
+    val starts = new Array[Int](numChunks)
+    val ends = new Array[Int](numChunks)
     var prev = 0
+    var start = dataOff + 8
     var c = 0
     while (c < numChunks) {
-      sizes(c) = tic.decompress(tdec, prev, 1)
-      prev = sizes(c)
+      prev = tic.decompress(tdec, prev, 1)
+      starts(c) = start
+      ends(c) = start + prev
+      start = ends(c)
       c += 1
     }
-    val recLen = if (fmt == 1) POINT_LEN + 8 else POINT_LEN
-    val outArr = new Array[(Double, Double, Double, Int, Double)](n)
-    var start = dataOff + 8
-    var base = 0
-    c = 0
-    while (c < numChunks) {
-      val m = math.min(chunkSize, n - base)
-      val end = start + sizes(c)
-      val first = P10(b.getInt(start), b.getInt(start + 4), b.getInt(start + 8),
-        b.getShort(start + 12) & 0xFFFF, bytes(start + 14) & 0xFF,
-        bytes(start + 15) & 0xFF, bytes(start + 16) & 0xFF,
-        bytes(start + 17) & 0xFF, b.getShort(start + 18) & 0xFFFF)
-      var t0 = 0L
-      if (fmt == 1) t0 = b.getLong(start + 20)
-      def emit(idx: Int, p: P10, tBits: Long): Unit =
-        outArr(base + idx) = (p.x * sx + ox, p.y * sy + oy, p.z * sz + oz,
-          p.classification, java.lang.Double.longBitsToDouble(tBits))
-      emit(0, first, t0)
-      val p10 = new Point10V2(forDecoding = true)
-      p10.init(first)
-      val gps = if (fmt == 1) {
-        val g = new GpsTime11V2(forDecoding = true); g.init(t0); g
-      } else null
-      val dec = new ArithDecoder(bytes, start + recLen, end)
-      var j = 1
-      while (j < m) {
-        val p = p10.decompress(dec)
-        val tBits = if (fmt == 1) gps.decompress(dec) else 0L
-        emit(j, p, tBits)
-        j += 1
-      }
-      base += m
-      start = end
-      c += 1
+    Layout(fmt, n, chunkSize, sx, sy, sz, ox, oy, oz, starts, ends)
+  }
+
+  /** Decode ONE chunk — pure function of (bytes, layout, chunk index),
+    * callable from any executor in any order. */
+  def decodeChunkTimed(bytes: Array[Byte], l: Layout, c: Int)
+      : Array[(Double, Double, Double, Int, Double)] = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val start = l.chunkStarts(c)
+    val end = l.chunkEnds(c)
+    val m = l.chunkCount(c)
+    val recLen = if (l.fmt == 1) POINT_LEN + 8 else POINT_LEN
+    val out = new Array[(Double, Double, Double, Int, Double)](m)
+    val first = P10(b.getInt(start), b.getInt(start + 4), b.getInt(start + 8),
+      b.getShort(start + 12) & 0xFFFF, bytes(start + 14) & 0xFF,
+      bytes(start + 15) & 0xFF, bytes(start + 16) & 0xFF,
+      bytes(start + 17) & 0xFF, b.getShort(start + 18) & 0xFFFF)
+    var t0 = 0L
+    if (l.fmt == 1) t0 = b.getLong(start + 20)
+    def emit(idx: Int, p: P10, tBits: Long): Unit =
+      out(idx) = (p.x * l.sx + l.ox, p.y * l.sy + l.oy, p.z * l.sz + l.oz,
+        p.classification, java.lang.Double.longBitsToDouble(tBits))
+    emit(0, first, t0)
+    val p10 = new Point10V2(forDecoding = true)
+    p10.init(first)
+    val gps = if (l.fmt == 1) {
+      val g = new GpsTime11V2(forDecoding = true); g.init(t0); g
+    } else null
+    val dec = new ArithDecoder(bytes, start + recLen, end)
+    var j = 1
+    while (j < m) {
+      val p = p10.decompress(dec)
+      val tBits = if (l.fmt == 1) gps.decompress(dec) else 0L
+      emit(j, p, tBits)
+      j += 1
     }
-    outArr
+    out
+  }
+
+  /** LAZ bytes → (x, y, z, classification, gps_time); format-0 inputs
+    * yield time 0.0. Sequential composition of the chunk decodes. */
+  def decodeTimed(bytes: Array[Byte]): Array[(Double, Double, Double, Int, Double)] = {
+    val l = layout(bytes)
+    (0 until l.numChunks).iterator.flatMap(decodeChunkTimed(bytes, l, _)).toArray
   }
 
   /** Distributed ingest boundary, mirroring [[Las.tilesToPoints]]:
     * `[tile_id:int, data:binary]` LAZ tiles → point table, decoded
-    * tile-parallel (chunk extents inside each tile are the next level of
-    * parallelism a 100-TB reader would use). */
+    * tile-parallel. */
   def tilesToPoints(tiles: DataFrame): DataFrame = {
     val spark = tiles.sparkSession
     import spark.implicits._
@@ -702,6 +725,31 @@ object Laz {
       .as[(Int, Array[Byte])]
       .flatMap { case (id, data) =>
         decode(data).iterator.map { case (x, y, z, c) => (id, x, y, z, c) }
+      }
+      .toDF("tile_id", "x", "y", "z", "classification")
+  }
+
+  /** CHUNK-parallel ingest: explode each tile into (tile, chunk) work
+    * units and decode them independently — the fan-out a 100-TB LAZ
+    * ingest runs, where one file's 50k-point chunks spread across the
+    * cluster instead of serializing inside one task. (In this byte-array
+    * fixture the repartition ships a payload copy per chunk; an object-
+    * store reader ships (path, byte-range) instead — the decode unit and
+    * state independence are what this boundary proves.) */
+  def tilesToPointsChunked(tiles: DataFrame): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.select(col("tile_id").cast("int"), col("data"))
+      .as[(Int, Array[Byte])]
+      .flatMap { case (id, data) =>
+        (0 until layout(data).numChunks).iterator.map(c => (id, c, data))
+      }
+      .repartition(col("_1"), col("_2"))
+      .flatMap { case (id, c, data) =>
+        val l = layout(data)
+        decodeChunkTimed(data, l, c).iterator.map {
+          case (x, y, z, cls, _) => (id, x, y, z, cls)
+        }
       }
       .toDF("tile_id", "x", "y", "z", "classification")
   }

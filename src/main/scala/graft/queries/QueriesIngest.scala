@@ -448,7 +448,9 @@ object QueriesIngest {
         (id, graft.ingest.Laz.encode(it.toArray, chunkSize = 1000))
       }
       .toDF("tile_id", "data")
-    PointCloud.gridDem(graft.ingest.Laz.tilesToPoints(tiles))
+    // chunk-parallel decode boundary: the (tile, chunk) fan-out a
+    // distributed LAZ ingest runs — each chunk decodes independently
+    PointCloud.gridDem(graft.ingest.Laz.tilesToPointsChunked(tiles))
   }
 
   private val lasRoundtripSql = PointCloud.gridDemSql(

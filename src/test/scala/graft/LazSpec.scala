@@ -123,6 +123,23 @@ class LazSpec extends SparkSuite {
     assert(got == Seq((1, 300L), (2, 200L)))
   }
 
+  test("chunk-parallel decode equals sequential decode") {
+    val pts = cloud(1500, 55L)
+    val bytes = Laz.encode(pts, chunkSize = 200)
+    val l = Laz.layout(bytes)
+    assert(l.numChunks == 8 && l.chunkCount(7) == 100)
+    // chunks decoded OUT OF ORDER compose to the sequential result
+    val shuffled = Seq(5, 0, 7, 2, 6, 1, 4, 3)
+      .map(c => c -> Laz.decodeChunkTimed(bytes, l, c)).sortBy(_._1)
+      .flatMap(_._2).map(p => (p._1, p._2, p._3, p._4))
+    assert(shuffled == pts.toSeq)
+    // and the DataFrame boundary agrees with the tile-parallel one
+    val tiles = Seq((1, bytes)).toDF("tile_id", "data")
+    val a = Laz.tilesToPointsChunked(tiles).orderBy("x", "y", "z").collect().toSeq
+    val b = Laz.tilesToPoints(tiles).orderBy("x", "y", "z").collect().toSeq
+    assert(a == b && a.length == 1500)
+  }
+
   test("LAZ decode agrees with LAS decode on identical input") {
     val pts = cloud(2000, 99L)
     val viaLas = Las.decode(Las.encode(pts)).toSeq
