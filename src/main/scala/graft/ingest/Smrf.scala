@@ -198,14 +198,14 @@ object Smrf {
     }
     var flags: DataFrame = null
     for (k <- 1 to windowMeters) {
-      // persist (lazily) EACH stage: every opened surface is consumed
+      // eagerly checkpoint EACH stage: every opened surface is consumed
       // twice (next erode + its flag branch), so without sharing the
-      // lazy prefix re-derives per consumer (measured 34 s); a LAZY
-      // shared persist beats an eager localCheckpoint (6.8 s) because
-      // the whole schedule then runs as ONE job at consumption time
-      // instead of one materialization job per stage
-      val opened = graft.functions.CacheRegistry.share(
-        pass(pass(surf, k, doMin = true), k, doMin = false))
+      // lazy prefix re-derives per consumer (measured 34 s). A/B at
+      // sf0.1: eager localCheckpoint runs 4.8–6.4 s cold-to-warm vs
+      // 6.6–17.6 s for lazy shared persists — lineage truncation also
+      // shrinks the plan the final job must schedule
+      val opened = pass(pass(surf, k, doMin = true), k, doMin = false)
+        .localCheckpoint(true)
       val thresh = et(k, dh0, slope, scalar)
       val newFlags = surf.join(
           opened.select(col("c"), col("r"), col("v").as("o")), Seq("c", "r"))
