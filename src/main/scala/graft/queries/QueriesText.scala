@@ -410,7 +410,11 @@ object QueriesText {
       .select(col("doc_id"), explode(TextOps.shinglesOf(col("w"), 2)).as("g"))
       .persistShared()
 
-  private val knPpl: Q = (s, d) => {
+  /** Per-doc exact-integer KN NLL state (doc_id, nb = bigram count,
+    * snll6 = −Σ lp6 in 1e-6 log units) — shared by x_kn_ppl and the
+    * CCNet-style bucketing; all-integer until the caller's one final
+    * division, so any consumer's aggregation order is safe. */
+  private def docNll(s: SparkSession, d: String): DataFrame = {
     val grams = bigramTable(s, d)
     val lm = grams.groupBy("g").agg(count(lit(1)).as("c2"))
       .select(col("g"), col("c2"),
@@ -428,14 +432,20 @@ object QueriesText {
       .select(col("g"), floor(log(p) * 1e6 + 0.5).cast("long").as("lp6"))
     grams.join(lp, "g")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(-sum(col("lp6")).cast("double") / 1e6 /
-          count(lit(1)).cast("double"), 6).as("kn_avg_nll"))
+      .agg(count(lit(1)).as("nb"), (-sum(col("lp6"))).as("snll6"))
+      .persistShared()
   }
 
-  private val knPplSql =
-    s"""WITH gr AS (SELECT doc_id, unnest(${TextOps.shinglesSql("text", 2)}) AS g
-                    FROM documents),
+  private val knPpl: Q = (s, d) =>
+    docNll(s, d).select(col("doc_id"), col("nb").as("n_bigrams"),
+      round(col("snll6").cast("double") / 1e6 /
+        col("nb").cast("double"), 6).as("kn_avg_nll"))
+
+  // the shared CTE chain for the bigram-KN layer — consumed by both the
+  // x_kn_ppl oracle and the x_ccnet_buckets oracle (mirror of docNll)
+  private val knCtes =
+    s"""gr AS (SELECT doc_id, unnest(${TextOps.shinglesSql("text", 2)}) AS g
+               FROM documents),
         lm AS (SELECT g, count(*) AS c2,
                       string_split(g, ' ')[1] AS w1,
                       string_split(g, ' ')[2] AS w2
@@ -449,10 +459,75 @@ object QueriesText {
                                     + (($KND * CAST(n1fw AS DOUBLE)) / CAST(c1 AS DOUBLE))
                                       * (CAST(n1bw AS DOUBLE) / CAST(bt AS DOUBLE)))
                                  * 1e6 + 0.5) AS BIGINT) AS lp6
-               FROM lm JOIN ctx USING (w1) JOIN bw USING (w2), t)
+               FROM lm JOIN ctx USING (w1) JOIN bw USING (w2), t)"""
+
+  private val knPplSql =
+    s"""WITH $knCtes
         SELECT doc_id, count(*) AS n_bigrams,
                round(-CAST(sum(lp6) AS BIGINT) / 1e6 / count(*), 6) AS kn_avg_nll
         FROM gr JOIN lp USING (g) GROUP BY 1"""
+
+  // ---- CCNet-style perplexity bucketing (Wenzek et al. 2020) -----------
+  // CCNet splits each language's documents into head/middle/tail by
+  // language-model perplexity terciles. Per-doc NLL comes from the same
+  // exact-integer KN state as x_kn_ppl (docNll); the per-language
+  // tercile THRESHOLDS come from ExactQuantile.groupedNthsByRadix — 4
+  // histogram scans total for every language's two order statistics in
+  // lockstep, instead of a PARTITION BY lang window that would funnel
+  // each language's whole corpus through one task (languages are few
+  // and data-heavy: exactly the grouped-radix contract). Buckets are
+  // value-threshold semantics (ties share a bucket), mirrored in SQL by
+  // computing the same rank statistic.
+  private val ccnetBuckets: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val scored = docs.join(docNll(s, d), "doc_id")
+      .withColumn("inll", floor(col("snll6").cast("double") /
+        col("nb").cast("double") + 0.5).cast("long"))
+      .persistShared()
+    val counts = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // ≤ |langs|
+    val ranks: Map[String, Seq[Long]] = counts.map { case (l, n) =>
+      l -> Seq(math.ceil(n / 3.0).toLong - 1, math.ceil(2 * n / 3.0).toLong - 1)
+    }
+    val nths = graft.functions.ExactQuantile
+      .groupedNthsByRadix(scored, "lang", "inll", ranks)
+    val thr = counts.keys.toSeq.sorted.map { l =>
+      val Seq(r1, r2) = ranks(l)
+      (l, nths(l)(r1).toLong, nths(l)(r2).toLong)
+    }
+    import s.implicits._
+    scored.join(broadcast(thr.toDF("lang", "t1", "t2")), "lang")
+      .withColumn("bucket", lit(1) + (col("inll") > col("t1")).cast("int") +
+        (col("inll") > col("t2")).cast("int"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("nb").as("n_bigrams"),
+        round(sum("snll6").cast("double") / 1e6 /
+          sum("nb").cast("double"), 6).as("avg_nll"))
+  }
+
+  private val ccnetBucketsSql =
+    s"""WITH $knCtes,
+        dn AS (SELECT doc_id, count(*) AS nb, CAST(-sum(lp6) AS BIGINT) AS snll6
+               FROM gr JOIN lp USING (g) GROUP BY 1),
+        sc AS (SELECT d.lang, dn.doc_id, nb, snll6,
+                      CAST(floor(CAST(snll6 AS DOUBLE) / nb + 0.5) AS BIGINT) AS inll
+               FROM dn JOIN documents d USING (doc_id)),
+        rk AS (SELECT lang, inll,
+                      row_number() OVER (PARTITION BY lang ORDER BY inll) AS rn,
+                      count(*) OVER (PARTITION BY lang) AS n
+               FROM sc),
+        thr AS (SELECT lang,
+                       max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
+                           THEN inll END) AS t1,
+                       max(CASE WHEN rn = CAST(ceil(2 * n / 3.0) AS BIGINT)
+                           THEN inll END) AS t2
+                FROM rk GROUP BY 1)
+        SELECT sc.lang,
+               1 + CAST(inll > t1 AS INT) + CAST(inll > t2 AS INT) AS bucket,
+               count(*) AS n_docs, CAST(sum(nb) AS BIGINT) AS n_bigrams,
+               round(CAST(sum(snll6) AS BIGINT) / 1e6 / CAST(sum(nb) AS BIGINT), 6) AS avg_nll
+        FROM sc JOIN thr USING (lang)
+        GROUP BY 1, 2"""
 
   // ---- trigram Kneser-Ney (backoff chain through the bigram layer) ------
   // P₃(w3|w1w2) = (c123 − D)/c12 + (D·N1+(w1w2,·)/c12) · P₂(w3|w2), with
@@ -729,6 +804,66 @@ object QueriesText {
           round(vowel_ratio, 6) AS vowel_ratio,
           round(quality_score, 6) AS quality_score
         FROM (SELECT doc_id, ${TextOps.qualitySql("text", "n_chars")} FROM documents)"""
+
+  // ---- Gopher-style quality rules (Rae et al. 2021, App. A1.1 subset) ---
+  // The published MassiveText document filters, as hard per-rule flags
+  // plus the conjunction: word count in [50, 100k], mean word length in
+  // [3, 10], ≥2 stopword hits, ≥80% words containing an alphabetic
+  // character, symbol marks (# or …) ≤ 0.1·words. One narrow projection
+  // per document, no shuffle at all until a consumer aggregates — the
+  // filter a 100-TB corpus pass applies before any dedup/LSH work. Rules
+  // compare against the same rounded/exact columns the query outputs, so
+  // engine and oracle branch on identical values.
+  private val gopherRules: Q = (s, d) => {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+      col("text"), TextOps.words(col("text")).as("w"))
+    val nw = size(col("w")).cast("long")
+    val meanLen = (col("n_chars") - (nw - 1)).cast("double") / nw.cast("double")
+    val stopHits = size(filter(col("w"), x =>
+      array_contains(array(TextOps.stopwords.map(lit): _*), x))).cast("long")
+    val alphaWords = size(filter(col("w"), x => x.rlike("[a-z]"))).cast("long")
+    val symbols = (length(regexp_replace(col("text"), "[^#]", "")) +
+      size(expr("regexp_extract_all(text, '\\\\.\\\\.\\\\.', 0)"))).cast("long")
+    base.select(col("doc_id"), nw.as("n_words"),
+        round(meanLen, 6).as("mean_word_len"), stopHits.as("stop_hits"),
+        alphaWords.as("alpha_words"), symbols.as("symbol_marks"))
+      .withColumn("r_wordcount",
+        (col("n_words") >= 50L && col("n_words") <= 100000L).cast("int"))
+      .withColumn("r_meanlen",
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).cast("int"))
+      .withColumn("r_stop", (col("stop_hits") >= 2L).cast("int"))
+      .withColumn("r_alpha", (col("alpha_words").cast("double") >=
+        col("n_words").cast("double") * 0.8).cast("int"))
+      .withColumn("r_symbol", (col("symbol_marks").cast("double") <=
+        col("n_words").cast("double") * 0.1).cast("int"))
+      .withColumn("keep", col("r_wordcount") * col("r_meanlen") *
+        col("r_stop") * col("r_alpha") * col("r_symbol"))
+  }
+
+  private val gopherRulesSql = {
+    val stop = TextOps.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH m AS (SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               round(CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                     / len(string_split(text, ' ')), 6) AS mean_word_len,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> list_contains($stop, x))) AS BIGINT) AS stop_hits,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+               CAST(length(regexp_replace(text, '[^#]', '', 'g'))
+                    + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS symbol_marks
+             FROM documents)
+       SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_words, symbol_marks,
+              r_wordcount, r_meanlen, r_stop, r_alpha, r_symbol,
+              r_wordcount * r_meanlen * r_stop * r_alpha * r_symbol AS keep
+       FROM (SELECT *,
+               CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r_wordcount,
+               CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT) AS r_meanlen,
+               CAST(stop_hits >= 2 AS INT) AS r_stop,
+               CAST(CAST(alpha_words AS DOUBLE) >= CAST(n_words AS DOUBLE) * 0.8 AS INT) AS r_alpha,
+               CAST(CAST(symbol_marks AS DOUBLE) <= CAST(n_words AS DOUBLE) * 0.1 AS INT) AS r_symbol
+             FROM m)"""
+  }
 
   // ---- token counting, per source ---------------------------------------
   private val tokens: Q = (s, d) =>
@@ -1018,6 +1153,8 @@ object QueriesText {
     "x_jaccard_3gram" -> jaccard,
     "x_langid" -> langid,
     "x_quality" -> quality,
+    "x_gopher_rules" -> gopherRules,
+    "x_ccnet_buckets" -> ccnetBuckets,
     "x_tokens" -> tokens,
     "x_fingerprint" -> fingerprint,
   )
@@ -1043,6 +1180,8 @@ object QueriesText {
     "x_jaccard_3gram" -> jaccardSql,
     "x_langid" -> langidSql,
     "x_quality" -> qualitySql,
+    "x_gopher_rules" -> gopherRulesSql,
+    "x_ccnet_buckets" -> ccnetBucketsSql,
     "x_tokens" -> tokensSql,
     "x_fingerprint" -> fingerprintSql,
   )

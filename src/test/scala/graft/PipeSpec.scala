@@ -489,6 +489,84 @@ class PipeSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("x_gopher_rules matches a driver recompute of the published thresholds") {
+    val rows = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val stop = graft.text.TextOps.stopwords.toSet
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = rows.map { case (id, t, nc) =>
+      val w = t.split(" ", -1)
+      val nw = w.length.toLong
+      val meanLen = r6((nc - (nw - 1)).toDouble / nw)
+      val stopHits = w.count(stop).toLong
+      val alpha = w.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val sym = t.count(_ == '#').toLong + raw"\.\.\.".r.findAllIn(t).length
+      val rWc = if (nw >= 50 && nw <= 100000) 1 else 0
+      val rMl = if (meanLen >= 3.0 && meanLen <= 10.0) 1 else 0
+      val rSt = if (stopHits >= 2) 1 else 0
+      val rAl = if (alpha.toDouble >= nw.toDouble * 0.8) 1 else 0
+      val rSy = if (sym.toDouble <= nw.toDouble * 0.1) 1 else 0
+      id -> ((nw, meanLen, stopHits, alpha, sym,
+        rWc, rMl, rSt, rAl, rSy, rWc * rMl * rSt * rAl * rSy))
+    }.toMap
+    val got = graft.queries.QueriesText.queries("x_gopher_rules")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6), r.getInt(7),
+        r.getInt(8), r.getInt(9), r.getInt(10), r.getInt(11)))).toMap
+    assert(got == expected)
+    // the rule set must actually discriminate on this corpus: some kept,
+    // some dropped (else the test proves nothing about the thresholds)
+    assert(expected.values.exists(_._11 == 1))
+    assert(expected.values.exists(_._11 == 0))
+  }
+
+  test("x_ccnet_buckets buckets by per-lang KN-nll tercile thresholds") {
+    val texts = docs().map { case (id, t, lang) => (id, t.split(" ", -1), lang) }
+    val bigrams = texts.flatMap { case (id, w, _) =>
+      w.sliding(2).filter(_.length == 2).map(p => (id, p(0), p(1))) }
+    val c2 = bigrams.groupBy(b => (b._2, b._3)).map { case (k, g) => k -> g.length.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w1, g) => w1 -> g.values.sum }
+    val n1fw = c2.groupBy(_._1._1).map { case (w1, g) => w1 -> g.size.toLong }
+    val n1bw = c2.groupBy(_._1._2).map { case (w2, g) => w2 -> g.size.toLong }
+    val bTot = c2.size.toLong
+    val D = 0.75
+    def pKn(w1: String, w2: String): Double =
+      (c2((w1, w2)) - D) / c1(w1) +
+        ((D * n1fw(w1)) / c1(w1)) * (n1bw(w2).toDouble / bTot)
+    val lp6 = c2.keys.map { case (w1, w2) =>
+      (w1, w2) -> math.floor(math.log(pKn(w1, w2)) * 1e6 + 0.5).toLong }.toMap
+    val langOf = texts.map(t => t._1 -> t._3).toMap
+    val scored = bigrams.groupBy(_._1).toSeq.map { case (id, g) =>
+      val snll6 = -g.map(b => lp6((b._2, b._3))).sum
+      (langOf(id), id, g.length.toLong, snll6,
+        math.floor(snll6.toDouble / g.length + 0.5).toLong)
+    }
+    val expected = scored.groupBy(_._1).flatMap { case (lang, g) =>
+      val sorted = g.map(_._5).sorted
+      val n = g.size
+      val t1 = sorted((math.ceil(n / 3.0) - 1).toInt)
+      val t2 = sorted((math.ceil(2 * n / 3.0) - 1).toInt)
+      g.groupBy(r => 1 + (if (r._5 > t1) 1 else 0) + (if (r._5 > t2) 1 else 0))
+        .map { case (b, rs) =>
+          val nb = rs.map(_._3).sum; val s6 = rs.map(_._4).sum
+          val x = s6.toDouble / 1e6 / nb
+          (lang, b) -> ((rs.size.toLong, nb, math.floor(x * 1e6 + 0.5) / 1e6))
+        }
+    }
+    val got = graft.queries.QueriesText.queries("x_ccnet_buckets")(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == expected)
+    // terciles partition every language's docs across 3 buckets with
+    // threshold (not forced-equal-size) semantics
+    for ((lang, g) <- scored.groupBy(_._1)) {
+      val sizes = (1 to 3).map(b => got.getOrElse((lang, b), (0L, 0L, 0.0))._1)
+      assert(sizes.sum == g.size, s"$lang buckets cover all docs")
+      assert(sizes.forall(_ > 0), s"$lang has three nonempty buckets")
+    }
+  }
+
   test("x_kn3_ppl matches a driver recompute; trigram chain sums to 1") {
     val texts = docs().map { case (id, t, _) => id -> t.split(" ", -1) }
     val D = 0.75
