@@ -9,14 +9,15 @@ import org.apache.spark.sql.types._
   * decode / feature-extract run as partition-batched transforms
   * (`mapPartitions` — the Scala analog of `mapInPandas` batching).
   *
-  * Codec honesty (round 6): image and audio payloads are now REAL
+  * Codec honesty (round 6): ALL THREE payload kinds are now REAL
   * containers parsed from their bytes — uncompressed 24-bit BMP
   * (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up padded rows; the
-  * public Windows DIB layout) and canonical-form RIFF/WAVE PCM16 — with
-  * pure-JVM [[encodeBmp24]]/[[bmpDims]] and [[encodeWavPcm16]]/
-  * [[wavInfo]] in the same spirit as `ingest.GeoTiff`/`Las`.
-  * Compressed formats (JPEG/H.264/Opus …) remain stubbed — this
-  * container ships no codec libraries — so the deep-feature step
+  * public Windows DIB layout), canonical-form RIFF/WAVE PCM16, and
+  * uncompressed-DIB RIFF/AVI (hdrl/strl/movi lists) — with pure-JVM
+  * [[encodeBmp24]]/[[bmpDims]], [[encodeWavPcm16]]/[[wavInfo]], and
+  * [[encodeAvi]]/[[aviInfo]] in the same spirit as `ingest.GeoTiff`/
+  * `Las`. Compressed formats (JPEG/H.264/Opus …) remain out of scope —
+  * this container ships no codec libraries — so the deep-feature step
   * ([[decodeFeatures]]) still derives its vector from payload bytes via
   * FNV-1a while the container/metadata layer is real and oracle-gated
   * (`i_multimodal_meta` parses width/height/duration out of the bytes).
@@ -169,13 +170,115 @@ object Multimodal {
     (rate, dataBytes / blockAlign, dataBytes * 1000L / (rate.toLong * blockAlign))
   }
 
+  /** Canonical uncompressed-DIB AVI (RIFF 'AVI '): LIST hdrl { avih,
+    * LIST strl { strh 'vids'/'DIB ', strf BITMAPINFOHEADER } }, LIST
+    * movi with `frames` '00db' frames of deterministic LCG fill. Fixed
+    * 25 fps (40 000 µs/frame), so durationMs = 40·frames exactly. Total
+    * size is the closed form 224 + frames·(8 + rowBytes·height) the
+    * oracle recomputes. */
+  def encodeAvi(width: Int, height: Int, frames: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0 && frames > 0,
+      "AVI dims/frames must be positive")
+    val rowBytes = (3 * width + 3) / 4 * 4
+    val fsz = rowBytes * height
+    val total = 224 + frames * (8 + fsz)
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = b.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); b.putInt(total - 8); fourcc("AVI ")
+    fourcc("LIST"); b.putInt(192); fourcc("hdrl")
+    fourcc("avih"); b.putInt(56)
+    b.putInt(40000)        // dwMicroSecPerFrame (25 fps)
+    b.putInt(fsz * 25)     // dwMaxBytesPerSec
+    b.putInt(0)            // dwPaddingGranularity
+    b.putInt(0)            // dwFlags
+    b.putInt(frames)       // dwTotalFrames
+    b.putInt(0)            // dwInitialFrames
+    b.putInt(1)            // dwStreams
+    b.putInt(fsz)          // dwSuggestedBufferSize
+    b.putInt(width)
+    b.putInt(height)
+    b.putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+    fourcc("LIST"); b.putInt(112); fourcc("strl")
+    fourcc("strh"); b.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    b.putInt(0)            // dwFlags
+    b.putInt(0)            // wPriority + wLanguage
+    b.putInt(0)            // dwInitialFrames
+    b.putInt(1)            // dwScale
+    b.putInt(25)           // dwRate (fps = rate/scale)
+    b.putInt(0)            // dwStart
+    b.putInt(frames)       // dwLength
+    b.putInt(fsz)          // dwSuggestedBufferSize
+    b.putInt(0)            // dwQuality
+    b.putInt(0)            // dwSampleSize
+    b.putShort(0).putShort(0)
+    b.putShort(width.toShort).putShort(height.toShort) // rcFrame
+    fourcc("strf"); b.putInt(40)
+    b.putInt(40); b.putInt(width); b.putInt(height)
+    b.putShort(1); b.putShort(24)
+    b.putInt(0)            // BI_RGB
+    b.putInt(fsz)
+    b.putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); b.putInt(4 + frames * (8 + fsz)); fourcc("movi")
+    var s = seed
+    var f = 0
+    while (f < frames) {
+      fourcc("00db"); b.putInt(fsz)
+      var i = 0
+      while (i < fsz) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        b.put((s >>> 40).toByte)
+        i += 1
+      }
+      f += 1
+    }
+    b.array()
+  }
+
+  /** Walk the RIFF lists of an AVI and return (width, height, nFrames,
+    * durationMs) from the avih main header; durationMs is the exact
+    * integer µsPerFrame·frames / 1000. Junk and truncation throw. */
+  def aviInfo(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 72 && tag(0) == "RIFF" && tag(8) == "AVI ",
+      "not an AVI")
+    var off = 12
+    var res: (Int, Int, Long, Long) = null
+    while (off + 12 <= bytes.length && res == null) {
+      val id = tag(off)
+      val len = b.getInt(off + 4)
+      if (id == "LIST" && tag(off + 8) == "hdrl") {
+        var o2 = off + 12
+        val end = math.min(off + 8 + len, bytes.length)
+        while (o2 + 8 <= end && res == null) {
+          if (tag(o2) == "avih") {
+            require(o2 + 8 + 48 <= bytes.length, "truncated avih")
+            val us = b.getInt(o2 + 8)
+            val fr = b.getInt(o2 + 24)
+            res = (b.getInt(o2 + 40), b.getInt(o2 + 44),
+              fr.toLong, us.toLong * fr / 1000L)
+          }
+          val l2 = b.getInt(o2 + 4)
+          o2 += 8 + l2 + (l2 & 1)
+        }
+      }
+      off += 8 + len + (len & 1)
+    }
+    require(res != null, "missing avih header")
+    res
+  }
+
   /** Synthetic media table derived from `documents`: image rows carry a
     * REAL BMP whose dimensions derive from doc_id, audio rows a REAL
     * PCM16 WAV whose sample count derives from the text length, video
-    * rows the raw text bytes (the one remaining stub — no video container
-    * is hand-assemblable without codec libs; loudly documented). The
-    * derivations are pure integer functions of (doc_id, octet length), so
-    * the DuckDB oracle can recompute every parsed header field. */
+    * rows a REAL uncompressed-DIB AVI whose dimensions and frame count
+    * derive from doc_id. Deep codecs (JPEG/H.264/Opus) remain out of
+    * scope — no codec libs in the container — but every payload is now a
+    * parseable standard container. The derivations are pure integer
+    * functions of (doc_id, octet length), so the DuckDB oracle can
+    * recompute every parsed header field. */
   def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame = {
     val base = graft.Tables.documents(spark, dir).select(
       col("doc_id").as("media_id"),
@@ -202,15 +305,17 @@ object Multimodal {
               s = s * 6364136223846793005L + 1442695040888963407L
               (s >>> 48).toShort
             })
-          case _ => tb
+          case _ =>
+            encodeAvi((16 + id % 32).toInt, (16 + (id * 5) % 32).toInt,
+              (1 + id % 8).toInt, id)
         }
         Row(id, r.getString(1), payload, r.getString(3))
       }
     }(enc)
   }
 
-  /** Parsed per-item container metadata: width/height from the BMP
-    * header, duration from the WAV chunks, zeros for the video stub. */
+  /** Parsed per-item container metadata: width/height from the BMP or
+    * AVI header, duration from the WAV chunks or the AVI frame clock. */
   def containerMeta(media: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -225,8 +330,11 @@ object Multimodal {
       it.flatMap { r =>
         Option(r.getAs[Array[Byte]](2)).map { p =>
           val kind = r.getString(1)
-          val (w, h) = if (kind == "image") bmpDims(p) else (0, 0)
-          val dur = if (kind == "audio") wavInfo(p)._3 else 0L
+          val (w, h, dur) = kind match {
+            case "image" => val (bw, bh) = bmpDims(p); (bw, bh, 0L)
+            case "audio" => (0, 0, wavInfo(p)._3)
+            case _ => val (aw, ah, _, ms) = aviInfo(p); (aw, ah, ms)
+          }
           Row(r.getLong(0), kind, r.getString(3), p.length.toLong, w, h, dur)
         }
       }

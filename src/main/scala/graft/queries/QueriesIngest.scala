@@ -74,6 +74,9 @@ object QueriesIngest {
   // Oracle sums are CAST to BIGINT: DuckDB sum(BIGINT) -> HUGEINT, which
   // serializes as a different physical type than Spark's LongType even
   // when the values agree (round-1 gate recorded hash_match:false here).
+  // Video rows (doc_id % 3 = 2) carry the uncompressed-DIB AVI whose
+  // closed-form size is 224 + frames·(8 + rowBytes·height) at 25 fps —
+  // the oracle recomputes every header field from doc_id alone.
   private val multimodalMetaSql =
     """SELECT CASE CAST(doc_id % 3 + 1 AS INT) WHEN 1 THEN 'image'
                    WHEN 2 THEN 'audio' ELSE 'video' END AS kind,
@@ -82,13 +85,20 @@ object QueriesIngest {
                 WHEN 0 THEN 54 + ((3 * (16 + doc_id % 48) + 3) // 4 * 4)
                                  * (16 + (doc_id * 7) % 48)
                 WHEN 1 THEN 44 + 2 * (64 + octet_length(encode(text)) % 256)
-                ELSE octet_length(encode(text)) END) AS BIGINT) AS total_bytes,
-              CAST(sum(CASE WHEN doc_id % 3 = 0
-                THEN 16 + doc_id % 48 ELSE 0 END) AS BIGINT) AS sum_width,
-              CAST(sum(CASE WHEN doc_id % 3 = 0
-                THEN 16 + (doc_id * 7) % 48 ELSE 0 END) AS BIGINT) AS sum_height,
-              CAST(sum(CASE WHEN doc_id % 3 = 1
-                THEN (64 + octet_length(encode(text)) % 256) // 8
+                ELSE 224 + (1 + doc_id % 8) *
+                     (8 + ((3 * (16 + doc_id % 32) + 3) // 4 * 4)
+                          * (16 + (doc_id * 5) % 32)) END) AS BIGINT) AS total_bytes,
+              CAST(sum(CASE doc_id % 3
+                WHEN 0 THEN 16 + doc_id % 48
+                WHEN 2 THEN 16 + doc_id % 32
+                ELSE 0 END) AS BIGINT) AS sum_width,
+              CAST(sum(CASE doc_id % 3
+                WHEN 0 THEN 16 + (doc_id * 7) % 48
+                WHEN 2 THEN 16 + (doc_id * 5) % 32
+                ELSE 0 END) AS BIGINT) AS sum_height,
+              CAST(sum(CASE doc_id % 3
+                WHEN 1 THEN (64 + octet_length(encode(text)) % 256) // 8
+                WHEN 2 THEN 40 * (1 + doc_id % 8)
                 ELSE 0 END) AS BIGINT) AS sum_duration_ms
        FROM documents GROUP BY 1, 2"""
 

@@ -297,10 +297,18 @@ class StreamMultimodalSpec extends SparkSuite {
     val (rate, n, ms) = Multimodal.wavInfo(wav)
     assert(rate == 8000 && n == 12345L)
     assert(ms == 12345L * 2 * 1000 / 16000)
+    // AVI: header fields and the closed-form size round-trip exactly
+    val avi = Multimodal.encodeAvi(33, 21, 5, 99L)
+    val (aw, ah, af, ams) = Multimodal.aviInfo(avi)
+    assert((aw, ah, af) == ((33, 21, 5L)))
+    assert(ams == 40000L * 5 / 1000)
+    assert(avi.length == 224 + 5 * (8 + (3 * 33 + 3) / 4 * 4 * 21))
     // junk is rejected, not misparsed
     intercept[IllegalArgumentException] { Multimodal.bmpDims("junk".getBytes) }
     intercept[IllegalArgumentException] { Multimodal.wavInfo(wav.take(20)) }
     intercept[IllegalArgumentException] { Multimodal.bmpDims(wav) }
+    intercept[IllegalArgumentException] { Multimodal.aviInfo(wav) }
+    intercept[IllegalArgumentException] { Multimodal.aviInfo(avi.take(40)) }
   }
 
   test("media table carries parseable containers per kind") {
@@ -314,7 +322,11 @@ class StreamMultimodalSpec extends SparkSuite {
         assert(r.getAs[Int]("height") == (16 + (id * 7) % 48).toInt, s"height $id")
       } else if (kind == "audio") {
         assert(r.getAs[Long]("duration_ms") > 0, s"duration $id")
-      } else assert(r.getAs[Int]("width") == 0 && r.getAs[Long]("duration_ms") == 0L)
+      } else {
+        assert(r.getAs[Int]("width") == (16 + id % 32).toInt, s"avi width $id")
+        assert(r.getAs[Int]("height") == (16 + (id * 5) % 32).toInt, s"avi height $id")
+        assert(r.getAs[Long]("duration_ms") == 40L * (1 + id % 8), s"avi dur $id")
+      }
     }
   }
 
