@@ -805,6 +805,49 @@ object QueriesText {
           round(quality_score, 6) AS quality_score
         FROM (SELECT doc_id, ${TextOps.qualitySql("text", "n_chars")} FROM documents)"""
 
+  // ---- exact repeated-span dedup (Lee et al. 2021) ----------------------
+  // "Deduplicating Training Data Makes Language Models Better" removes
+  // substrings repeated verbatim across the corpus. The suffix-array
+  // construction is a single-machine memory trick; the Spark-first form
+  // of the same semantics at fixed span length K is a shingle-hash
+  // group: every K-word span occurring in ≥2 DISTINCT documents is a
+  // duplicated span, and each document reports how much of it is
+  // covered by corpus-duplicated text. All stages are linear —
+  // explode (rows × spans), one hash groupBy, one equi-join back —
+  // no pair space, no suffix sort.
+  private val SPAN_K = 20
+  private val dedupSpans: Q = (s, d) => {
+    val sp = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(TextOps.shinglesOf(col("w"), SPAN_K)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+      .persistShared() // consumed by the dup set AND the coverage join
+    val dup = sp.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select(col("h"), lit(1L).as("isdup"))
+    sp.join(dup, Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup_spans"))
+      .withColumn("dup_coverage", round(col("n_dup_spans").cast("double") /
+        col("n_spans").cast("double"), 6))
+  }
+
+  private val dedupSpansSql =
+    s"""WITH sp AS (SELECT doc_id, md5(sh) AS h
+                    FROM (SELECT doc_id,
+                                 unnest(${TextOps.shinglesSql("text", SPAN_K)}) AS sh
+                          FROM documents)),
+        dup AS (SELECT h, CAST(1 AS BIGINT) AS isdup
+                FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY 1)
+                WHERE nd >= 2)
+        SELECT doc_id, count(*) AS n_spans,
+               CAST(sum(COALESCE(isdup, 0)) AS BIGINT) AS n_dup_spans,
+               round(CAST(sum(COALESCE(isdup, 0)) AS BIGINT)
+                     / CAST(count(*) AS DOUBLE), 6) AS dup_coverage
+        FROM sp LEFT JOIN dup USING (h)
+        GROUP BY 1"""
+
   // ---- Gopher-style quality rules (Rae et al. 2021, App. A1.1 subset) ---
   // The published MassiveText document filters, as hard per-rule flags
   // plus the conjunction: word count in [50, 100k], mean word length in
@@ -1143,6 +1186,7 @@ object QueriesText {
     "x_tokens_regex" -> tokensRegex,
     "x_kn3_ppl" -> kn3Ppl,
     "x_dedup_exact" -> dedupExact,
+    "x_dedup_spans" -> dedupSpans,
     "x_dedup_minhash_lsh" -> dedupMinhash,
     "x_dedup_containment" -> containment,
     "x_novelty" -> novelty,
@@ -1170,6 +1214,7 @@ object QueriesText {
     "x_tokens_regex" -> tokensRegexSql,
     "x_kn3_ppl" -> kn3PplSql,
     "x_dedup_exact" -> dedupExactSql,
+    "x_dedup_spans" -> dedupSpansSql,
     "x_dedup_minhash_lsh" -> dedupMinhashSql,
     "x_dedup_containment" -> containmentSql,
     "x_novelty" -> noveltySql,

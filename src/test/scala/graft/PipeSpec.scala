@@ -489,6 +489,30 @@ class PipeSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("x_dedup_spans matches a driver repeated-span sweep") {
+    val K = 20
+    val spans = docs().flatMap { case (id, t, _) =>
+      t.split(" ", -1).sliding(K).filter(_.length == K)
+        .map(w => (id, w.mkString(" ")))
+    }
+    val dupTexts = spans.groupBy(_._2)
+      .filter { case (_, occ) => occ.map(_._1).distinct.length >= 2 }
+      .keySet
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = spans.groupBy(_._1).map { case (id, occ) =>
+      val nd = occ.count(o => dupTexts(o._2)).toLong
+      id -> ((occ.length.toLong, nd, r6(nd.toDouble / occ.length)))
+    }
+    val got = graft.queries.QueriesText.queries("x_dedup_spans")(spark, sf001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+    // planted near-dups must surface: some docs carry duplicated spans,
+    // and docs shorter than K words are absent rather than zero-row noise
+    assert(expected.values.exists(_._2 > 0))
+    assert(expected.values.exists(_._2 == 0))
+  }
+
   test("x_gopher_rules matches a driver recompute of the published thresholds") {
     val rows = spark.read.parquet(s"$sf001/documents.parquet")
       .select("doc_id", "text", "n_chars").collect()
