@@ -651,10 +651,22 @@ object Laz {
       v += 1
     }
     require(found, "laszip VLR (record 22204) not found")
-    // chunk table → per-chunk byte extents
-    val tableOff = b.getLong(dataOff).toInt
+    // chunk table → per-chunk byte extents. The offset is a signed i64 in
+    // the stream; LASzip writes the sentinel -1 when the writer could not
+    // seek back (table then lives at EOF preceded by a forward pointer) —
+    // reject that explicitly rather than dereferencing garbage, and bound
+    // the offset before use. Int indices are safe AFTER validation because
+    // a JVM byte array is < 2 GiB by construction; files larger than that
+    // must be range-read per chunk before reaching this in-memory parser.
+    val tableOff64 = b.getLong(dataOff)
+    require(tableOff64 != -1L,
+      "LAZ chunk-table offset sentinel -1 (non-seekable writer) not supported")
+    require(tableOff64 >= dataOff + 8 && tableOff64 + 8 <= bytes.length,
+      s"LAZ chunk-table offset $tableOff64 outside [${dataOff + 8}, ${bytes.length - 8}]")
+    val tableOff = tableOff64.toInt
     require(b.getInt(tableOff) == 0, "unsupported chunk table version")
     val numChunks = b.getInt(tableOff + 4)
+    require(numChunks >= 0, s"corrupt LAZ chunk table: $numChunks chunks")
     val tdec = new ArithDecoder(bytes, tableOff + 8, bytes.length)
     val tic = new IntComp(32, 2, forDecoding = true)
     val starts = new Array[Int](numChunks)

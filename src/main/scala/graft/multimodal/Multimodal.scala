@@ -159,6 +159,8 @@ object Multimodal {
     while (off + 8 <= bytes.length && (rate == 0 || dataBytes < 0)) {
       val id = tag(off)
       val len = b.getInt(off + 4)
+      require(len >= 0 && off + 8 + len <= bytes.length,
+        s"corrupt WAV chunk '$id' length $len")
       if (id == "fmt ") {
         require(b.getShort(off + 8) == 1, "only PCM WAV supported")
         rate = b.getInt(off + 12)
@@ -199,7 +201,8 @@ object Multimodal {
     b.putInt(width)
     b.putInt(height)
     b.putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
-    fourcc("LIST"); b.putInt(112); fourcc("strl")
+    // LIST ckSize includes the 4-byte list-type fourcc: 4 + strh(8+56) + strf(8+40)
+    fourcc("LIST"); b.putInt(116); fourcc("strl")
     fourcc("strh"); b.putInt(56)
     fourcc("vids"); fourcc("DIB ")
     b.putInt(0)            // dwFlags
@@ -249,6 +252,7 @@ object Multimodal {
     while (off + 12 <= bytes.length && res == null) {
       val id = tag(off)
       val len = b.getInt(off + 4)
+      require(len >= 0, s"corrupt AVI chunk '$id' length $len")
       if (id == "LIST" && tag(off + 8) == "hdrl") {
         var o2 = off + 12
         val end = math.min(off + 8 + len, bytes.length)
@@ -261,6 +265,7 @@ object Multimodal {
               fr.toLong, us.toLong * fr / 1000L)
           }
           val l2 = b.getInt(o2 + 4)
+          require(l2 >= 0, s"corrupt AVI hdrl child length $l2")
           o2 += 8 + l2 + (l2 & 1)
         }
       }

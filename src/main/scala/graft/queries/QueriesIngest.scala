@@ -61,7 +61,8 @@ object QueriesIngest {
   // walk. The oracle recomputes every header field from the pure integer
   // derivations (doc_id, text byte length) the synthesizer used — so the
   // row is green only if container assembly → header parse round-trips
-  // exactly. Video stays a documented stub (raw text bytes).
+  // exactly. All three kinds are real containers (BMP / WAV / AVI); only
+  // deep codecs (JPEG/H.264/Opus) remain stubbed — no codec libs here.
   private val multimodalMeta: Q = (s, d) =>
     graft.multimodal.Multimodal.containerMeta(
       graft.multimodal.Multimodal.mediaFromDocuments(s, d))

@@ -114,6 +114,29 @@ class LazSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Laz.decode(Las.encode(pts)) }
   }
 
+  test("corrupt chunk-table offsets are rejected with clear errors") {
+    val bytes = Laz.encode(cloud(100, 7L))
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOff = b.getInt(96)
+    // LASzip sentinel -1 (non-seekable writer): explicit, named rejection
+    val sentinel = bytes.clone()
+    java.nio.ByteBuffer.wrap(sentinel).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putLong(dataOff, -1L)
+    val e1 = intercept[IllegalArgumentException] { Laz.layout(sentinel) }
+    assert(e1.getMessage.contains("sentinel"))
+    // offset beyond EOF (e.g. a >2 GiB file truncated into memory)
+    val big = bytes.clone()
+    java.nio.ByteBuffer.wrap(big).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putLong(dataOff, 3L * 1024 * 1024 * 1024)
+    val e2 = intercept[IllegalArgumentException] { Laz.layout(big) }
+    assert(e2.getMessage.contains("outside"))
+    // offset pointing before the data start (garbage)
+    val neg = bytes.clone()
+    java.nio.ByteBuffer.wrap(neg).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putLong(dataOff, 4L)
+    intercept[IllegalArgumentException] { Laz.layout(neg) }
+  }
+
   test("tilesToPoints decodes LAZ tiles in executors") {
     val a = cloud(300, 1L); val b = cloud(200, 2L)
     val tiles = Seq((1, Laz.encode(a, chunkSize = 128)), (2, Laz.encode(b)))

@@ -309,6 +309,54 @@ class StreamMultimodalSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Multimodal.bmpDims(wav) }
     intercept[IllegalArgumentException] { Multimodal.aviInfo(wav) }
     intercept[IllegalArgumentException] { Multimodal.aviInfo(avi.take(40)) }
+    // corrupt (negative) chunk lengths throw instead of looping forever
+    val badWav = wav.clone(); badWav(16) = -8; badWav(17) = -1
+    badWav(18) = -1; badWav(19) = -1 // fmt length = negative
+    intercept[IllegalArgumentException] { Multimodal.wavInfo(badWav) }
+    val badAvi = avi.clone(); badAvi(16) = -1; badAvi(17) = -1
+    badAvi(18) = -1; badAvi(19) = -1 // hdrl LIST length = -1
+    intercept[IllegalArgumentException] { Multimodal.aviInfo(badAvi) }
+  }
+
+  test("AVI RIFF lists walk conformantly to their declared ends") {
+    // A strict RIFF walker must be able to descend every LIST and land
+    // exactly on each declared boundary: LIST ckSize includes the 4-byte
+    // list-type fourcc, so children occupy [off+12, off+8+ckSize).
+    val avi = Multimodal.encodeAvi(33, 21, 5, 99L)
+    val b = java.nio.ByteBuffer.wrap(avi).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(avi, off, 4, "US-ASCII")
+    // walks chunks in [from, to), returns the (id, listType) pairs seen and
+    // asserts the walk lands exactly on `to`
+    def walk(from: Int, to: Int): Seq[(String, String)] = {
+      var off = from
+      val seen = Seq.newBuilder[(String, String)]
+      while (off < to) {
+        assert(off + 8 <= to, s"chunk header would overrun at $off")
+        val id = tag(off); val len = b.getInt(off + 4)
+        assert(len >= 0 && off + 8 + len <= to, s"chunk $id len $len overruns")
+        seen += ((id, if (id == "LIST") tag(off + 8) else ""))
+        off += 8 + len + (len & 1)
+      }
+      assert(off == to, s"walk ended at $off, expected $to")
+      seen.result()
+    }
+    assert(tag(0) == "RIFF" && b.getInt(4) == avi.length - 8 && tag(8) == "AVI ")
+    val top = walk(12, avi.length)
+    assert(top.map(_._2) == Seq("hdrl", "movi"))
+    // descend hdrl: avih then LIST strl
+    val hdrlOff = 12
+    val hdrl = walk(hdrlOff + 12, hdrlOff + 8 + b.getInt(hdrlOff + 4))
+    assert(hdrl == Seq(("avih", ""), ("LIST", "strl")))
+    // descend strl to ITS declared end: strh then a full 48-byte strf
+    val strlOff = hdrlOff + 12 + 8 + b.getInt(hdrlOff + 12 + 4) // after avih
+    assert(tag(strlOff) == "LIST" && tag(strlOff + 8) == "strl")
+    val strl = walk(strlOff + 12, strlOff + 8 + b.getInt(strlOff + 4))
+    assert(strl == Seq(("strh", ""), ("strf", "")))
+    // descend movi: exactly `frames` 00db chunks
+    val moviOff = hdrlOff + 8 + b.getInt(hdrlOff + 4)
+    assert(tag(moviOff + 8) == "movi")
+    val movi = walk(moviOff + 12, moviOff + 8 + b.getInt(moviOff + 4))
+    assert(movi == Seq.fill(5)(("00db", "")))
   }
 
   test("media table carries parseable containers per kind") {
