@@ -608,7 +608,90 @@ object QueriesAnn {
         FROM approx WHERE arank <= $SQ_RESCORE
         QUALIFY rank <= $TOPK"""
 
+  // ---- x_semdedup: SemDeDup keep/drop census (Abbas et al. 2023,
+  // arXiv:2303.09540) — the published semantic-dedup pipeline for web-
+  // scale training corpora. x_dedup_embcos LISTS near-dup pairs; this
+  // surface makes the DECISION: cluster embeddings (k-means assignment,
+  // the IVF fixture centroids), and within each cluster DROP any item
+  // that has an ε-neighbor sitting FARTHER from the centroid — the
+  // paper's keep-LOW-centroid-similarity rule, which keeps the diverse /
+  // atypical member of every near-dup ball (§3.2 there; lower csim =
+  // kept). Ties on csim break by id (smaller id wins). At 100 TB the
+  // pair space stays the per-cluster equi-join (never O(N²) global);
+  // the verdict is one aggregation over a left-semi-shaped mark join.
+  // Output: per-cluster census — totals, drops, and exact kept-set
+  // checksums (id sum + 1e-6-integer csim sum) that pin the kept SET,
+  // not just its size.
+  private val SEM_EPS = 0.35
+  private val semdedup: Q = (s, d) => {
+    val e = emb(s, d)
+    val cents = e.filter(col("vec_id") < NCENTROIDS).toDF("c_id", "cv")
+    // assigned feeds three consumers (pair sides a/b + the final census):
+    // persist, or the broadcast-assign subtree runs 3×
+    val assigned = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("c_id"),
+        round(Similarity.cosine(col("cv"), col("v")), 6).as("csim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), Similarity.norm(col("v")).as("nrm"),
+        col("c_id").as("cluster"), col("csim"))
+      .persistShared()
+    val a = assigned.select(col("vec_id").as("a_id"), col("v").as("av"),
+      col("nrm").as("anrm"), col("cluster"), col("csim").as("a_csim"))
+    val b = assigned.select(col("vec_id").as("b_id"), col("v").as("bv"),
+      col("nrm").as("bnrm"), col("cluster"), col("csim").as("b_csim"))
+    // b is dominated (dropped) when an ε-neighbor a is closer to the
+    // centroid; threshold on the ROUNDED cosine so the cut is exact
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("a_id") =!= col("b_id") &&
+        round(Similarity.dot(col("av"), col("bv")) /
+          (col("anrm") * col("bnrm")), 6) >= SEM_EPS &&
+        (col("a_csim") < col("b_csim") ||
+          (col("a_csim") === col("b_csim") && col("a_id") < col("b_id"))))
+      .select(col("cluster"), col("b_id").as("vec_id")).distinct()
+      .withColumn("is_drop", lit(1L))
+    assigned.join(dropped, Seq("cluster", "vec_id"), "left_outer")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_total"),
+        sum(coalesce(col("is_drop"), lit(0L))).as("n_dropped"),
+        sum(when(col("is_drop").isNull, col("vec_id")).otherwise(0L))
+          .as("kept_id_sum"),
+        sum(when(col("is_drop").isNull,
+          floor(col("csim") * 1e6 + 0.5).cast("long")).otherwise(0L))
+          .as("kept_csim_e6"))
+  }
+
+  private val semdedupSql =
+    s"""WITH e AS ($embSqlCte),
+        cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NCENTROIDS),
+        assigned AS (
+          SELECT vec_id, v, c_id AS cluster, csim
+          FROM (SELECT e.vec_id, e.v, c.c_id,
+                       round(${Similarity.cosineSql("cv", "v")}, 6) AS csim
+                FROM e, cents c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, c_id ASC) = 1),
+        dropped AS (
+          SELECT DISTINCT b.cluster, b.vec_id
+          FROM assigned a JOIN assigned b
+            ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+          WHERE round(${Similarity.cosineSql("a.v", "b.v")}, 6) >= $SEM_EPS
+            AND (a.csim < b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id)))
+        SELECT s.cluster, count(*) AS n_total,
+               CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped,
+               CAST(sum(CASE WHEN d.vec_id IS NULL THEN s.vec_id ELSE 0 END) AS BIGINT)
+                 AS kept_id_sum,
+               CAST(sum(CASE WHEN d.vec_id IS NULL
+                             THEN CAST(floor(csim * 1e6 + 0.5) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS kept_csim_e6
+        FROM assigned s LEFT JOIN dropped d
+          ON d.cluster = s.cluster AND d.vec_id = s.vec_id
+        GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
+    "x_semdedup" -> semdedup,
     "n_inertia" -> inertia,
     "n_sq8_topk" -> sq8Topk,
     "m_ndcg" -> ndcg,
@@ -623,6 +706,7 @@ object QueriesAnn {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_semdedup" -> semdedupSql,
     "n_inertia" -> inertiaSql,
     "n_sq8_topk" -> sq8TopkSql,
     "m_ndcg" -> ndcgSql,

@@ -694,6 +694,100 @@ object QueriesPipe {
         QUALIFY rank <= 20"""
   }
 
+  // ---- g_labelprop: synchronous label propagation (community detection)
+  // The third graph primitive beside PageRank (centrality) and the
+  // min-label connected components of x_dedup_clusters: LPA (Raghavan et
+  // al. 2007) finds COMMUNITIES — each node adopts the most frequent
+  // label among its neighbors. Determinism: synchronous rounds (all
+  // nodes update from the round-(k−1) labels), ties broken by SMALLEST
+  // label — so both engines converge identically, unlike the
+  // asynchronous randomized original. Per round the plan is one join of
+  // the node-label vector to the pre-partitioned edge table + one
+  // (dst, lbl) count + one per-dst window pick — the same
+  // one-shuffle-per-superstep shape as the rank iterations; the window
+  // partitions by node, never globally. 3 rounds (fixture; at scale LPA
+  // runs until <1% of labels move).
+  private val LP_ITERS = 3
+  private val labelprop: Q = (s, d) => {
+    val (contrib, deg) = orderGraph(s, d)
+    val edges = contrib.select("src", "dst")
+    var lbl = deg.select(col("src"), col("src").as("lbl"))
+    for (_ <- 1 to LP_ITERS) {
+      lbl = edges.join(lbl, "src")
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("dst").orderBy(col("cnt").desc, col("lbl").asc)))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("src"), col("lbl"))
+    }
+    lbl.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        min("src").as("min_node"), max("src").as("max_node"),
+        sum("src").as("node_id_sum"))
+  }
+
+  private val labelpropSql = {
+    def step(lin: String, lout: String) =
+      s"""$lout AS (SELECT dst AS src, lbl
+                    FROM (SELECT e.dst, l.lbl, count(*) AS cnt,
+                                 row_number() OVER (PARTITION BY e.dst
+                                   ORDER BY count(*) DESC, l.lbl ASC) AS rn
+                          FROM edges e JOIN $lin l ON e.src = l.src
+                          GROUP BY e.dst, l.lbl)
+                    WHERE rn = 1)"""
+    val steps = (1 to LP_ITERS).map(i => step(s"l${i - 1}", s"l$i")).mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS cust,
+                              l.l_suppkey * 2 + 1 AS supp
+                       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        edges AS (SELECT cust AS src, supp AS dst FROM pairs
+                  UNION ALL
+                  SELECT supp AS src, cust AS dst FROM pairs),
+        l0 AS (SELECT DISTINCT src, src AS lbl FROM edges),
+        $steps
+        SELECT lbl AS community, count(*) AS n_members,
+               min(src) AS min_node, max(src) AS max_node,
+               CAST(sum(src) AS BIGINT) AS node_id_sum
+        FROM l$LP_ITERS GROUP BY 1"""
+  }
+
+  // ---- x_split_assign: deterministic train/valid/test hash split -------
+  // The assignment every training pipeline needs BEFORE any shuffling:
+  // each document lands in a split as a pure function of its id — stable
+  // across runs, machines, and engine versions, and new data never moves
+  // old rows between splits. Bucket = first md5 byte of the DECIMAL id
+  // string (0–255): <230 train (~90%), <243 valid (~5%), else test —
+  // md5 is the cross-engine-identical hash (same trick as the DSIR
+  // bucket models / Bloom decontamination). Per-(split, source) census
+  // with id-sum checksums pins the exact membership, not just counts.
+  // Embarrassingly parallel: one map-side hash per row, one aggregate.
+  private val splitAssign: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("m", md5(col("doc_id").cast("string")))
+      .withColumn("b",
+        TextOps.hexDigit(col("m"), 1) * 16 + TextOps.hexDigit(col("m"), 2))
+      .withColumn("split",
+        when(col("b") < 230, "train").when(col("b") < 243, "valid")
+          .otherwise("test"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_id").as("doc_id_sum"),
+        sum("n_chars").as("total_chars"))
+
+  private val splitAssignSql =
+    """WITH b AS (SELECT doc_id, source, n_chars,
+                         (strpos('0123456789abcdef',
+                                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                         + (strpos('0123456789abcdef',
+                                   substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bk
+                  FROM documents)
+       SELECT CASE WHEN bk < 230 THEN 'train'
+                   WHEN bk < 243 THEN 'valid' ELSE 'test' END AS split,
+              source, count(*) AS n_docs,
+              CAST(sum(doc_id) AS BIGINT) AS doc_id_sum,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM b GROUP BY 1, 2"""
+
   // ---- st_late_events: watermark-lateness accounting -------------------
   // Batch twin of the streaming question "how late does this source
   // deliver?": per user, arrival order is event_id; the frontier is the
@@ -938,6 +1032,8 @@ object QueriesPipe {
     "g_pagerank" -> pagerank,
     "g_pagerank6" -> pagerankQ(6),
     "g_ppr" -> ppr,
+    "g_labelprop" -> labelprop,
+    "x_split_assign" -> splitAssign,
     "st_late_events" -> lateEvents,
     "st_join_enrich" -> joinEnrich,
     "a_grouping_sets" -> groupingSets,
@@ -957,6 +1053,8 @@ object QueriesPipe {
     "g_pagerank" -> pagerankSql,
     "g_pagerank6" -> pagerankSqlFor(6),
     "g_ppr" -> pprSql,
+    "g_labelprop" -> labelpropSql,
+    "x_split_assign" -> splitAssignSql,
     "st_late_events" -> lateEventsSql,
     "st_join_enrich" -> joinEnrichSql,
     "a_grouping_sets" -> groupingSetsSql,
