@@ -478,6 +478,78 @@ object QueriesIngest {
     PointCloud.gridDem(graft.ingest.Laz.tilesToPointsChunked(tiles))
   }
 
+  // Shapefile (vector polygon source) byte-boundary round trip — the
+  // reference's `_read_polygon_file` reads shapefile/GeoJSON/GPKG
+  // polygons (stable_unstable_areas.py:288–306). Deterministic polygons
+  // (1–2 rings, 4–6 vertices, Rand.mix integer coordinates) are encoded
+  // into ONE COMPLETE .shp PER TILE in executors, decoded through the
+  // tile-parallel boundary, and summarized per record; the oracle
+  // recomputes every ring count / vertex count / coordinate checksum
+  // from the same closed-form generator — green only if the ESRI
+  // container (BE headers, Parts offsets, spec-mandated ring closing,
+  // which adds the first vertex once more per ring) round-trips exactly.
+  private val shpRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val verts = Tables.supplier(s, d)
+      .select(col("s_suppkey").cast("long").as("k"),
+        (col("s_nationkey") % 5).cast("int").as("tile"))
+      .select(col("k"), col("tile"),
+        explode(sequence(lit(0L), col("k") % 2)).as("r"))
+      .select(col("k"), col("tile"), col("r"),
+        explode(sequence(lit(0L), lit(3L) + (col("k") + col("r")) % 3)).as("i"))
+      .select(col("tile"), col("k"), col("r"), col("i"),
+        (graft.rng.Rand.mix(col("k") * 37 + col("r") * 11 + col("i"), 910) % 2000
+          - 1000).cast("double").as("x"),
+        (graft.rng.Rand.mix(col("k") * 37 + col("r") * 11 + col("i"), 911) % 2000
+          - 1000).cast("double").as("y"))
+    val tiles = verts
+      .as[(Int, Long, Long, Long, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (tile: Int, it: Iterator[(Int, Long, Long, Long, Double, Double)]) =>
+        val polys = it.toArray.groupBy(_._2).toSeq.sortBy(_._1).map {
+          case (k, vs) =>
+            val rings = vs.groupBy(_._3).toSeq.sortBy(_._1).map { case (_, ps) =>
+              ps.sortBy(_._4).map(p => (p._5, p._6))
+            }.toArray
+            (k, rings)
+        }
+        (tile, graft.ingest.Shp.encode(polys))
+      }
+      .toDF("tile_id", "data")
+    graft.ingest.Shp.tilesToRings(tiles)
+      .groupBy(col("tile_id").as("tile"), col("rec_no"))
+      .agg((max("part_idx") + 1).cast("long").as("n_parts"),
+        count(lit(1)).as("n_points"),
+        sum("x").cast("long").as("sum_x"),
+        sum("y").cast("long").as("sum_y"))
+  }
+
+  private val shpRoundtripSql = {
+    val mx = graft.rng.Rand.mixSql("k*37 + r*11 + i", 910)
+    val my = graft.rng.Rand.mixSql("k*37 + r*11 + i", 911)
+    s"""WITH sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k,
+                            CAST(s_nationkey % 5 AS INT) AS tile FROM supplier),
+        rings AS (SELECT k, tile, unnest(range(k % 2 + 1)) AS r FROM sup),
+        verts AS (SELECT k, tile, r, unnest(range(4 + (k + r) % 3)) AS i FROM rings),
+        pts AS (SELECT k, tile, r, i,
+                       ($mx) % 2000 - 1000 AS x,
+                       ($my) % 2000 - 1000 AS y
+                FROM verts),
+        perring AS (SELECT k, tile, r, count(*) + 1 AS np,
+                           sum(x) + sum(CASE WHEN i = 0 THEN x ELSE 0 END) AS sx,
+                           sum(y) + sum(CASE WHEN i = 0 THEN y ELSE 0 END) AS sy
+                    FROM pts GROUP BY 1, 2, 3),
+        perpoly AS (SELECT tile, k, count(*) AS n_parts, sum(np) AS n_points,
+                           sum(sx) AS sum_x, sum(sy) AS sum_y
+                    FROM perring GROUP BY 1, 2)
+        SELECT tile,
+               CAST(row_number() OVER (PARTITION BY tile ORDER BY k) AS INT) AS rec_no,
+               CAST(n_parts AS BIGINT) AS n_parts,
+               CAST(n_points AS BIGINT) AS n_points,
+               CAST(sum_x AS BIGINT) AS sum_x, CAST(sum_y AS BIGINT) AS sum_y
+        FROM perpoly"""
+  }
+
   private val lasRoundtripSql = PointCloud.gridDemSql(
     s"""SELECT floor(x / 0.000001 + 0.5) * 0.000001 AS x,
                floor(y / 0.000001 + 0.5) * 0.000001 AS y,
@@ -495,6 +567,7 @@ object QueriesIngest {
     "i_geotiff_lzw_roundtrip" -> geotiffLzwRoundtrip,
     "i_las_roundtrip" -> lasRoundtrip,
     "i_laz_roundtrip" -> lazRoundtrip,
+    "i_shp_roundtrip" -> shpRoundtrip,
     "a_count_distinct" -> countDistinctQ,
     "a_approx_sketches" -> approxStats,
     "a_tdigest_quantiles" -> tdigestQuantiles,
@@ -510,6 +583,7 @@ object QueriesIngest {
     "i_geotiff_lzw_roundtrip" -> geotiffRoundtripSql,
     "i_las_roundtrip" -> lasRoundtripSql,
     "i_laz_roundtrip" -> lasRoundtripSql,
+    "i_shp_roundtrip" -> shpRoundtripSql,
     "a_count_distinct" -> countDistinctSql,
     "a_approx_sketches" -> approxStatsSql,
     "a_tdigest_quantiles" -> tdigestQuantilesSql,
