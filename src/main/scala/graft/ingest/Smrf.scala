@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Canon.round
 
@@ -100,6 +100,10 @@ object Smrf {
   val Scalar = 1.25
   val WindowMeters = 5
   val Cell = 1.0
+  /** Radii at or above this use the SEPARABLE (row-then-column) opening
+    * passes — identical min/max semantics, 2·(2k+1)× instead of (2k+1)²×
+    * shuffle volume, one extra stage per pass. */
+  val SepRadius = 4
 
   /** Slope-scaled elevation threshold for window radius k (meters):
     * base + scalar·slope·k·cell. */
@@ -141,9 +145,17 @@ object Smrf {
     * cells), flagging cells whose drop exceeds [[et]](k) as OBJECT
     * (progressive opening, Pingel §3); a point is ground iff its cell
     * was never flagged and z − finalSurface ≤ dh0. Each radius-k erode/
-    * dilate is ONE (2k+1)² offset-explode aggregate — the Chebyshev-ball
-    * min/max over existing cells, exactly the BETWEEN-k join the oracle
-    * runs — so a stage is two grid shuffles regardless of k. With
+    * dilate below [[SepRadius]] is ONE (2k+1)² offset-explode aggregate —
+    * the Chebyshev-ball min/max over existing cells, exactly the
+    * BETWEEN-k join the oracle runs; at or above it the pass runs the
+    * SEPARABLE row-then-column factorization (2·(2k+1)× shuffle volume,
+    * one extra stage), property-tested equal cell-for-cell. The split
+    * matters because PDAL's real default is window=18: a square element
+    * there ships 37² = 1369× the cell table per pass — a scale-killer —
+    * vs 74× separable. Measured on the local fixture the two forms are
+    * within noise (sf0.1: 5.3 vs 6.0 s; sf1: 5.75 vs 6.18 s — both
+    * stage-latency-bound), so the fixture cost of the scale-safe shape
+    * is ~0.5 s and it is kept on. With
     * windowMeters=1, slope=0, inpaintIters=0 the decision rule reduces
     * per point to [[reclassify]] (property-tested in SmrfSpec): the k=1
     * flag marks exactly the cells where every point already fails the
@@ -156,7 +168,7 @@ object Smrf {
   def reclassifyMultiWindow(pts: DataFrame,
       windowMeters: Int = WindowMeters, slope: Double = Slope,
       dh0: Double = Threshold, scalar: Double = Scalar,
-      inpaintIters: Int = -1): DataFrame = {
+      inpaintIters: Int = -1, sepRadius: Int = SepRadius): DataFrame = {
     val inpIters = if (inpaintIters < 0) windowMeters else inpaintIters
     val clean = graft.functions.CacheRegistry.share(
       pts.filter(!col("classification").isin(7, 18))
@@ -182,19 +194,48 @@ object Smrf {
       // iterative morphology on a tiny local fixture, amortized to noise
       // at real data sizes (measured: radius-as-broadcast-column codegen
       // sharing and eager-vs-lazy checkpointing both moved nothing)
-      val moved = s
-        .select(col("c"), col("r"), col("v"),
-          explode(sequence(lit(-radius), lit(radius))).as("dc"))
-        .select((col("c") + col("dc")).as("c"), col("r"), col("v"),
-          col("dc"),
-          explode(sequence(lit(-radius), lit(radius))).as("dr"))
-        .select(col("c"), (col("r") + col("dr")).as("r"), col("v"),
-          (col("dc") === 0 && col("dr") === 0).as("own"))
-      moved.groupBy("c", "r")
-        .agg((if (doMin) min(col("v")) else max(col("v"))).as("v"),
-          max(col("own")).as("keep"))
-        .filter(col("keep"))
-        .select("c", "r", "v")
+      def agg1(c: Column) = if (doMin) min(c) else max(c)
+      if (radius < sepRadius) {
+        val moved = s
+          .select(col("c"), col("r"), col("v"),
+            explode(sequence(lit(-radius), lit(radius))).as("dc"))
+          .select((col("c") + col("dc")).as("c"), col("r"), col("v"),
+            col("dc"),
+            explode(sequence(lit(-radius), lit(radius))).as("dr"))
+          .select(col("c"), (col("r") + col("dr")).as("r"), col("v"),
+            (col("dc") === 0 && col("dr") === 0).as("own"))
+        moved.groupBy("c", "r")
+          .agg(agg1(col("v")).as("v"), max(col("own")).as("keep"))
+          .filter(col("keep"))
+          .select("c", "r", "v")
+      } else {
+        // SEPARABLE form for large radii: a square-element min/max
+        // factors into a row pass then a column pass, so the shuffle
+        // carries 2·(2k+1)·|cells| rows instead of (2k+1)²·|cells| —
+        // at radius 5 that is 22× vs 121×, the difference between a
+        // morphology that scales and one that doesn't at 100 TB. Costs
+        // one extra stage per pass, so small radii keep the one-shot
+        // form (9–49× explode is cheaper than a second round trip).
+        // Domain restriction threads through: a row-pass target is a
+        // real cell iff its dc=0 source exists (inS), and a final
+        // target is kept iff its dr=0 intermediate was a real cell.
+        val rowPass = s
+          .select(col("c"), col("r"), col("v"),
+            explode(sequence(lit(-radius), lit(radius))).as("dc"))
+          .select((col("c") + col("dc")).as("c"), col("r"), col("v"),
+            (col("dc") === 0).as("own"))
+          .groupBy("c", "r")
+          .agg(agg1(col("v")).as("v"), max(col("own")).as("inS"))
+        rowPass
+          .select(col("c"), col("r"), col("v"), col("inS"),
+            explode(sequence(lit(-radius), lit(radius))).as("dr"))
+          .select(col("c"), (col("r") + col("dr")).as("r"), col("v"),
+            (col("dr") === 0 && col("inS")).as("own"))
+          .groupBy("c", "r")
+          .agg(agg1(col("v")).as("v"), max(col("own")).as("keep"))
+          .filter(col("keep"))
+          .select("c", "r", "v")
+      }
     }
     var flags: DataFrame = null
     for (k <- 1 to windowMeters) {

@@ -85,4 +85,32 @@ class SmrfSpec extends SparkSuite {
     assert(g5 == 432L, s"window-5 ground count $g5")
     graft.functions.CacheRegistry.releaseAll()
   }
+
+  test("separable openings equal the square-element form cell for cell") {
+    import spark.implicits._
+    // random sparse cloud with holes: radius >= SepRadius passes run the
+    // row-then-column factorization, radii below it the one-shot square
+    // explode. Summaries must be IDENTICAL to a run forced entirely
+    // through the square form (windowMeters < SepRadius exercises only
+    // square passes; the full schedule mixes both) — min/max over a
+    // Chebyshev ball factors exactly, including over sparse domains.
+    val pts = (for {
+      i <- 0 until 4000
+      k = graft.rng.Rand.mixLong(i.toLong, 555)
+      if k % 7 != 0 // punch holes so the domain is genuinely sparse
+    } yield ((k % 40).toDouble + 0.3, ((k / 64) % 40).toDouble + 0.7,
+      ((k / 4096) % 500) / 25.0, 0)).toDF("x", "y", "z", "classification")
+    assert(Smrf.WindowMeters >= Smrf.SepRadius,
+      "fixture must exercise at least one separable radius")
+    val mixed = Smrf.reclassifyMultiWindow(pts)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    graft.functions.CacheRegistry.releaseAll()
+    val allSquare = Smrf.reclassifyMultiWindow(pts, sepRadius = Int.MaxValue)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(mixed.keySet == allSquare.keySet)
+    allSquare.foreach { case (k, v) => assert(mixed(k) == v, s"cell $k") }
+    graft.functions.CacheRegistry.releaseAll()
+  }
 }
