@@ -550,6 +550,81 @@ object QueriesIngest {
         FROM perpoly"""
   }
 
+  // GeoJSON (the reference's other vector-source format beside
+  // shapefile, `_read_polygon_file`): assemble a spec-shape Feature
+  // string per polygon — properties + Polygon geometry with a closed
+  // ring — then PARSE it back through Spark's schema-directed from_json
+  // (the vectorized spark.read.json boundary) and summarize the parsed
+  // coordinates. The oracle assembles the identical string and parses it
+  // with DuckDB's independent JSON engine (json_transform to
+  // DOUBLE[][][]), so the row is green only if assembly → nested-array
+  // parse agrees across two unrelated JSON implementations.
+  private val geojsonParse: Q = (s, d) => {
+    val pts = Tables.supplier(s, d)
+      .select(col("s_suppkey").cast("long").as("k"))
+      .select(col("k"), explode(sequence(lit(0L), lit(3L) + col("k") % 3)).as("i"))
+      .select(col("k"), col("i"),
+        concat(lit("["),
+          (graft.rng.Rand.mix(col("k") * 53 + col("i"), 930) % 2000 - 1000)
+            .cast("string"),
+          lit(","),
+          (graft.rng.Rand.mix(col("k") * 53 + col("i"), 931) % 2000 - 1000)
+            .cast("string"),
+          lit("]")).as("pt"))
+    val sortedPts = transform(array_sort(collect_list(struct(col("i"), col("pt")))),
+      p => p.getField("pt"))
+    val feats = pts.groupBy("k")
+      .agg(sortedPts.as("ps"))
+      .select(col("k"),
+        concat(lit("{\"type\":\"Feature\",\"properties\":{\"k\":"),
+          col("k").cast("string"),
+          lit("},\"geometry\":{\"type\":\"Polygon\",\"coordinates\":[["),
+          array_join(col("ps"), ","), lit(","), element_at(col("ps"), 1),
+          lit("]]}}")).as("j"))
+    feats
+      .select(col("k"), expr(
+        """from_json(j, 'type STRING, properties STRUCT<k: BIGINT>,
+           geometry STRUCT<type: STRING,
+                           coordinates: ARRAY<ARRAY<ARRAY<DOUBLE>>>>')""").as("f"))
+      .select(col("k"), col("f.geometry.type").as("gtype"),
+        col("f.properties.k").as("pk"),
+        element_at(col("f.geometry.coordinates"), 1).as("ring"))
+      .select(col("k"), col("gtype"), col("pk"),
+        size(col("ring")).cast("long").as("n_points"),
+        aggregate(col("ring"), lit(0.0),
+          (acc, p) => acc + element_at(p, 1)).cast("long").as("sum_x"),
+        aggregate(col("ring"), lit(0.0),
+          (acc, p) => acc + element_at(p, 2)).cast("long").as("sum_y"))
+  }
+
+  private val geojsonParseSql = {
+    val mx = graft.rng.Rand.mixSql("k*53 + i", 930)
+    val my = graft.rng.Rand.mixSql("k*53 + i", 931)
+    s"""WITH sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+        verts AS (SELECT k, unnest(range(4 + k % 3)) AS i FROM sup),
+        pts AS (SELECT k, i,
+                       '[' || CAST(($mx) % 2000 - 1000 AS VARCHAR) || ',' ||
+                       CAST(($my) % 2000 - 1000 AS VARCHAR) || ']' AS pt
+                FROM verts),
+        feats AS (SELECT k,
+                         '{"type":"Feature","properties":{"k":' || CAST(k AS VARCHAR) ||
+                         '},"geometry":{"type":"Polygon","coordinates":[[' ||
+                         string_agg(pt, ',' ORDER BY i) || ',' ||
+                         min(CASE WHEN i = 0 THEN pt END) || ']]}}' AS j
+                  FROM pts GROUP BY k),
+        parsed AS (SELECT k,
+                          json_extract_string(j, '$$.geometry.type') AS gtype,
+                          CAST(json_extract_string(j, '$$.properties.k') AS BIGINT) AS pk,
+                          json_transform(json_extract(j, '$$.geometry.coordinates'),
+                                         '[[["DOUBLE"]]]') AS coords
+                   FROM feats)
+        SELECT k, gtype, pk,
+               CAST(len(coords[1]) AS BIGINT) AS n_points,
+               CAST(list_sum(list_transform(coords[1], p -> p[1])) AS BIGINT) AS sum_x,
+               CAST(list_sum(list_transform(coords[1], p -> p[2])) AS BIGINT) AS sum_y
+        FROM parsed"""
+  }
+
   private val lasRoundtripSql = PointCloud.gridDemSql(
     s"""SELECT floor(x / 0.000001 + 0.5) * 0.000001 AS x,
                floor(y / 0.000001 + 0.5) * 0.000001 AS y,
@@ -568,6 +643,7 @@ object QueriesIngest {
     "i_las_roundtrip" -> lasRoundtrip,
     "i_laz_roundtrip" -> lazRoundtrip,
     "i_shp_roundtrip" -> shpRoundtrip,
+    "i_geojson_parse" -> geojsonParse,
     "a_count_distinct" -> countDistinctQ,
     "a_approx_sketches" -> approxStats,
     "a_tdigest_quantiles" -> tdigestQuantiles,
@@ -584,6 +660,7 @@ object QueriesIngest {
     "i_las_roundtrip" -> lasRoundtripSql,
     "i_laz_roundtrip" -> lasRoundtripSql,
     "i_shp_roundtrip" -> shpRoundtripSql,
+    "i_geojson_parse" -> geojsonParseSql,
     "a_count_distinct" -> countDistinctSql,
     "a_approx_sketches" -> approxStatsSql,
     "a_tdigest_quantiles" -> tdigestQuantilesSql,
