@@ -55,7 +55,12 @@ object Plans {
       "i_laz_roundtrip" -> "LAZ codec boundary: executor-side arithmetic-coded chunk encode → chunk-parallel decode → DEM gridding",
       "g_pagerank6" -> "pre-partitioned contrib table (deg fused, hash(src) from cache): per iteration one rank join + one dst shuffle",
       "r_geoid_resample" -> "dual-geoid bilinear resample: 8 chained broadcast corner joins, fixed-order interpolation — zero exchanges",
-      "x_ccnet_buckets" -> "CCNet terciles: per-lang thresholds from 4-scan grouped radix (no PARTITION BY lang funnel), bucket assignment via broadcast threshold join")
+      "x_ccnet_buckets" -> "CCNet terciles: per-lang thresholds from 4-scan grouped radix (no PARTITION BY lang funnel), bucket assignment via broadcast threshold join",
+      "x_semdedup" -> "SemDeDup: cluster-scoped pair join (never O(N²) global), dominance semi-mark, one census aggregate",
+      "g_labelprop" -> "label propagation: per round one rank join + (dst,lbl) count + per-dst window pick — one shuffle chain per superstep",
+      "x_split_assign" -> "hash split: map-side md5 bucket, single aggregate, zero joins",
+      "i_shp_roundtrip" -> "shapefile codec boundary: executor-side per-tile encode → tile-parallel decode → per-record census",
+      "i_geojson_parse" -> "GeoJSON boundary: in-row Feature assembly → schema-directed from_json → in-row array folds (zero extra shuffles)")
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans of headline queries\n\n"
     sb ++= s"Generated by `runMain graft.Plans` on `$dir`. Evidence for the\n"
