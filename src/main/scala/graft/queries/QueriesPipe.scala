@@ -713,13 +713,16 @@ object QueriesPipe {
     val edges = contrib.select("src", "dst")
     var lbl = deg.select(col("src"), col("src").as("lbl"))
     for (_ <- 1 to LP_ITERS) {
+      // winner per node = max over (cnt, -lbl) structs: highest vote
+      // count, smallest label on ties — an ORDER-FREE aggregate (merge-
+      // safe under any partial-agg order), so the pick needs no per-node
+      // sort window and map-side partials prune the (dst, lbl) shuffle
       lbl = edges.join(lbl, "src")
         .groupBy(col("dst"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("dst").orderBy(col("cnt").desc, col("lbl").asc)))
-        .filter(col("rn") === 1)
-        .select(col("dst").as("src"), col("lbl"))
+        .groupBy("dst")
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("src"), (-col("m.nl")).as("lbl"))
     }
     lbl.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"),
