@@ -94,6 +94,49 @@ object QueriesAnn {
         FROM agg"""
   }
 
+  // ---- MRR@10 of the cosine ranking -------------------------------------
+  // Mean-reciprocal-rank eval beside m_ndcg: per query, 1/rank of the
+  // FIRST relevant candidate (same label) within the top 10, 0 if none —
+  // the standard first-hit retrieval metric. Rank ties are pinned by
+  // (rounded sim DESC, vec_id ASC) as everywhere in this family; the
+  // reciprocal is canonically rounded, so both engines emit identical
+  // doubles. Same broadcast-queries × candidates shape as m_ndcg.
+  private val mrr: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val q = e.filter(col("vec_id") < NQUERIES).toDF("q_id", "qv", "q_label")
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        round(Similarity.cosine(col("qv"), col("v")), 6).as("sim"),
+        col("vec_id"),
+        when(col("label") === col("q_label"), 1L).otherwise(0L).as("rel"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= NDCG_K)
+      .groupBy("q_id")
+      .agg(sum("rel").as("n_rel_top10"),
+        round(coalesce(max(when(col("rel") === 1,
+          lit(1.0) / col("rank"))), lit(0.0)), 6).as("mrr10"))
+  }
+
+  private val mrrSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                   FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv, label AS q_label FROM e
+              WHERE vec_id < $NQUERIES),
+        ranked AS (SELECT q_id, vec_id,
+                          CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel,
+                          row_number() OVER (PARTITION BY q_id ORDER BY
+                            round(${Similarity.cosineSql("qv", "e.v")}, 6) DESC,
+                            vec_id ASC) AS rank
+                   FROM e JOIN q ON vec_id <> q_id)
+        SELECT q_id, CAST(sum(rel) AS BIGINT) AS n_rel_top10,
+               round(coalesce(max(CASE WHEN rel = 1
+                                       THEN 1.0 / rank END), 0.0), 6) AS mrr10
+        FROM ranked WHERE rank <= $NDCG_K
+        GROUP BY 1"""
+
   // ---- brute-force cosine top-k ----------------------------------------
   private val cosineTopk: Q = (s, d) => {
     val e = emb(s, d)
@@ -692,6 +735,7 @@ object QueriesAnn {
 
   val queries: Map[String, Q] = Map(
     "x_semdedup" -> semdedup,
+    "m_mrr" -> mrr,
     "n_inertia" -> inertia,
     "n_sq8_topk" -> sq8Topk,
     "m_ndcg" -> ndcg,
@@ -707,6 +751,7 @@ object QueriesAnn {
 
   val oracle: Map[String, String] = Map(
     "x_semdedup" -> semdedupSql,
+    "m_mrr" -> mrrSql,
     "n_inertia" -> inertiaSql,
     "n_sq8_topk" -> sq8TopkSql,
     "m_ndcg" -> ndcgSql,
