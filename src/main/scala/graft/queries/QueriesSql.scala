@@ -362,7 +362,41 @@ object QueriesSql {
   private val sqlWindow: Q = (s, d) =>
     runSql(s, d, Seq("customer"), windowSqlText)
 
+  // ---- recursive CTE (Spark 4.1 WITH RECURSIVE) -------------------------
+  // ONE shared recursive text in both engines: breadth-first reach over
+  // the cust/supp co-purchase graph (the g_pagerank/g_labelprop node
+  // space) from the nation-0 seed customers, 3 hops. The recursive
+  // member SELECTs DISTINCT, so every level is bounded by the NODE count
+  // — the working-table row set never carries path multiplicity (the
+  // naive UNION ALL walk materializes ~850k paths at sf0.01 where this
+  // keeps ≤1 500 rows per level; Spark rejects UNION-distinct recursion
+  // [UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE], and per-level DISTINCT is
+  // the standard bounded-frontier form that both engines execute
+  // identically). Exercises Catalyst's recursion operator (UnionLoop)
+  // — a plan the DataFrame API cannot reach at all.
+  private val recursiveSqlText =
+    """WITH RECURSIVE
+       pairs AS (SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
+                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       edges AS (SELECT cust AS src, supp AS dst FROM pairs
+                 UNION ALL
+                 SELECT supp AS src, cust AS dst FROM pairs),
+       walk(node, depth) AS (
+         SELECT DISTINCT c_custkey * 2 AS node, 0 AS depth
+         FROM customer WHERE c_nationkey = 0
+         UNION ALL
+         SELECT DISTINCT e.dst, w.depth + 1
+         FROM walk w JOIN edges e ON e.src = w.node
+         WHERE w.depth < 3)
+       SELECT depth, count(DISTINCT node) AS n_nodes, count(1) AS n_rows,
+              CAST(sum(node) AS BIGINT) AS node_sum
+       FROM walk GROUP BY 1"""
+
+  private val sqlRecursive: Q = (s, d) =>
+    runSql(s, d, Seq("orders", "lineitem", "customer"), recursiveSqlText)
+
   val queries: Map[String, Q] = Map(
+    "q_sql_recursive" -> sqlRecursive,
     "st_funnel_stages" -> funnel,
     "st_retention_cohort" -> retention,
     "u_area_scaled" -> areaScaled,
@@ -376,6 +410,7 @@ object QueriesSql {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_recursive" -> recursiveSqlText,
     "st_funnel_stages" -> funnelSql,
     "st_retention_cohort" -> retentionSql,
     "u_area_scaled" -> areaScaledSql,
