@@ -63,6 +63,46 @@ class ShpSpec extends SparkSuite {
     }
   }
 
+  test("random polygons round-trip bit-exactly (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val coordGen = Gen.oneOf(
+      Gen.choose(-1e7, 1e7),                       // plain magnitudes
+      Gen.choose(-1.0, 1.0).map(_ * 1e-9),         // denormal-ish tiny
+      Gen.chooseNum(Long.MinValue, Long.MaxValue)  // arbitrary bit patterns
+        .map(java.lang.Double.longBitsToDouble).suchThat(d =>
+          !d.isNaN && !d.isInfinite))
+    val ringGen = for {
+      n <- Gen.choose(3, 12)
+      xs <- Gen.listOfN(n, coordGen); ys <- Gen.listOfN(n, coordGen)
+    } yield xs.zip(ys).toArray
+    val polyGen = for {
+      nr <- Gen.choose(1, 4); rings <- Gen.listOfN(nr, ringGen)
+    } yield rings.toArray
+    val fileGen = for {
+      np <- Gen.choose(1, 6); ps <- Gen.listOfN(np, polyGen)
+    } yield ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+    (0 until 50).foreach { seed =>
+      val polys = fileGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val back = Shp.decode(Shp.encode(polys))
+      // regroup decoded points and compare against closed source rings
+      val byRec = back.groupBy(_._1)
+      assert(byRec.keySet == polys.indices.map(_ + 1).toSet, s"seed $seed")
+      polys.zipWithIndex.foreach { case ((_, rings), pi) =>
+        val rec = byRec(pi + 1).groupBy(_._2)
+        assert(rec.keySet == rings.indices.toSet, s"seed $seed poly $pi")
+        rings.zipWithIndex.foreach { case (ring, ri) =>
+          val got = rec(ri).sortBy(_._3).map(p => (p._4, p._5)).toSeq
+          // bit-exact comparison (covers -0.0 vs 0.0 and denormals)
+          def bits(p: (Double, Double)) = (java.lang.Double.doubleToRawLongBits(p._1),
+            java.lang.Double.doubleToRawLongBits(p._2))
+          assert(got.map(bits) == (ring :+ ring.head).toSeq.map(bits),
+            s"seed $seed poly $pi ring $ri")
+        }
+      }
+    }
+  }
+
   test("tilesToRings decodes tile-parallel in executors") {
     val t1 = Shp.encode(Seq(tri))
     val t2 = Shp.encode(Seq(withHole, tri))
