@@ -550,6 +550,52 @@ object QueriesIngest {
         FROM perpoly"""
   }
 
+  // dBASE III attribute sidecar round trip — the .dbf half of the
+  // shapefile source (geometry in i_shp_roundtrip): supplier attributes
+  // (key, name, pre-scaled balance cents) encode into one complete .dbf
+  // per tile in executors, decode through the tile-parallel boundary,
+  // and summarize; the oracle computes the same census directly from the
+  // parquet, so the row is green only if fixed-width ASCII encode →
+  // field-descriptor parse round-trips every value (including negative
+  // right-justified numerics and space-padded names) exactly.
+  private val dbfRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val rows = Tables.supplier(s, d)
+      .select((col("s_nationkey") % 5).cast("int").as("tile"),
+        col("s_suppkey").cast("long").as("k"),
+        col("s_name").as("nm"),
+        floor(col("s_acctbal") * 100 + 0.5).cast("long").as("cents"))
+    val tiles = rows.as[(Int, Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (tile: Int, it: Iterator[(Int, Long, String, Long)]) =>
+        val rs = it.toArray.sortBy(_._2)
+        val data = graft.ingest.Dbf.encode(
+          Seq(graft.ingest.Dbf.Field("SUPPKEY", 'N', 10),
+            graft.ingest.Dbf.Field("NAME", 'C', 25),
+            graft.ingest.Dbf.Field("CENTS", 'N', 12)),
+          rs.toIndexedSeq.map(r => Seq(r._2.toString, r._3, r._4.toString)))
+        (tile, data)
+      }.toDF("tile_id", "data")
+    graft.ingest.Dbf.tilesToRows(tiles)
+      .select(col("tile_id").as("tile"),
+        element_at(col("values"), 1).cast("long").as("k"),
+        element_at(col("values"), 2).as("nm"),
+        element_at(col("values"), 3).cast("long").as("cents"))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_records"),
+        sum("k").as("suppkey_sum"),
+        min("nm").as("min_name"), max("nm").as("max_name"),
+        sum("cents").as("cents_sum"))
+  }
+
+  private val dbfRoundtripSql =
+    """SELECT CAST(s_nationkey % 5 AS INT) AS tile, count(*) AS n_records,
+              CAST(sum(s_suppkey) AS BIGINT) AS suppkey_sum,
+              min(s_name) AS min_name, max(s_name) AS max_name,
+              CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                AS cents_sum
+       FROM supplier GROUP BY 1"""
+
   // GeoJSON (the reference's other vector-source format beside
   // shapefile, `_read_polygon_file`): assemble a spec-shape Feature
   // string per polygon — properties + Polygon geometry with a closed
@@ -644,6 +690,7 @@ object QueriesIngest {
     "i_laz_roundtrip" -> lazRoundtrip,
     "i_shp_roundtrip" -> shpRoundtrip,
     "i_geojson_parse" -> geojsonParse,
+    "i_dbf_roundtrip" -> dbfRoundtrip,
     "a_count_distinct" -> countDistinctQ,
     "a_approx_sketches" -> approxStats,
     "a_tdigest_quantiles" -> tdigestQuantiles,
@@ -661,6 +708,7 @@ object QueriesIngest {
     "i_laz_roundtrip" -> lasRoundtripSql,
     "i_shp_roundtrip" -> shpRoundtripSql,
     "i_geojson_parse" -> geojsonParseSql,
+    "i_dbf_roundtrip" -> dbfRoundtripSql,
     "a_count_distinct" -> countDistinctSql,
     "a_approx_sketches" -> approxStatsSql,
     "a_tdigest_quantiles" -> tdigestQuantilesSql,
