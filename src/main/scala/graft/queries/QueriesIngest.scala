@@ -550,6 +550,78 @@ object QueriesIngest {
         FROM perpoly"""
   }
 
+  // WKB (Well-Known Binary) geometry-column round trip — the COLUMN
+  // form of the vector sources: GeoParquet / GeoPackage / PostGIS carry
+  // geometry as one binary WKB column beside ordinary attributes, which
+  // is how a lakehouse-scale engine stores polygons (the reference's
+  // geopandas frames serialize to exactly this when written to
+  // parquet). Deterministic polygons encode IN-ROW (suppliers with
+  // k % 3 = 0 become MultiPolygons of single-ring members, the rest
+  // Polygons — both type codes exercised), decode back through the
+  // binary column, and summarize; the oracle recomputes every count and
+  // coordinate checksum from the closed-form generator.
+  private val wkbRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val verts = Tables.supplier(s, d)
+      .select(col("s_suppkey").cast("long").as("k"))
+      .select(col("k"), explode(sequence(lit(0L), col("k") % 2)).as("r"))
+      .select(col("k"), col("r"),
+        explode(sequence(lit(0L), lit(3L) + (col("k") + col("r")) % 3)).as("i"))
+      .select(col("k"), col("r"), col("i"),
+        (graft.rng.Rand.mix(col("k") * 41 + col("r") * 13 + col("i"), 950) % 2000
+          - 1000).cast("double").as("x"),
+        (graft.rng.Rand.mix(col("k") * 41 + col("r") * 13 + col("i"), 951) % 2000
+          - 1000).cast("double").as("y"))
+    val enc = verts.groupBy("k")
+      .agg(collect_list(struct(col("r"), col("i"), col("x"), col("y"))).as("vs"))
+      .as[(Long, Seq[(Long, Long, Double, Double)])]
+      .map { case (k, vs) =>
+        val rings = vs.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, ps) =>
+          val open = ps.sortBy(_._2).map(p => (p._3, p._4)).toArray
+          open :+ open.head // close the ring, as every producer does
+        }.toArray
+        val bytes =
+          if (k % 3 == 0) graft.geom.Wkb.encodeMultiPolygon(rings.map(Array(_)))
+          else graft.geom.Wkb.encodePolygon(rings)
+        (k, bytes)
+      }.toDF("k", "wkb")
+    enc.as[(Long, Array[Byte])]
+      .flatMap { case (k, bytes) =>
+        graft.geom.Wkb.decode(bytes).iterator.map(t =>
+          (k, t._1, t._2, t._3, t._4, t._5))
+      }
+      .toDF("k", "poly_idx", "ring_idx", "pt_idx", "x", "y")
+      .groupBy("k")
+      .agg((max("poly_idx") + 1).cast("long").as("n_polys"),
+        countDistinct(col("poly_idx"), col("ring_idx")).as("n_rings"),
+        count(lit(1)).as("n_points"),
+        sum("x").cast("long").as("sum_x"),
+        sum("y").cast("long").as("sum_y"))
+  }
+
+  private val wkbRoundtripSql = {
+    val mx = graft.rng.Rand.mixSql("k*41 + r*13 + i", 950)
+    val my = graft.rng.Rand.mixSql("k*41 + r*13 + i", 951)
+    s"""WITH sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+        rings AS (SELECT k, unnest(range(k % 2 + 1)) AS r FROM sup),
+        verts AS (SELECT k, r, unnest(range(4 + (k + r) % 3)) AS i FROM rings),
+        pts AS (SELECT k, r, i,
+                       ($mx) % 2000 - 1000 AS x,
+                       ($my) % 2000 - 1000 AS y
+                FROM verts),
+        perring AS (SELECT k, r, count(*) + 1 AS np,
+                           sum(x) + sum(CASE WHEN i = 0 THEN x ELSE 0 END) AS sx,
+                           sum(y) + sum(CASE WHEN i = 0 THEN y ELSE 0 END) AS sy
+                    FROM pts GROUP BY 1, 2)
+        SELECT k,
+               CAST(CASE WHEN k % 3 = 0 THEN k % 2 + 1 ELSE 1 END AS BIGINT)
+                 AS n_polys,
+               count(*) AS n_rings,
+               CAST(sum(np) AS BIGINT) AS n_points,
+               CAST(sum(sx) AS BIGINT) AS sum_x, CAST(sum(sy) AS BIGINT) AS sum_y
+        FROM perring GROUP BY 1"""
+  }
+
   // dBASE III attribute sidecar round trip — the .dbf half of the
   // shapefile source (geometry in i_shp_roundtrip): supplier attributes
   // (key, name, pre-scaled balance cents) encode into one complete .dbf
@@ -691,6 +763,7 @@ object QueriesIngest {
     "i_shp_roundtrip" -> shpRoundtrip,
     "i_geojson_parse" -> geojsonParse,
     "i_dbf_roundtrip" -> dbfRoundtrip,
+    "g_wkb_roundtrip" -> wkbRoundtrip,
     "a_count_distinct" -> countDistinctQ,
     "a_approx_sketches" -> approxStats,
     "a_tdigest_quantiles" -> tdigestQuantiles,
@@ -709,6 +782,7 @@ object QueriesIngest {
     "i_shp_roundtrip" -> shpRoundtripSql,
     "i_geojson_parse" -> geojsonParseSql,
     "i_dbf_roundtrip" -> dbfRoundtripSql,
+    "g_wkb_roundtrip" -> wkbRoundtripSql,
     "a_count_distinct" -> countDistinctSql,
     "a_approx_sketches" -> approxStatsSql,
     "a_tdigest_quantiles" -> tdigestQuantilesSql,
