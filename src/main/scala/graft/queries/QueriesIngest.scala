@@ -550,6 +550,68 @@ object QueriesIngest {
         FROM perpoly"""
   }
 
+  // GeoPackage (.gpkg) feature-layer round trip — the LAST of the
+  // reference's vector-source formats (shapefile → i_shp_roundtrip,
+  // GeoJSON → i_geojson_parse): one complete SQLite database per tile,
+  // whose features table carries (fid, name, GPB-wrapped WKB polygon)
+  // rows across REAL b-tree pages (the per-tile row counts force
+  // interior + multiple leaf pages at sf ≥ 0.1), decoded back through
+  // SQLite record parsing → GPB header → WKB → vertices. The oracle
+  // recomputes names and coordinate checksums from supplier + the
+  // closed-form generator, so the row is green only if the entire
+  // container stack round-trips exactly.
+  private val gpkgRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val verts = Tables.supplier(s, d)
+      .select(col("s_suppkey").cast("long").as("k"),
+        (col("s_nationkey") % 5).cast("int").as("tile"), col("s_name"))
+      .select(col("k"), col("tile"), col("s_name"),
+        explode(sequence(lit(0L), lit(3L) + col("k") % 3)).as("i"))
+      .select(col("tile"), col("k"), col("s_name"), col("i"),
+        (graft.rng.Rand.mix(col("k") * 29 + col("i"), 970) % 2000 - 1000)
+          .cast("double").as("x"),
+        (graft.rng.Rand.mix(col("k") * 29 + col("i"), 971) % 2000 - 1000)
+          .cast("double").as("y"))
+    val tiles = verts
+      .as[(Int, Long, String, Long, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (tile: Int, it: Iterator[(Int, Long, String, Long, Double, Double)]) =>
+        val feats = it.toArray.groupBy(t => (t._2, t._3)).toSeq.sortBy(_._1._1)
+          .map { case ((k, name), vs) =>
+            val open = vs.sortBy(_._4).map(v => (v._5, v._6))
+            (k, name, graft.geom.Wkb.encodePolygon(Array(open :+ open.head)))
+          }
+        (tile, graft.ingest.Gpkg.encodeFeatures(feats.toIndexedSeq))
+      }
+      .toDF("tile_id", "data")
+    graft.ingest.Gpkg.tilesToVertices(tiles)
+      .groupBy(col("tile_id").as("tile"), col("fid"))
+      .agg(min("name").as("name"),
+        count(lit(1)).as("n_points"),
+        sum("x").cast("long").as("sum_x"),
+        sum("y").cast("long").as("sum_y"))
+  }
+
+  private val gpkgRoundtripSql = {
+    val mx = graft.rng.Rand.mixSql("k*29 + i", 970)
+    val my = graft.rng.Rand.mixSql("k*29 + i", 971)
+    s"""WITH sup AS (SELECT CAST(s_suppkey AS BIGINT) AS k,
+                            CAST(s_nationkey % 5 AS INT) AS tile,
+                            s_name FROM supplier),
+        verts AS (SELECT k, tile, s_name, unnest(range(4 + k % 3)) AS i FROM sup),
+        pts AS (SELECT k, tile, s_name, i,
+                       ($mx) % 2000 - 1000 AS x,
+                       ($my) % 2000 - 1000 AS y
+                FROM verts)
+        SELECT tile, k AS fid, min(s_name) AS name,
+               count(*) + 1 AS n_points,
+               CAST(sum(x) + sum(CASE WHEN i = 0 THEN x ELSE 0 END) AS BIGINT)
+                 AS sum_x,
+               CAST(sum(y) + sum(CASE WHEN i = 0 THEN y ELSE 0 END) AS BIGINT)
+                 AS sum_y
+        FROM pts GROUP BY 1, 2"""
+  }
+
   // WKB (Well-Known Binary) geometry-column round trip — the COLUMN
   // form of the vector sources: GeoParquet / GeoPackage / PostGIS carry
   // geometry as one binary WKB column beside ordinary attributes, which
@@ -764,6 +826,7 @@ object QueriesIngest {
     "i_geojson_parse" -> geojsonParse,
     "i_dbf_roundtrip" -> dbfRoundtrip,
     "g_wkb_roundtrip" -> wkbRoundtrip,
+    "i_gpkg_roundtrip" -> gpkgRoundtrip,
     "a_count_distinct" -> countDistinctQ,
     "a_approx_sketches" -> approxStats,
     "a_tdigest_quantiles" -> tdigestQuantiles,
@@ -783,6 +846,7 @@ object QueriesIngest {
     "i_geojson_parse" -> geojsonParseSql,
     "i_dbf_roundtrip" -> dbfRoundtripSql,
     "g_wkb_roundtrip" -> wkbRoundtripSql,
+    "i_gpkg_roundtrip" -> gpkgRoundtripSql,
     "a_count_distinct" -> countDistinctSql,
     "a_approx_sketches" -> approxStatsSql,
     "a_tdigest_quantiles" -> tdigestQuantilesSql,
