@@ -341,7 +341,78 @@ object QueriesExt {
         WHERE round(${Similarity.cosineSql("a.v", "b.v")}, 6) >= $RPTHRESH"""
   }
 
+  // ---- URL canonicalization (web-corpus dedup prep) ---------------------
+  // Before any URL-level dedup, a crawl pipeline canonicalizes: lowercase
+  // scheme/host, drop the default port, strip the fragment, remove
+  // tracking parameters (utm_*), collapse duplicate path slashes. Raw
+  // URLs are synthesized deterministically from (source, lang, doc_id)
+  // with case/port/tracking/fragment noise keyed off doc_id residues;
+  // the pipeline canonicalizes with regexp_extract/replace chains (both
+  // engines' regex dialects agree on these lookbehind-free patterns;
+  // the ?/& normalization turns '?' into '&', strips '&utm_…' params
+  // globally, then '&(.*)$' restores the first separator — greedy .*
+  // makes that a single match in both engines). The census groups by
+  // canonical URL: residue collisions give real multi-member clusters,
+  // and the oracle recomputes the canonical form CLOSED-FORM (not by
+  // running the same regexes), so the gate proves the rule chain
+  // implements the spec, not merely that two regex engines agree.
+  private val urlCanon: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val raw = doc.select(col("doc_id"), col("source"), col("lang"),
+      concat(
+        when(col("doc_id") % 2 === 0, "HTTPS://WWW.").otherwise(lit("https://www.")),
+        col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 3 === 0, ":443").otherwise(lit("")),
+        lit("/"), col("lang"),
+        when(col("doc_id") % 4 === 0, "//").otherwise(lit("/")),
+        lit("page"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_campaign=c"), (col("doc_id") % 3).cast("string"),
+            lit("&p="), (col("doc_id") % 7).cast("string")))
+          .otherwise(concat(lit("?p="), (col("doc_id") % 7).cast("string"))),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("#s"), (col("doc_id") % 4).cast("string")))
+          .otherwise(lit(""))).as("url"))
+    val rest0 = regexp_extract(col("url"), "^[a-zA-Z]+://[^/]+(/.*)?$", 1)
+    val noFrag = regexp_replace(rest0, "#.*$", "")
+    val noSlash = regexp_replace(noFrag, "//+", "/")
+    val qNorm = regexp_replace(noSlash, "\\?", "&")
+    val noTrack = regexp_replace(qNorm, "&utm_[a-z]+=[^&]*", "")
+    val restored = regexp_replace(noTrack, "&(.*)$", "?$1")
+    val noTrail = regexp_replace(restored, "[?&]$", "")
+    val canon = raw.select(col("doc_id"), col("url"),
+      concat(
+        lower(regexp_extract(col("url"), "^([a-zA-Z]+)://", 1)), lit("://"),
+        lower(regexp_extract(col("url"), "^[a-zA-Z]+://([^/:?#]+)", 1)),
+        noTrail).as("canonical_url"))
+    canon.groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(col("url")).as("n_raw_distinct"),
+        min("doc_id").as("rep_doc_id"),
+        sum("doc_id").as("doc_id_sum"))
+  }
+
+  private val urlCanonSql =
+    """SELECT 'https://www.' || source || '.example.com/' || lang ||
+              '/page' || CAST(doc_id % 50 AS VARCHAR) ||
+              '?p=' || CAST(doc_id % 7 AS VARCHAR) AS canonical_url,
+              count(*) AS n_raw,
+              count(DISTINCT CASE WHEN doc_id % 2 = 0 THEN 'U' ELSE 'l' END ||
+                             CASE WHEN doc_id % 3 = 0 THEN 'P' ELSE '-' END ||
+                             CASE WHEN doc_id % 4 = 0 THEN 'S' ELSE '-' END ||
+                             CASE WHEN doc_id % 2 = 0
+                                  THEN 'c' || CAST(doc_id % 3 AS VARCHAR)
+                                  ELSE '-' END ||
+                             CASE WHEN doc_id % 5 = 0
+                                  THEN 's' || CAST(doc_id % 4 AS VARCHAR)
+                                  ELSE '-' END) AS n_raw_distinct,
+              min(doc_id) AS rep_doc_id,
+              CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+       FROM documents
+       GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
+    "x_url_canon" -> urlCanon,
     "x_repetition" -> repetition,
     "x_tfidf" -> tfidf,
     "x_redact" -> redact,
@@ -353,6 +424,7 @@ object QueriesExt {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_url_canon" -> urlCanonSql,
     "x_repetition" -> repetitionSql,
     "x_tfidf" -> tfidfSql,
     "x_redact" -> redactSql,
