@@ -60,7 +60,11 @@ object Plans {
       "g_labelprop" -> "label propagation: per round one rank join + (dst,lbl) count + per-dst window pick — one shuffle chain per superstep",
       "x_split_assign" -> "hash split: map-side md5 bucket, single aggregate, zero joins",
       "i_shp_roundtrip" -> "shapefile codec boundary: executor-side per-tile encode → tile-parallel decode → per-record census",
-      "i_geojson_parse" -> "GeoJSON boundary: in-row Feature assembly → schema-directed from_json → in-row array folds (zero extra shuffles)")
+      "i_geojson_parse" -> "GeoJSON boundary: in-row Feature assembly → schema-directed from_json → in-row array folds (zero extra shuffles)",
+      "i_gpkg_roundtrip" -> "GeoPackage boundary: per-tile SQLite b-tree encode → GPB/WKB vertex fan-out → per-feature census",
+      "g_wkb_roundtrip" -> "WKB geometry column: in-row encode/decode of binary geometry (the GeoParquet shape), one census aggregate",
+      "x_url_canon" -> "URL canonicalization: pure map-side regex chain + one canonical-key aggregate (no joins)",
+      "q_sql_recursive" -> "recursive CTE: Catalyst UnionLoop, per-level DISTINCT keeps the frontier node-bounded")
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans of headline queries\n\n"
     sb ++= s"Generated by `runMain graft.Plans` on `$dir`. Evidence for the\n"
