@@ -733,7 +733,91 @@ object QueriesAnn {
           ON d.cluster = s.cluster AND d.vec_id = s.vec_id
         GROUP BY 1"""
 
+  // ---- g_knn_triangles: triangle census of the bucketed kNN graph ------
+  // Embedding-space QA for the dedup/ANN family: each vector takes its
+  // top-3 cosine neighbors WITHIN its IVF bucket (nearest of the fixed
+  // centroids — the n_ivf_topk assignment), the undirected union of those
+  // arcs is the kNN graph, and the triangle count + global clustering
+  // coefficient (3·triangles / wedges) measure how cohesive the
+  // embedding clusters are — the standard sanity check before
+  // graph-based semantic dedup. Scale shape: candidate pairs are an
+  // equi-join on cluster id (the IVF path, never all-pairs), the
+  // triangle join runs on ≤ k·n canonical (a<b) edges, and wedges come
+  // from a degree aggregate — no step is quadratic in corpus size.
+  private val KNN_K = 3
+  private val knnTriangles: Q = (s, d) => {
+    val e = emb(s, d)
+    val cents = e.filter(col("vec_id") < NCENTROIDS).toDF("c_id", "cv")
+    val assigned = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("c_id"),
+        round(Similarity.cosine(col("cv"), col("v")), 6).as("csim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+    val r = assigned.toDF("r_vec_id", "r_v", "r_cluster")
+    val knn = assigned.join(r, col("cluster") === col("r_cluster") &&
+        col("vec_id") =!= col("r_vec_id"))
+      .select(col("vec_id"), col("r_vec_id"),
+        round(Similarity.cosine(col("v"), col("r_v")), 6).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sim").desc, col("r_vec_id").asc)))
+      .filter(col("rank") <= KNN_K)
+    val edges = knn.select(least(col("vec_id"), col("r_vec_id")).as("a"),
+        greatest(col("vec_id"), col("r_vec_id")).as("b"))
+      .distinct().persistShared()
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val wedges = edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .agg(sum((col("deg") * (col("deg") - 1) / lit(2)).cast("long"))
+        .as("n_wedges"))
+    val tri = edges
+      .join(edges.toDF("b", "c"), "b")
+      .join(edges.toDF("a", "c"), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nEdges.crossJoin(wedges).crossJoin(tri)
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0)).otherwise(
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .as("global_cc"))
+  }
+
+  private val knnTrianglesSql =
+    s"""WITH e AS ($embSqlCte),
+        cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NCENTROIDS),
+        assigned AS (
+          SELECT vec_id, v, c_id AS cluster
+          FROM (SELECT e.vec_id, e.v, c.c_id,
+                       round(${Similarity.cosineSql("cv", "v")}, 6) AS csim
+                FROM e, cents c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, c_id ASC) = 1),
+        knn AS (
+          SELECT a.vec_id, b.vec_id AS r_vec_id
+          FROM assigned a JOIN assigned b
+            ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+          QUALIFY row_number() OVER (PARTITION BY a.vec_id
+            ORDER BY round(${Similarity.cosineSql("a.v", "b.v")}, 6) DESC,
+                     b.vec_id ASC) <= $KNN_K),
+        edges AS (SELECT DISTINCT least(vec_id, r_vec_id) AS a,
+                         greatest(vec_id, r_vec_id) AS b FROM knn),
+        deg AS (SELECT n, count(*) AS deg
+                FROM (SELECT a AS n FROM edges
+                      UNION ALL SELECT b AS n FROM edges) GROUP BY 1),
+        w AS (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+              FROM deg),
+        t AS (SELECT count(*) AS n_triangles
+              FROM edges e1 JOIN edges e2 ON e2.a = e1.b
+                            JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+        c AS (SELECT count(*) AS n_edges FROM edges)
+        SELECT n_edges, n_wedges, n_triangles,
+               CASE WHEN n_wedges = 0 THEN 0.0
+                    ELSE round(3.0 * n_triangles / n_wedges, 6) END AS global_cc
+        FROM c, w, t"""
+
   val queries: Map[String, Q] = Map(
+    "g_knn_triangles" -> knnTriangles,
     "x_semdedup" -> semdedup,
     "m_mrr" -> mrr,
     "n_inertia" -> inertia,
@@ -750,6 +834,7 @@ object QueriesAnn {
   )
 
   val oracle: Map[String, String] = Map(
+    "g_knn_triangles" -> knnTrianglesSql,
     "x_semdedup" -> semdedupSql,
     "m_mrr" -> mrrSql,
     "n_inertia" -> inertiaSql,
