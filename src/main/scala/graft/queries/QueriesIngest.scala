@@ -805,6 +805,60 @@ object QueriesIngest {
         FROM parsed"""
   }
 
+  // ---- i_csv_parse: CSV codec boundary (to_csv → from_csv) ---------------
+  // The tabular-text sibling of i_geojson_parse: every document row is
+  // ENCODED to one RFC-4180 CSV line (quote doubling; a hostile prefix
+  // forces an embedded delimiter, quote, and newline into every text
+  // field) with Spark's to_csv, then PARSED back through the
+  // schema-directed from_csv boundary in FAILFAST mode. The census
+  // fingerprints every decoded field — incl. an md5-digest sum over the
+  // text — so the row is green only if encode → parse is the identity on
+  // hostile content; the oracle computes the same census directly on the
+  // source table (round-trip identity, the GeoTIFF/LAS codec pattern).
+  // Scale shape: pure map-side encode/decode, one final aggregate —
+  // the only shuffle is the single-row agg exchange.
+  private val csvParse: Q = (s, d) => {
+    import scala.jdk.CollectionConverters._
+    val opts = Map("escape" -> "\"", "mode" -> "FAILFAST")
+    val lines = Tables.documents(s, d)
+      .select(to_csv(struct(col("doc_id"), col("lang"),
+        concat(lit("a,\"b\"\n|"), col("text")).as("text"),
+        col("n_chars")), opts.asJava).as("line"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, text STRING, n_chars BIGINT")
+    val digest = (1 to 8).map(j =>
+        (graft.text.TextOps.hexDigit(col("m"), j).cast("long") *
+          lit(1L << (4 * (8 - j)))))
+      .reduce(_ + _)
+    lines
+      .select(from_csv(col("line"), schema, opts).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+        col("r.text").as("text"), col("r.n_chars").as("n_chars"))
+      .withColumn("m", md5(col("text")))
+      .agg(count(lit(1)).as("n"),
+        sum("doc_id").as("id_sum"),
+        sum("n_chars").as("nchars_sum"),
+        sum(length(col("text"))).as("len_sum"),
+        sum(digest).as("digest_sum"),
+        min("lang").as("min_lang"), max("lang").as("max_lang"))
+  }
+
+  private val csvParseSql = {
+    val digest = (1 to 8).map(j =>
+      s"(instr('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+      .mkString(" + ")
+    s"""WITH src AS (SELECT doc_id, lang,
+                            'a,"b"' || chr(10) || '|' || text AS text, n_chars
+                     FROM documents),
+        h AS (SELECT doc_id, lang, text, n_chars, md5(text) AS m FROM src)
+        SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               CAST(sum(n_chars) AS BIGINT) AS nchars_sum,
+               CAST(sum(length(text)) AS BIGINT) AS len_sum,
+               CAST(sum($digest) AS BIGINT) AS digest_sum,
+               min(lang) AS min_lang, max(lang) AS max_lang
+        FROM h"""
+  }
+
   private val lasRoundtripSql = PointCloud.gridDemSql(
     s"""SELECT floor(x / 0.000001 + 0.5) * 0.000001 AS x,
                floor(y / 0.000001 + 0.5) * 0.000001 AS y,
@@ -824,6 +878,7 @@ object QueriesIngest {
     "i_laz_roundtrip" -> lazRoundtrip,
     "i_shp_roundtrip" -> shpRoundtrip,
     "i_geojson_parse" -> geojsonParse,
+    "i_csv_parse" -> csvParse,
     "i_dbf_roundtrip" -> dbfRoundtrip,
     "g_wkb_roundtrip" -> wkbRoundtrip,
     "i_gpkg_roundtrip" -> gpkgRoundtrip,
@@ -844,6 +899,7 @@ object QueriesIngest {
     "i_laz_roundtrip" -> lasRoundtripSql,
     "i_shp_roundtrip" -> shpRoundtripSql,
     "i_geojson_parse" -> geojsonParseSql,
+    "i_csv_parse" -> csvParseSql,
     "i_dbf_roundtrip" -> dbfRoundtripSql,
     "g_wkb_roundtrip" -> wkbRoundtripSql,
     "i_gpkg_roundtrip" -> gpkgRoundtripSql,
