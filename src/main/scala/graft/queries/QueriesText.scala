@@ -1192,11 +1192,82 @@ object QueriesText {
               FROM pred p JOIN documents d USING (doc_id)
               GROUP BY 1, 2)"""
 
+  // ---- x_bpe_merges: two BPE tokenizer-training merge steps ------------
+  // The byte-pair-encoding vocabulary-learning shape (Sennrich 2016;
+  // every modern LLM tokenizer): count adjacent symbol pairs over the
+  // WORD VOCABULARY weighted by word frequency, merge the most frequent
+  // pair corpus-wide, recount, merge again. Each learned merge is
+  // represented as one placeholder char (chr(1), chr(2)…) so a symbol
+  // stays exactly one char and pair extraction stays substr(w, i, 2) at
+  // every iteration; a merge application is leftmost non-overlapping
+  // replace() — identical deterministic semantics in both engines.
+  // Output: top-5 pairs (hex-rendered) per iteration with weighted
+  // counts. Scale shape: one corpus-sized wordcount shuffle, then ALL
+  // pair work runs on the DISTINCT-WORD vocabulary (bounded, zipfian) —
+  // the reason real BPE trainers handle terabyte corpora; each further
+  // merge repeats the same vocab-sized stage pair. Ties pin on
+  // (count DESC, pair ASC).
+  private val BPE_TOP = 5
+  private def bpePairs(wc: DataFrame): DataFrame = wc
+    .filter(length(col("w")) >= 2)
+    .select(col("w"), col("cnt"),
+      explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+    .select(expr("substring(w, i, 2)").as("p"), col("cnt"))
+    .groupBy("p").agg(sum("cnt").as("n"))
+  private def bpeTop(pairs: DataFrame, iter: Int): DataFrame = pairs
+    .orderBy(col("n").desc, col("p").asc).limit(BPE_TOP)
+    .select(lit(iter).as("iter"),
+      row_number().over(Window.orderBy(col("n").desc, col("p").asc))
+        .as("rank"),
+      upper(hex(col("p"))).as("pair_hex"), col("n"))
+  private val bpeMerges: Q = (s, d) => {
+    val wc = Tables.documents(s, d)
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .persistShared()
+    val p1 = bpePairs(wc).persistShared()
+    val win1 = p1.orderBy(col("n").desc, col("p").asc).limit(1)
+      .select(col("p").as("wp"))
+    val wc2 = wc.crossJoin(broadcast(win1))
+      .select(expr("replace(w, wp, chr(1))").as("w"), col("cnt"))
+      .groupBy("w").agg(sum("cnt").as("cnt"))
+    bpeTop(p1, 1).unionAll(bpeTop(bpePairs(wc2), 2))
+  }
+
+  private val bpeMergesSql =
+    s"""WITH wc AS (SELECT w, count(*) AS cnt
+                    FROM (SELECT unnest(string_split(text, ' ')) AS w
+                          FROM documents) GROUP BY 1),
+        p1 AS (SELECT substr(w, i, 2) AS p, CAST(sum(cnt) AS BIGINT) AS n
+               FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i
+                     FROM wc WHERE len(w) >= 2)
+               GROUP BY 1),
+        win1 AS (SELECT p AS wp FROM p1 ORDER BY n DESC, p ASC LIMIT 1),
+        wc2 AS (SELECT replace(w, (SELECT wp FROM win1), chr(1)) AS w,
+                       CAST(sum(cnt) AS BIGINT) AS cnt
+                FROM wc GROUP BY 1),
+        p2 AS (SELECT substr(w, i, 2) AS p, CAST(sum(cnt) AS BIGINT) AS n
+               FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i
+                     FROM wc2 WHERE len(w) >= 2)
+               GROUP BY 1),
+        t1 AS (SELECT 1 AS iter,
+                      CAST(row_number() OVER (ORDER BY n DESC, p ASC) AS INT)
+                        AS rank,
+                      upper(hex(p)) AS pair_hex, n
+               FROM p1 ORDER BY n DESC, p ASC LIMIT $BPE_TOP),
+        t2 AS (SELECT 2 AS iter,
+                      CAST(row_number() OVER (ORDER BY n DESC, p ASC) AS INT)
+                        AS rank,
+                      upper(hex(p)) AS pair_hex, n
+               FROM p2 ORDER BY n DESC, p ASC LIMIT $BPE_TOP)
+        SELECT * FROM t1 UNION ALL SELECT * FROM t2"""
+
   val queries: Map[String, Q] = Map(
     "x_minhash_est" -> minhashEst,
     "x_lang_confusion" -> langConfusion,
     "x_dedup_blocks" -> dedupBlocks,
     "a_cms_est" -> cmsEst,
+    "x_bpe_merges" -> bpeMerges,
     "a_hll_est" -> hllEst,
     "x_lsh_recall" -> lshRecall,
     "x_kn_ppl" -> knPpl,
@@ -1221,6 +1292,7 @@ object QueriesText {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_bpe_merges" -> bpeMergesSql,
     "x_minhash_est" -> minhashEstSql,
     "x_lang_confusion" -> langConfusionSql,
     "x_dedup_blocks" -> dedupBlocksSql,
