@@ -816,7 +816,73 @@ object QueriesAnn {
                     ELSE round(3.0 * n_triangles / n_wedges, 6) END AS global_cc
         FROM c, w, t"""
 
+  // ---- n_pca_power: top principal direction by one power iteration -----
+  // Embedding-hygiene op (anisotropy / rogue-dimension check before ANN
+  // or semantic dedup): the Gram matrix G[i,j] = Σ_rows q(vᵢ·vⱼ) is ONE
+  // distributed aggregate over per-row quantized products (1e-5 integer
+  // cents — merge-order-exact, the engine's standard trick), then a
+  // power step from the all-ones seed runs on the 64×64 matrix:
+  // u1 = G·1 (exact ints), normalize to ≤1e5 via a deterministic
+  // double floor, u2 = G·u1n (exact ints again — every product bounded
+  // well under 2^63 at any corpus size because u1n is re-normalized).
+  // Output: top-5 dimensions by |loading| with the loading ratio —
+  // sign pinned by the ones seed, ties by dim. Scale shape: the only
+  // corpus-sized work is the D² explode feeding one hash aggregate
+  // (map-side partial sums shrink it to D² rows per partition); all
+  // matrix work after that is on 4096 rows regardless of corpus size.
+  private val PCA_Q = 100000L // per-row product quantizer (1e-5)
+  private val pcaPower: Q = (s, d) => {
+    val e = emb(s, d)
+    val prod = e
+      .select(col("v"), posexplode(col("v")))
+      .toDF("v", "i0", "vi")
+      .select((col("i0") + 1).as("i"), col("vi"), posexplode(col("v")))
+      .toDF("i", "vi", "j0", "vj")
+      .select(col("i"), (col("j0") + 1).as("j"),
+        expr(s"CAST(floor(vi * vj * $PCA_Q + 0.5) AS BIGINT)").as("q"))
+    val g = prod.groupBy("i", "j").agg(sum("q").as("cq")).persistShared()
+    val u1 = g.groupBy("i").agg(sum("cq").as("u1"))
+    val um = u1.agg(max(abs(col("u1"))).as("um"))
+    val u1n = u1.crossJoin(broadcast(um))
+      .select(col("i").as("j"),
+        expr(s"CAST(floor(CAST(u1 AS DOUBLE) * $PCA_Q / um) AS BIGINT)")
+          .as("u1n"))
+    val u2 = g.join(broadcast(u1n), "j")
+      .groupBy("i").agg(sum(col("cq") * col("u1n")).as("u2"))
+    val m2 = u2.agg(max(abs(col("u2"))).as("m2"))
+    u2.crossJoin(broadcast(m2))
+      .orderBy(abs(col("u2")).desc, col("i").asc).limit(5)
+      .select(
+        row_number().over(Window.orderBy(abs(col("u2")).desc, col("i").asc))
+          .as("rank"),
+        col("i").cast("long").as("dim"),
+        round(col("u2").cast("double") / col("m2"), 6).as("loading"))
+  }
+
+  private val pcaPowerSql =
+    s"""WITH e AS ($embSqlCte),
+        g AS (SELECT i, j,
+                     CAST(sum(CAST(floor(v[i] * v[j] * $PCA_Q + 0.5) AS BIGINT))
+                       AS BIGINT) AS cq
+              FROM e, range(1, 65) t1(i), range(1, 65) t2(j)
+              GROUP BY 1, 2),
+        u1 AS (SELECT i, CAST(sum(cq) AS BIGINT) AS u1 FROM g GROUP BY 1),
+        um AS (SELECT max(abs(u1)) AS um FROM u1),
+        u1n AS (SELECT i AS j,
+                       CAST(floor(CAST(u1 AS DOUBLE) * $PCA_Q
+                                  / (SELECT um FROM um)) AS BIGINT) AS u1n
+                FROM u1),
+        u2 AS (SELECT g.i, CAST(sum(g.cq * u.u1n) AS BIGINT) AS u2
+               FROM g JOIN u1n u ON u.j = g.j GROUP BY 1),
+        m2 AS (SELECT max(abs(u2)) AS m2 FROM u2)
+        SELECT CAST(row_number() OVER (ORDER BY abs(u2) DESC, i ASC) AS INT)
+                 AS rank,
+               i AS dim,
+               round(CAST(u2 AS DOUBLE) / (SELECT m2 FROM m2), 6) AS loading
+        FROM u2 ORDER BY abs(u2) DESC, i ASC LIMIT 5"""
+
   val queries: Map[String, Q] = Map(
+    "n_pca_power" -> pcaPower,
     "g_knn_triangles" -> knnTriangles,
     "x_semdedup" -> semdedup,
     "m_mrr" -> mrr,
@@ -834,6 +900,7 @@ object QueriesAnn {
   )
 
   val oracle: Map[String, String] = Map(
+    "n_pca_power" -> pcaPowerSql,
     "g_knn_triangles" -> knnTrianglesSql,
     "x_semdedup" -> semdedupSql,
     "m_mrr" -> mrrSql,
