@@ -1262,7 +1262,123 @@ object QueriesText {
                FROM p2 ORDER BY n DESC, p ASC LIMIT $BPE_TOP)
         SELECT * FROM t1 UNION ALL SELECT * FROM t2"""
 
+  // ---- m_bleu: corpus BLEU-2 against each language's canonical doc -----
+  // The standard generation-eval metric (Papineni 2002), run as a corpus
+  // census: every document scores BLEU-2 against its language's canonical
+  // reference (the lang's min doc_id), i.e. modified n-gram precision
+  // with per-gram clipping to the reference counts, geometric mean over
+  // n=1,2 (sqrt — IEEE-exact), and the brevity penalty exp(1 − r/h)
+  // floor-quantized to 1e-6 ints (the x_kn_ppl lp6 pattern) so both
+  // engines bucket identically. Per-lang output: doc count, mean BLEU-2,
+  // zero-score count. Scale shape: hypothesis grams are one corpus-sized
+  // explode → hash aggregate; reference grams are |langs| documents —
+  // broadcast by construction; clipping is an equi-join on (lang, n,
+  // gram) against that broadcast. No pair space, no window.
+  private val bleu: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), TextOps.words(col("text")).as("w"))
+      .persistShared()
+    // the per-lang min doc_id, keyed under a FRESH name: refIds, refs and
+    // hyps all descend from `docs`, so every lang-keyed join among them
+    // must join two distinct attribute names or Catalyst reads it as an
+    // ambiguous self-join reference
+    val refIds = docs.groupBy(col("lang").as("rl_lang"))
+      .agg(min("doc_id").as("ref_id"))
+    val refs = docs.join(refIds, col("doc_id") === col("ref_id"))
+      .select(col("lang"), col("w")).toDF("r_lang", "rw")
+    val hyps = docs.join(refIds, col("lang") === col("rl_lang"))
+      .filter(col("doc_id") =!= col("ref_id") && size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"), col("w"))
+      .persistShared()
+    def gramStructs(w: Column) = concat(
+      transform(w, g => struct(lit(1).as("n"), g.as("g"))),
+      transform(TextOps.shinglesOf(w, 2),
+        g => struct(lit(2).as("n"), g.as("g"))))
+    val hg = hyps
+      .select(col("doc_id"), col("lang"), explode(gramStructs(col("w"))).as("t"))
+      .groupBy(col("doc_id"), col("lang"), col("t.n").as("n"), col("t.g").as("g"))
+      .agg(count(lit(1)).as("ch"))
+    val rg = refs
+      .select(col("r_lang"), explode(gramStructs(col("rw"))).as("t"))
+      .groupBy(col("r_lang"), col("t.n").as("rn"), col("t.g").as("rg"))
+      .agg(count(lit(1)).as("cr"))
+    val pcols = hg.join(broadcast(rg),
+        col("lang") === col("r_lang") && col("n") === col("rn") &&
+          col("g") === col("rg"), "left_outer")
+      .withColumn("m", least(col("ch"), coalesce(col("cr"), lit(0L))))
+      .groupBy("doc_id", "lang")
+      .agg(sum(when(col("n") === 1, col("m"))).as("m1"),
+        sum(when(col("n") === 1, col("ch"))).as("t1"),
+        sum(when(col("n") === 2, col("m"))).as("m2"),
+        sum(when(col("n") === 2, col("ch"))).as("t2"))
+    val lens = hyps
+      .select(col("doc_id"), col("lang"), size(col("w")).cast("long").as("hl"))
+      .join(broadcast(refs.select(col("r_lang"),
+        size(col("rw")).cast("long").as("rl"))),
+        col("lang") === col("r_lang"))
+      .drop("r_lang")
+    pcols.join(lens, Seq("doc_id", "lang"))
+      .withColumn("bp", when(col("hl") >= col("rl"), lit(1.0))
+        .otherwise(expr("exp(1.0 - CAST(rl AS DOUBLE) / hl)")))
+      .withColumn("b6", expr(
+        """CAST(floor(bp * sqrt((CAST(m1 AS DOUBLE) / t1)
+                                * (CAST(m2 AS DOUBLE) / t2)) * 1e6 + 0.5)
+           AS BIGINT)"""))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("b6")).cast("double") / 1e6 / count(lit(1)), 6)
+          .as("avg_bleu2"),
+        sum(when(col("b6") === 0, 1L).otherwise(0L)).as("n_zero"))
+  }
+
+  private val bleuSql =
+    s"""WITH docs AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w
+                      FROM documents),
+        refids AS (SELECT lang, min(doc_id) AS ref_id FROM docs GROUP BY 1),
+        refs AS (SELECT d.lang, d.text AS rtext, len(d.w) AS rl
+                 FROM docs d JOIN refids r ON d.doc_id = r.ref_id),
+        hyps AS (SELECT d.doc_id, d.lang, d.text, len(d.w) AS hl
+                 FROM docs d JOIN refids r ON d.lang = r.lang
+                 WHERE d.doc_id <> r.ref_id AND len(d.w) >= 2),
+        hg AS (SELECT doc_id, lang, n, g, count(*) AS ch FROM (
+                 SELECT doc_id, lang, 1 AS n,
+                        unnest(string_split(text, ' ')) AS g FROM hyps
+                 UNION ALL
+                 SELECT doc_id, lang, 2 AS n,
+                        unnest(${TextOps.shinglesSql("text", 2)}) AS g FROM hyps)
+               GROUP BY 1, 2, 3, 4),
+        rg AS (SELECT lang, n, g, count(*) AS cr FROM (
+                 SELECT lang, 1 AS n,
+                        unnest(string_split(rtext, ' ')) AS g FROM refs
+                 UNION ALL
+                 SELECT lang, 2 AS n,
+                        unnest(${TextOps.shinglesSql("rtext", 2)}) AS g FROM refs)
+               GROUP BY 1, 2, 3),
+        pc AS (SELECT doc_id, lang,
+                      CAST(sum(CASE WHEN n = 1 THEN least(ch, COALESCE(cr, 0))
+                               END) AS BIGINT) AS m1,
+                      CAST(sum(CASE WHEN n = 1 THEN ch END) AS BIGINT) AS t1,
+                      CAST(sum(CASE WHEN n = 2 THEN least(ch, COALESCE(cr, 0))
+                               END) AS BIGINT) AS m2,
+                      CAST(sum(CASE WHEN n = 2 THEN ch END) AS BIGINT) AS t2
+               FROM hg LEFT JOIN rg USING (lang, n, g)
+               GROUP BY 1, 2),
+        b AS (SELECT p.lang,
+                     CAST(floor(
+                       (CASE WHEN h.hl >= r.rl THEN 1.0
+                             ELSE exp(1.0 - CAST(r.rl AS DOUBLE) / h.hl) END)
+                       * sqrt((CAST(m1 AS DOUBLE) / t1)
+                              * (CAST(m2 AS DOUBLE) / t2)) * 1e6 + 0.5)
+                       AS BIGINT) AS b6
+              FROM pc p JOIN hyps h ON h.doc_id = p.doc_id
+                        JOIN refs r ON r.lang = p.lang)
+        SELECT lang, count(*) AS n_docs,
+               round(CAST(sum(b6) AS DOUBLE) / 1e6 / count(*), 6) AS avg_bleu2,
+               CAST(sum(CASE WHEN b6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        FROM b GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
+    "m_bleu" -> bleu,
     "x_minhash_est" -> minhashEst,
     "x_lang_confusion" -> langConfusion,
     "x_dedup_blocks" -> dedupBlocks,
@@ -1292,6 +1408,7 @@ object QueriesText {
   )
 
   val oracle: Map[String, String] = Map(
+    "m_bleu" -> bleuSql,
     "x_bpe_merges" -> bpeMergesSql,
     "x_minhash_est" -> minhashEstSql,
     "x_lang_confusion" -> langConfusionSql,
