@@ -64,7 +64,12 @@ object Plans {
       "i_gpkg_roundtrip" -> "GeoPackage boundary: per-tile SQLite b-tree encode → GPB/WKB vertex fan-out → per-feature census",
       "g_wkb_roundtrip" -> "WKB geometry column: in-row encode/decode of binary geometry (the GeoParquet shape), one census aggregate",
       "x_url_canon" -> "URL canonicalization: pure map-side regex chain + one canonical-key aggregate (no joins)",
-      "q_sql_recursive" -> "recursive CTE: Catalyst UnionLoop, per-level DISTINCT keeps the frontier node-bounded")
+      "q_sql_recursive" -> "recursive CTE: Catalyst UnionLoop, per-level DISTINCT keeps the frontier node-bounded",
+      "g_knn_triangles" -> "kNN-graph triangles: IVF-bucketed candidate equi-join → top-k window → 3-way join on ≤k·n canonical edges",
+      "x_bpe_merges" -> "BPE merges: one corpus wordcount shuffle, then vocab-sized pair aggregates; winner broadcast into the next merge",
+      "n_pca_power" -> "PCA power step: D² quantized-product explode → one hash aggregate; all matrix work on 4096 rows",
+      "m_bleu" -> "BLEU-2: corpus-sized gram explode + broadcast reference clip join, no pair space",
+      "i_csv_parse" -> "CSV boundary: map-side to_csv → from_csv round trip, single final aggregate")
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans of headline queries\n\n"
     sb ++= s"Generated by `runMain graft.Plans` on `$dir`. Evidence for the\n"
