@@ -14,7 +14,8 @@ import graft.raster.GridMeta
   * Scope (validated, everything else rejected loudly):
   *   - classic TIFF, II or MM byte order (writer emits II)
   *   - one sample per pixel, IEEE float 32 or 64 (writer emits 64)
-  *   - Compression=1 (none), strip-organized
+  *   - Compression=1 (none), 5 (LZW, [[Lzw]]) or 8 (Deflate/zlib,
+  *     [[Zlib]] — GDAL "compress=DEFLATE"); strip- or tile-organized
   *   - geo tags: ModelPixelScale (33550), ModelTiepoint (33922),
   *     GDAL_NODATA (42113) → [[GridMeta]] origin/scale/nodata
   *
@@ -99,8 +100,8 @@ object GeoTiff {
     val h = scalar(TAG_HEIGHT).toInt
     val bits = scalar(TAG_BITS).toInt
     val compression = scalar(TAG_COMPRESSION, 1).toInt
-    require(compression == 1 || compression == 5,
-      s"only Compression=1 (none) or 5 (LZW) supported, got $compression")
+    require(compression == 1 || compression == 5 || compression == 8,
+      s"only Compression=1 (none), 5 (LZW) or 8 (Deflate) supported, got $compression")
     require(scalar(TAG_SAMPLES_PER_PX, 1) == 1, "only single-band rasters supported")
     require(scalar(TAG_SAMPLE_FORMAT, 1) == 3, "only IEEE-float SampleFormat=3 supported")
     require(bits == 32 || bits == 64, s"only 32/64-bit float samples, got $bits")
@@ -119,11 +120,15 @@ object GeoTiff {
     val px = if (bits == 64) 8 else 4
     def sample(buf: ByteBuffer, at: Int): Double =
       if (px == 8) buf.getDouble(at) else buf.getFloat(at).toDouble
-    // per-chunk view: uncompressed chunks read in place; LZW chunks
-    // (Compression=5) decompress into a chunk-local buffer first
+    // per-chunk view: uncompressed chunks read in place; LZW
+    // (Compression=5) and zlib/Deflate (Compression=8, GDAL
+    // "compress=DEFLATE") chunks decompress into a chunk-local buffer
     def chunkBuf(off: Int, cnt: Int): (ByteBuffer, Int) =
       if (compression == 5)
         (ByteBuffer.wrap(Lzw.decode(
+          java.util.Arrays.copyOfRange(bytes, off, off + cnt))).order(order), 0)
+      else if (compression == 8)
+        (ByteBuffer.wrap(Zlib.inflate(
           java.util.Arrays.copyOfRange(bytes, off, off + cnt))).order(order), 0)
       else (b, off)
     val rows =
@@ -155,7 +160,7 @@ object GeoTiff {
           if (tags.contains(TAG_STRIP_COUNTS)) {
             val a = longArray(TAG_STRIP_COUNTS, nStrips); i => a(i).toInt
           } else { // uncompressed only: geometry determines the size
-            require(compression == 1, "LZW strips need StripByteCounts")
+            require(compression == 1, "compressed strips need StripByteCounts")
             i => math.min(rowsPerStrip, h - i * rowsPerStrip) * w * px
           }
         val out = Array.fill(h)(new Array[Double](w))
@@ -289,7 +294,21 @@ object GeoTiff {
     * sizes. [[decode]] reads both compressions, so the oracle round-trip
     * gates the codec end to end. */
   def encodeLzw(meta: GridMeta, rows: Array[Array[Double]], bits: Int,
-                tile: Option[(Int, Int)]): Array[Byte] = {
+                tile: Option[(Int, Int)]): Array[Byte] =
+    encodeCompressed(meta, rows, bits, tile, 5, Lzw.encode)
+
+  /** Deflate writer (Compression=8, GDAL "compress=DEFLATE" — the other
+    * compression the reference's GDAL stack round-trips): identical
+    * strip/tile layout, chunks are zlib streams ([[Zlib]], RFC 1950).
+    * [[decode]] reads all three compressions. */
+  def encodeDeflate(meta: GridMeta, rows: Array[Array[Double]], bits: Int,
+                    tile: Option[(Int, Int)]): Array[Byte] =
+    encodeCompressed(meta, rows, bits, tile, 8, Zlib.deflate)
+
+  private def encodeCompressed(meta: GridMeta, rows: Array[Array[Double]],
+                               bits: Int, tile: Option[(Int, Int)],
+                               compTag: Int,
+                               codec: Array[Byte] => Array[Byte]): Array[Byte] = {
     val w = meta.width
     val h = meta.height
     require(rows.length == h, s"expected $h rows, got ${rows.length}")
@@ -321,7 +340,7 @@ object GeoTiff {
           }, px * tw * th)
         }
     }
-    val chunks = rawChunks.map(Lzw.encode)
+    val chunks = rawChunks.map(codec)
     val nChunks = chunks.length
     val nodataStr = {
       val s = if (meta.nodata == meta.nodata.toLong.toDouble)
@@ -355,7 +374,7 @@ object GeoTiff {
     entry(TAG_WIDTH, 4, 1)(_.putInt(w))
     entry(TAG_HEIGHT, 4, 1)(_.putInt(h))
     entry(TAG_BITS, 3, 1)(_.putShort(bits.toShort))
-    entry(TAG_COMPRESSION, 3, 1)(_.putShort(5))
+    entry(TAG_COMPRESSION, 3, 1)(_.putShort(compTag.toShort))
     entry(TAG_PHOTOMETRIC, 3, 1)(_.putShort(1))
     tile match {
       case None =>

@@ -434,6 +434,28 @@ object QueriesIngest {
       .select(col("col"), col("row"), col("value"))
   }
 
+  // Deflate-compressed (Compression=8, GDAL "compress=DEFLATE") GeoTIFF
+  // round trip — the other compression GDAL emits for the reference's
+  // rasters. Strip-per-row layout this time (LZW already gates tiles), so
+  // both chunk organizations pass through a compressed decode each run.
+  // Same oracle: green only if zlib encode → decode is bit-lossless.
+  private val geotiffDeflateRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val meta = graft.raster.GridMeta()
+    val dense = graft.ingest.DenseRaster.toDense(
+      graft.raster.PixelGrid.grid(s, d, 1), meta)
+    val tiles = dense.select(col("row"), col("values"))
+      .as[(Int, Seq[Double])]
+      .groupByKey(_ => 0)
+      .mapGroups { (id: Int, it: Iterator[(Int, Seq[Double])]) =>
+        val rows = it.toArray.sortBy(_._1).map(_._2.toArray)
+        (id, graft.ingest.GeoTiff.encodeDeflate(meta, rows, 64, None))
+      }
+      .toDF("tile_id", "data")
+    graft.ingest.GeoTiff.tilesToPixels(tiles)
+      .select(col("col"), col("row"), col("value"))
+  }
+
   // LAS byte-boundary round trip (the reference's PDAL read,
   // differencing_functions.py:738–828): synthetic points → LAS 1.2
   // format-0 bytes assembled in an executor → decoded tile-parallel →
@@ -874,6 +896,7 @@ object QueriesIngest {
     "i_frame_sample" -> frameSample,
     "i_geotiff_roundtrip" -> geotiffRoundtrip,
     "i_geotiff_lzw_roundtrip" -> geotiffLzwRoundtrip,
+    "i_geotiff_deflate_roundtrip" -> geotiffDeflateRoundtrip,
     "i_las_roundtrip" -> lasRoundtrip,
     "i_laz_roundtrip" -> lazRoundtrip,
     "i_shp_roundtrip" -> shpRoundtrip,
@@ -895,6 +918,7 @@ object QueriesIngest {
     "i_frame_sample" -> frameSampleSql,
     "i_geotiff_roundtrip" -> geotiffRoundtripSql,
     "i_geotiff_lzw_roundtrip" -> geotiffRoundtripSql,
+    "i_geotiff_deflate_roundtrip" -> geotiffRoundtripSql,
     "i_las_roundtrip" -> lasRoundtripSql,
     "i_laz_roundtrip" -> lasRoundtripSql,
     "i_shp_roundtrip" -> shpRoundtripSql,

@@ -112,6 +112,34 @@ class GeoTiffSpec extends SparkSuite {
     }
   }
 
+  test("Deflate (Compression=8) round-trips bit-lossless, strip and tile") {
+    for (tile <- Seq[Option[(Int, Int)]](None, Some((16, 16)))) {
+      val bytes = GeoTiff.encodeDeflate(meta, rows, 64, tile)
+      val (m2, rows2) = GeoTiff.decode(bytes)
+      assert(m2 == meta, s"tile=$tile")
+      for (r <- rows.indices; c <- rows(r).indices)
+        assert(java.lang.Double.doubleToLongBits(rows2(r)(c)) ==
+          java.lang.Double.doubleToLongBits(rows(r)(c)), s"tile=$tile ($c,$r)")
+    }
+    // repetitive content must actually compress through the zlib path
+    val flat = Array.fill(64)(Array.fill(64)(7.25))
+    val m64 = meta.copy(width = 64, height = 64)
+    assert(GeoTiff.encodeDeflate(m64, flat, 64, None).length <
+      GeoTiff.encode(m64, flat, 64, None).length / 4)
+  }
+
+  test("zlib helper rejects truncated streams and validates length") {
+    val raw = Array.tabulate[Byte](1000)(i => (i * 31).toByte)
+    val comp = graft.ingest.Zlib.deflate(raw)
+    assert(graft.ingest.Zlib.inflate(comp, raw.length).sameElements(raw))
+    intercept[Exception] {
+      graft.ingest.Zlib.inflate(comp.take(comp.length / 2), raw.length)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ingest.Zlib.inflate(comp, raw.length + 1)
+    }
+  }
+
   test("round trip through the pixel-table model keeps only valid pixels") {
     val px = DenseRaster.toPixels(rows.zipWithIndex.map { case (v, r) =>
       (r, v.toSeq) }.toSeq.toDF("row", "values"), meta)
