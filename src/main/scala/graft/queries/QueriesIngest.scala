@@ -456,6 +456,52 @@ object QueriesIngest {
       .select(col("col"), col("row"), col("value"))
   }
 
+  // PNG byte-boundary round trip (ingest.Png — the compressed-image
+  // codec of the multimodal story, W3C PNG over the JDK zlib): raster B
+  // quantized to 16-bit (v16 = floor(value·100 + ½); values live in
+  // [~90, ~10500], so 0 is a free nodata sentinel) → one gray16 PNG
+  // assembled in an executor (Sub/Up filtered, deflate-compressed) →
+  // decoded tile-parallel → pixel table. The oracle recomputes the same
+  // quantization on the original grid SQL, so the row is green only if
+  // filter + zlib + chunk layers are bit-lossless.
+  private val pngRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val meta = graft.raster.GridMeta()
+    val dense = graft.ingest.DenseRaster.toDense(
+      graft.raster.PixelGrid.grid(s, d, 1), meta)
+    val tiles = dense.select(col("row"), col("values"))
+      .as[(Int, Seq[Double])]
+      .groupByKey(_ => 0)
+      .mapGroups { (id: Int, it: Iterator[(Int, Seq[Double])]) =>
+        val rows = it.toArray.sortBy(_._1).map(_._2.toArray)
+        val q = rows.map(_.map { v =>
+          if (v == meta.nodata) 0
+          else {
+            val q16 = math.floor(v * 100 + 0.5).toInt
+            require(q16 > 0 && q16 <= 0xffff, s"value $v outside gray16 range")
+            q16
+          }
+        })
+        (id, graft.ingest.Png.encode(meta.width, meta.height, 16, 1, q))
+      }
+      .toDF("tile_id", "data")
+    tiles.select(col("tile_id"), col("data")).as[(Int, Array[Byte])]
+      .flatMap { case (_, data) =>
+        val (w, _, _, _, rows) = graft.ingest.Png.decode(data)
+        for {
+          (vals, r) <- rows.iterator.zipWithIndex
+          (v, c) <- vals.iterator.zipWithIndex
+          if v != 0
+        } yield (c, r, v.toLong)
+      }
+      .toDF("col", "row", "v16")
+  }
+
+  private val pngRoundtripSql =
+    s"""WITH g AS (${graft.raster.PixelGrid.gridSql(1)})
+        SELECT col, "row", CAST(floor(value * 100 + 0.5) AS BIGINT) AS v16
+        FROM g"""
+
   // LAS byte-boundary round trip (the reference's PDAL read,
   // differencing_functions.py:738–828): synthetic points → LAS 1.2
   // format-0 bytes assembled in an executor → decoded tile-parallel →
@@ -897,6 +943,7 @@ object QueriesIngest {
     "i_geotiff_roundtrip" -> geotiffRoundtrip,
     "i_geotiff_lzw_roundtrip" -> geotiffLzwRoundtrip,
     "i_geotiff_deflate_roundtrip" -> geotiffDeflateRoundtrip,
+    "i_png_roundtrip" -> pngRoundtrip,
     "i_las_roundtrip" -> lasRoundtrip,
     "i_laz_roundtrip" -> lazRoundtrip,
     "i_shp_roundtrip" -> shpRoundtrip,
@@ -919,6 +966,7 @@ object QueriesIngest {
     "i_geotiff_roundtrip" -> geotiffRoundtripSql,
     "i_geotiff_lzw_roundtrip" -> geotiffRoundtripSql,
     "i_geotiff_deflate_roundtrip" -> geotiffRoundtripSql,
+    "i_png_roundtrip" -> pngRoundtripSql,
     "i_las_roundtrip" -> lasRoundtripSql,
     "i_laz_roundtrip" -> lasRoundtripSql,
     "i_shp_roundtrip" -> shpRoundtripSql,
