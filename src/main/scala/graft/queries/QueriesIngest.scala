@@ -103,6 +103,68 @@ object QueriesIngest {
                 ELSE 0 END) AS BIGINT) AS sum_duration_ms
        FROM documents GROUP BY 1, 2"""
 
+  // JPEG deep-codec gate (ingest.Jpeg — pure-JVM baseline T.81, the
+  // codec the multimodal story stubbed through round 6): per document a
+  // deterministic image derives from doc_id (LCG pixels; gray for even
+  // ids, RGB 4:4:4 for odd), is encoded at quality 90 and decoded back
+  // in the same executor. JPEG is LOSSY and T.81 only bounds IDCT error,
+  // so the oracle checks what IS exact — parsed dimensions and component
+  // count must equal the pure integer derivations — plus a per-image
+  // reconstruction-error bound (gray ≤64, RGB ≤96 on LCG white noise,
+  // the DCT worst case; JpegSpec pins the same bounds and ImageIO
+  // cross-conformance). n_within_tol = n makes the hash gate fail if any
+  // single image drifts out of bound.
+  private val jpegDecode: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          val w = (16 + id % 48).toInt
+          val h = (16 + (id * 7) % 48).toInt
+          var st = id
+          def nxt(): Long = {
+            st = st * 6364136223846793005L + 1442695040888963407L; st
+          }
+          if (id % 2 == 0) {
+            val px = Array.fill(h, w)(((nxt() >>> 33) & 0xff).toInt)
+            val (dw, dh, nc, out) =
+              graft.ingest.Jpeg.decode(graft.ingest.Jpeg.encodeGray(w, h, px, 90))
+            val err = px.indices.map(r =>
+              px(r).indices.map(c => math.abs(px(r)(c) - out(r)(c))).max).max
+            (src, dw.toLong, dh.toLong, nc.toLong, err <= 64)
+          } else {
+            val px = Array.fill(h, w)(((nxt() >>> 24) & 0xffffff).toInt)
+            val (dw, dh, nc, out) =
+              graft.ingest.Jpeg.decode(graft.ingest.Jpeg.encodeRgb(w, h, px, 90))
+            val err = px.indices.map { r =>
+              px(r).indices.map { c =>
+                val p = px(r)(c); val q = out(r)(c)
+                math.max(math.abs(((p >> 16) & 0xff) - ((q >> 16) & 0xff)),
+                  math.max(math.abs(((p >> 8) & 0xff) - ((q >> 8) & 0xff)),
+                    math.abs((p & 0xff) - (q & 0xff))))
+              }.max
+            }.max
+            (src, dw.toLong, dh.toLong, nc.toLong, err <= 96)
+          }
+        }
+      }
+      .toDF("source", "w", "h", "nc", "ok")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("w").as("sum_width"),
+        sum("h").as("sum_height"), sum("nc").as("sum_ncomp"),
+        sum(col("ok").cast("long")).as("n_within_tol"))
+  }
+
+  private val jpegDecodeSql =
+    """SELECT source, count(*) AS n,
+              CAST(sum(16 + doc_id % 48) AS BIGINT) AS sum_width,
+              CAST(sum(16 + (doc_id * 7) % 48) AS BIGINT) AS sum_height,
+              CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END) AS BIGINT)
+                AS sum_ncomp,
+              count(*) AS n_within_tol
+       FROM documents GROUP BY source"""
+
   // Sketch surfaces for the 100-TB path, EXACTLY oracle-gated: both
   // estimators are built from merge-order-independent state (register
   // max / integer bin counts), so the approximate answers hash-match the
@@ -944,6 +1006,7 @@ object QueriesIngest {
     "i_geotiff_lzw_roundtrip" -> geotiffLzwRoundtrip,
     "i_geotiff_deflate_roundtrip" -> geotiffDeflateRoundtrip,
     "i_png_roundtrip" -> pngRoundtrip,
+    "i_jpeg_decode" -> jpegDecode,
     "i_las_roundtrip" -> lasRoundtrip,
     "i_laz_roundtrip" -> lazRoundtrip,
     "i_shp_roundtrip" -> shpRoundtrip,
@@ -967,6 +1030,7 @@ object QueriesIngest {
     "i_geotiff_lzw_roundtrip" -> geotiffRoundtripSql,
     "i_geotiff_deflate_roundtrip" -> geotiffRoundtripSql,
     "i_png_roundtrip" -> pngRoundtripSql,
+    "i_jpeg_decode" -> jpegDecodeSql,
     "i_las_roundtrip" -> lasRoundtripSql,
     "i_laz_roundtrip" -> lasRoundtripSql,
     "i_shp_roundtrip" -> shpRoundtripSql,
