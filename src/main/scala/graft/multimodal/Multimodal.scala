@@ -172,6 +172,28 @@ object Multimodal {
     (rate, dataBytes / blockAlign, dataBytes * 1000L / (rate.toLong * blockAlign))
   }
 
+  /** Decode the PCM16 samples out of a WAV's data chunk (mono, little-
+    * endian) — the payload counterpart of [[wavInfo]]'s header walk, so
+    * the sample path itself can be round-trip gated. */
+  def wavSamples(bytes: Array[Byte]): Array[Short] = {
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE", "not a WAV")
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val len = b.getInt(off + 4)
+      require(len >= 0 && off + 8 + len <= bytes.length,
+        s"corrupt WAV chunk '$id' length $len")
+      if (id == "data") {
+        require(len % 2 == 0, "odd PCM16 data length")
+        return Array.tabulate(len / 2)(i => b.getShort(off + 8 + 2 * i))
+      }
+      off += 8 + len + (len & 1)
+    }
+    throw new IllegalArgumentException("missing data chunk")
+  }
+
   /** Canonical uncompressed-DIB AVI (RIFF 'AVI '): LIST hdrl { avih,
     * LIST strl { strh 'vids'/'DIB ', strf BITMAPINFOHEADER } }, LIST
     * movi with `frames` '00db' frames of deterministic LCG fill. Fixed

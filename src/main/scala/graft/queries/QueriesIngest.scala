@@ -103,6 +103,51 @@ object QueriesIngest {
                 ELSE 0 END) AS BIGINT) AS sum_duration_ms
        FROM documents GROUP BY 1, 2"""
 
+  // WAV PCM-payload round trip: i_multimodal_meta gates the RIFF header
+  // walk (rate/duration) but not the sample path. Here each document's
+  // 32 samples derive from its md5 hex digits — sample_i = (h_i − 8)·1000
+  // — an encoding BOTH engines can compute independently: Spark assembles
+  // the WAV bytes, decodes the data chunk back (Multimodal.wavSamples)
+  // and checksums the DECODED samples with position weights; DuckDB
+  // recomputes the same weighted sum straight from md5(text). The row is
+  // green only if PCM16 encode → chunk walk → decode is bit-lossless on
+  // every document.
+  private val wavPcmRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("source"), md5(col("text")).as("m"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val hex = "0123456789abcdef"
+        it.map { case (src, m) =>
+          val samples = Array.tabulate(32)(i =>
+            ((hex.indexOf(m.charAt(i)) - 8) * 1000).toShort)
+          val bytes = graft.multimodal.Multimodal.encodeWavPcm16(8000, samples)
+          val back = graft.multimodal.Multimodal.wavSamples(bytes)
+          require(back.length == 32, s"decoded ${back.length} samples")
+          var cs = 0L
+          var i = 0
+          while (i < 32) { cs += (i + 1).toLong * back(i); i += 1 }
+          (src, cs)
+        }
+      }
+      .toDF("source", "cs")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("cs").as("checksum"))
+  }
+
+  private val wavPcmRoundtripSql =
+    """WITH d AS (SELECT doc_id, source, md5(text) AS m FROM documents),
+          e AS (SELECT source,
+                       sum(CAST(i AS BIGINT) *
+                           (strpos('0123456789abcdef',
+                                   substr(m, CAST(i AS INT), 1)) - 9) * 1000)
+                         AS cs
+                FROM d, generate_series(1, 32) AS t(i)
+                GROUP BY doc_id, source)
+       SELECT source, count(*) AS n, CAST(sum(cs) AS BIGINT) AS checksum
+       FROM e GROUP BY source"""
+
   // JPEG deep-codec gate (ingest.Jpeg — pure-JVM baseline T.81, the
   // codec the multimodal story stubbed through round 6): per document a
   // deterministic image derives from doc_id (LCG pixels; gray for even
@@ -1007,6 +1052,7 @@ object QueriesIngest {
     "i_geotiff_deflate_roundtrip" -> geotiffDeflateRoundtrip,
     "i_png_roundtrip" -> pngRoundtrip,
     "i_jpeg_decode" -> jpegDecode,
+    "i_wav_pcm_roundtrip" -> wavPcmRoundtrip,
     "i_las_roundtrip" -> lasRoundtrip,
     "i_laz_roundtrip" -> lazRoundtrip,
     "i_shp_roundtrip" -> shpRoundtrip,
@@ -1031,6 +1077,7 @@ object QueriesIngest {
     "i_geotiff_deflate_roundtrip" -> geotiffRoundtripSql,
     "i_png_roundtrip" -> pngRoundtripSql,
     "i_jpeg_decode" -> jpegDecodeSql,
+    "i_wav_pcm_roundtrip" -> wavPcmRoundtripSql,
     "i_las_roundtrip" -> lasRoundtripSql,
     "i_laz_roundtrip" -> lasRoundtripSql,
     "i_shp_roundtrip" -> shpRoundtripSql,

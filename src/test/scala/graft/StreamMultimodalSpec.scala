@@ -316,6 +316,11 @@ class StreamMultimodalSpec extends SparkSuite {
     val badAvi = avi.clone(); badAvi(16) = -1; badAvi(17) = -1
     badAvi(18) = -1; badAvi(19) = -1 // hdrl LIST length = -1
     intercept[IllegalArgumentException] { Multimodal.aviInfo(badAvi) }
+    // PCM sample payload round-trips bit-exactly, not just the header
+    val back = Multimodal.wavSamples(wav)
+    assert(back.length == samples.length && back.sameElements(samples))
+    intercept[IllegalArgumentException] { Multimodal.wavSamples(wav.take(20)) }
+    intercept[IllegalArgumentException] { Multimodal.wavSamples(badWav) }
   }
 
   test("AVI RIFF lists walk conformantly to their declared ends") {
