@@ -1262,6 +1262,65 @@ object QueriesText {
                FROM p2 ORDER BY n DESC, p ASC LIMIT $BPE_TOP)
         SELECT * FROM t1 UNION ALL SELECT * FROM t2"""
 
+  // ---- x_bpe_apply: tokenize the corpus with the trained merges --------
+  // The inference half of the BPE story (x_bpe_merges is training): learn
+  // the top-2 merges corpus-wide exactly as the trainer does, then
+  // SEGMENT every word with them — token count = symbol count after the
+  // ordered leftmost-non-overlapping replace chain (merge 1 then merge 2,
+  // placeholder chars keeping every symbol one char). Census per source:
+  // word occurrences, post-merge token count, raw char count — the
+  // tokens-per-doc accounting a training pipeline bills by. Scale shape:
+  // one corpus-sized (source, word) count, vocab-sized merge training
+  // (zipf-bounded), then the apply is a broadcast of TWO scalar pairs
+  // against the (source, word) table — no corpus-sized re-scan, no pair
+  // space.
+  private val bpeApply: Q = (s, d) => {
+    val wordsrc = Tables.documents(s, d)
+      .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+      .persistShared()
+    val wc = wordsrc.groupBy("w").agg(sum("cnt").as("cnt"))
+    val win1 = bpePairs(wc).orderBy(col("n").desc, col("p").asc).limit(1)
+      .select(col("p").as("wp1"))
+    val wc2 = wc.crossJoin(broadcast(win1))
+      .select(expr("replace(w, wp1, chr(1))").as("w"), col("cnt"))
+      .groupBy("w").agg(sum("cnt").as("cnt"))
+    val win2 = bpePairs(wc2).orderBy(col("n").desc, col("p").asc).limit(1)
+      .select(col("p").as("wp2"))
+    wordsrc.crossJoin(broadcast(win1)).crossJoin(broadcast(win2))
+      .select(col("source"), col("cnt"),
+        length(expr("replace(replace(w, wp1, chr(1)), wp2, chr(2))"))
+          .cast("long").as("ntok"),
+        length(col("w")).cast("long").as("nchr"))
+      .groupBy("source")
+      .agg(sum("cnt").as("n_words"),
+        sum(col("ntok") * col("cnt")).as("n_tokens"),
+        sum(col("nchr") * col("cnt")).as("n_chars"))
+  }
+
+  private val bpeApplySql =
+    """WITH ws AS (SELECT source, w, count(*) AS cnt
+                   FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                         FROM documents) GROUP BY 1, 2),
+        wc AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS cnt FROM ws GROUP BY 1),
+        p1 AS (SELECT substr(w, i, 2) AS p, CAST(sum(cnt) AS BIGINT) AS n
+               FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i
+                     FROM wc WHERE len(w) >= 2) GROUP BY 1),
+        win1 AS (SELECT p AS wp1 FROM p1 ORDER BY n DESC, p ASC LIMIT 1),
+        wc2 AS (SELECT replace(w, (SELECT wp1 FROM win1), chr(1)) AS w,
+                       CAST(sum(cnt) AS BIGINT) AS cnt
+                FROM wc GROUP BY 1),
+        p2 AS (SELECT substr(w, i, 2) AS p, CAST(sum(cnt) AS BIGINT) AS n
+               FROM (SELECT w, cnt, unnest(range(1, len(w))) AS i
+                     FROM wc2 WHERE len(w) >= 2) GROUP BY 1),
+        win2 AS (SELECT p AS wp2 FROM p2 ORDER BY n DESC, p ASC LIMIT 1)
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS n_words,
+               CAST(sum(len(replace(replace(w, (SELECT wp1 FROM win1), chr(1)),
+                                    (SELECT wp2 FROM win2), chr(2))) * cnt)
+                 AS BIGINT) AS n_tokens,
+               CAST(sum(len(w) * cnt) AS BIGINT) AS n_chars
+        FROM ws GROUP BY source"""
+
   // ---- m_bleu: corpus BLEU-2 against each language's canonical doc -----
   // The standard generation-eval metric (Papineni 2002), run as a corpus
   // census: every document scores BLEU-2 against its language's canonical
@@ -1384,6 +1443,7 @@ object QueriesText {
     "x_dedup_blocks" -> dedupBlocks,
     "a_cms_est" -> cmsEst,
     "x_bpe_merges" -> bpeMerges,
+    "x_bpe_apply" -> bpeApply,
     "a_hll_est" -> hllEst,
     "x_lsh_recall" -> lshRecall,
     "x_kn_ppl" -> knPpl,
@@ -1410,6 +1470,7 @@ object QueriesText {
   val oracle: Map[String, String] = Map(
     "m_bleu" -> bleuSql,
     "x_bpe_merges" -> bpeMergesSql,
+    "x_bpe_apply" -> bpeApplySql,
     "x_minhash_est" -> minhashEstSql,
     "x_lang_confusion" -> langConfusionSql,
     "x_dedup_blocks" -> dedupBlocksSql,
