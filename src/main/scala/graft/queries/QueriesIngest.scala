@@ -103,6 +103,45 @@ object QueriesIngest {
                 ELSE 0 END) AS BIGINT) AS sum_duration_ms
        FROM documents GROUP BY 1, 2"""
 
+  // ORC format boundary: the columnar interchange format beside Parquet
+  // a lakehouse ingest actually meets (Spark's built-in ORC source —
+  // vectorized reader, predicate pushdown). The query writes a lineitem
+  // projection as ORC inside the session's temp dir, reads it back, and
+  // aggregates; the oracle computes the identical aggregate straight
+  // from the Parquet originals, so the row is green only if the ORC
+  // write → read preserves every long/double/string/timestamp value
+  // exactly. Money sums go through integer cents (the engine-wide
+  // pattern) so the gate is order-free; timestamps compare as epoch
+  // micros. Scale note: the rewrite is one pass, partition-parallel —
+  // the same shape a format-migration job runs at 100 TB.
+  private val orcRoundtrip: Q = (s, d) => {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_linestatus"), col("l_quantity"), col("l_extendedprice"),
+        col("l_shipdate"))
+      .write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("key_sum"),
+        sum(expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)"))
+          .as("qty_cents"),
+        sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+          .as("price_cents"),
+        max(unix_micros(col("l_shipdate"))).as("max_ship_us"))
+  }
+
+  private val orcRoundtripSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+              CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+              CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS qty_cents,
+              CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents,
+              CAST(max(epoch_us(l_shipdate)) AS BIGINT) AS max_ship_us
+       FROM lineitem GROUP BY 1, 2"""
+
   // WAV PCM-payload round trip: i_multimodal_meta gates the RIFF header
   // walk (rate/duration) but not the sample path. Here each document's
   // 32 samples derive from its md5 hex digits — sample_i = (h_i − 8)·1000
@@ -1034,6 +1073,57 @@ object QueriesIngest {
         FROM h"""
   }
 
+  // ---- i_xml_parse: XML codec boundary (to_xml → from_xml) ---------------
+  // The markup sibling of i_csv_parse, over Spark 4's native XML source
+  // functions: every document row is SERIALIZED to an XML record (a
+  // hostile prefix forces <, &, quotes, and a newline through the
+  // entity-escaping layer) with to_xml, then parsed back through the
+  // schema-directed from_xml boundary in FAILFAST mode. Same identity
+  // census as the CSV gate (md5-digest sum over the decoded text), same
+  // oracle (the census straight off the source table). Map-side only;
+  // the single-row agg is the lone exchange.
+  private val xmlParse: Q = (s, d) => {
+    import scala.jdk.CollectionConverters._
+    val opts = Map("rowTag" -> "doc", "mode" -> "FAILFAST")
+    val recs = Tables.documents(s, d)
+      .select(to_xml(struct(col("doc_id"), col("lang"),
+        concat(lit("<a>&\"'\n|"), col("text")).as("text"),
+        col("n_chars")), opts.asJava).as("rec"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, text STRING, n_chars BIGINT")
+    val digest = (1 to 8).map(j =>
+        (graft.text.TextOps.hexDigit(col("m"), j).cast("long") *
+          lit(1L << (4 * (8 - j)))))
+      .reduce(_ + _)
+    recs
+      .select(from_xml(col("rec"), schema, opts.asJava).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+        col("r.text").as("text"), col("r.n_chars").as("n_chars"))
+      .withColumn("m", md5(col("text")))
+      .agg(count(lit(1)).as("n"),
+        sum("doc_id").as("id_sum"),
+        sum("n_chars").as("nchars_sum"),
+        sum(length(col("text"))).as("len_sum"),
+        sum(digest).as("digest_sum"),
+        min("lang").as("min_lang"), max("lang").as("max_lang"))
+  }
+
+  private val xmlParseSql = {
+    val digest = (1 to 8).map(j =>
+      s"(instr('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+      .mkString(" + ")
+    s"""WITH src AS (SELECT doc_id, lang,
+                            '<a>&"''' || chr(10) || '|' || text AS text, n_chars
+                     FROM documents),
+        h AS (SELECT doc_id, lang, text, n_chars, md5(text) AS m FROM src)
+        SELECT count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               CAST(sum(n_chars) AS BIGINT) AS nchars_sum,
+               CAST(sum(length(text)) AS BIGINT) AS len_sum,
+               CAST(sum($digest) AS BIGINT) AS digest_sum,
+               min(lang) AS min_lang, max(lang) AS max_lang
+        FROM h"""
+  }
+
   private val lasRoundtripSql = PointCloud.gridDemSql(
     s"""SELECT floor(x / 0.000001 + 0.5) * 0.000001 AS x,
                floor(y / 0.000001 + 0.5) * 0.000001 AS y,
@@ -1053,11 +1143,13 @@ object QueriesIngest {
     "i_png_roundtrip" -> pngRoundtrip,
     "i_jpeg_decode" -> jpegDecode,
     "i_wav_pcm_roundtrip" -> wavPcmRoundtrip,
+    "i_orc_roundtrip" -> orcRoundtrip,
     "i_las_roundtrip" -> lasRoundtrip,
     "i_laz_roundtrip" -> lazRoundtrip,
     "i_shp_roundtrip" -> shpRoundtrip,
     "i_geojson_parse" -> geojsonParse,
     "i_csv_parse" -> csvParse,
+    "i_xml_parse" -> xmlParse,
     "i_dbf_roundtrip" -> dbfRoundtrip,
     "g_wkb_roundtrip" -> wkbRoundtrip,
     "i_gpkg_roundtrip" -> gpkgRoundtrip,
@@ -1078,11 +1170,13 @@ object QueriesIngest {
     "i_png_roundtrip" -> pngRoundtripSql,
     "i_jpeg_decode" -> jpegDecodeSql,
     "i_wav_pcm_roundtrip" -> wavPcmRoundtripSql,
+    "i_orc_roundtrip" -> orcRoundtripSql,
     "i_las_roundtrip" -> lasRoundtripSql,
     "i_laz_roundtrip" -> lasRoundtripSql,
     "i_shp_roundtrip" -> shpRoundtripSql,
     "i_geojson_parse" -> geojsonParseSql,
     "i_csv_parse" -> csvParseSql,
+    "i_xml_parse" -> xmlParseSql,
     "i_dbf_roundtrip" -> dbfRoundtripSql,
     "g_wkb_roundtrip" -> wkbRoundtripSql,
     "i_gpkg_roundtrip" -> gpkgRoundtripSql,
