@@ -615,6 +615,64 @@ object QueriesPipe {
   }
   private val pagerankSql = pagerankSqlFor(PR_ITERS)
 
+  // ---- g_assortativity: degree assortativity of the order graph --------
+  // Newman 2002's degree-mixing coefficient — the graph-QA scalar that
+  // says whether hubs link to hubs (r>0) or to leaves (r<0); on the
+  // bipartite co-purchase graph it summarizes customer/supplier degree
+  // coupling. Shape: Pearson over (deg(src), deg(dst)) of every directed
+  // edge — two node-sized joins of the edge table to the degree table,
+  // one 6-sum aggregate. All six sums are exact LONG integer sums
+  // (degrees are counts), so the aggregate is merge-order-exact; the
+  // closed-form Pearson is then ONE fixed double expression tree —
+  // sums cast to double first, so both engines run the identical IEEE
+  // ops on identical integers. No window, no pair space beyond |E|.
+  private val assortativity: Q = (s, d) => {
+    val (contrib, deg) = orderGraph(s, d)
+    val ed = contrib.select(col("src"), col("dst"), col("deg").as("dx"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+    def dbl(c: String) = col(c).cast("double")
+    ed.agg(count(lit(1)).as("e"),
+        sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("e").as("n_edges"),
+        round(dbl("sx") / dbl("e"), 6).as("avg_deg"),
+        round((dbl("e") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+          sqrt((dbl("e") * dbl("sxx") - dbl("sx") * dbl("sx")) *
+               (dbl("e") * dbl("syy") - dbl("sy") * dbl("sy"))), 6)
+          .as("assortativity"))
+  }
+
+  private val assortativitySql =
+    """WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS cust,
+                             l.l_suppkey * 2 + 1 AS supp
+                      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        edges AS (SELECT cust AS src, supp AS dst FROM pairs
+                  UNION ALL
+                  SELECT supp AS src, cust AS dst FROM pairs),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        ed AS (SELECT dx.deg AS dx, dy.deg AS dy
+               FROM edges e JOIN deg dx ON dx.src = e.src
+                            JOIN deg dy ON dy.src = e.dst),
+        a AS (SELECT count(*) AS e,
+                     CAST(sum(dx) AS BIGINT) AS sx,
+                     CAST(sum(dy) AS BIGINT) AS sy,
+                     CAST(sum(dx * dy) AS BIGINT) AS sxy,
+                     CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                     CAST(sum(dy * dy) AS BIGINT) AS syy
+              FROM ed)
+        SELECT e AS n_edges,
+               round(CAST(sx AS DOUBLE) / CAST(e AS DOUBLE), 6) AS avg_deg,
+               round((CAST(e AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                 sqrt((CAST(e AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                      (CAST(e AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                 AS assortativity
+        FROM a"""
+
   // ---- g_ppr: personalized PageRank (seeded restart) -------------------
   // Same edge-partitioned iteration as g_pagerank, but the 0.15 teleport
   // mass restarts ONLY to a seed set (customers of nation 0) — the
@@ -1033,6 +1091,7 @@ object QueriesPipe {
     "x_mixture_budget" -> mixtureBudget,
     "x_bm25_topk" -> bm25TopK,
     "g_pagerank" -> pagerank,
+    "g_assortativity" -> assortativity,
     "g_pagerank6" -> pagerankQ(6),
     "g_ppr" -> ppr,
     "g_labelprop" -> labelprop,
@@ -1054,6 +1113,7 @@ object QueriesPipe {
     "x_mixture_budget" -> mixtureBudgetSql,
     "x_bm25_topk" -> bm25TopKSql,
     "g_pagerank" -> pagerankSql,
+    "g_assortativity" -> assortativitySql,
     "g_pagerank6" -> pagerankSqlFor(6),
     "g_ppr" -> pprSql,
     "g_labelprop" -> labelpropSql,
