@@ -85,6 +85,55 @@ object QueriesMl {
                CAST(sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
         FROM p GROUP BY ROLLUP (event_type)"""
 
+  // ---- Cohen's kappa per slice -------------------------------------------
+  // Chance-corrected agreement between prediction and label (Cohen 1960):
+  // kappa = (po − pe)/(1 − pe) with po the observed accuracy and pe the
+  // marginal-product chance agreement. Counts are exact integer sums; the
+  // kappa is ONE fixed double expression over those integers (counts cast
+  // to double first), so both engines run identical IEEE ops. Same
+  // one-hash-aggregate scale shape as m_confusion.
+  private val kappa: Q = (s, d) => {
+    val t = scored(s, d).withColumn("pred", (col("score") >= 0.5).cast("int"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("label") === 1 && col("pred") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("label") === 0 && col("pred") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("label") === 1 && col("pred") === 0, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("label") === 0 && col("pred") === 0, 1L).otherwise(0L)).as("tn"))
+    def dbl(c: Column) = c.cast("double")
+    val n = dbl(col("tp") + col("fp") + col("fn") + col("tn"))
+    val po = dbl(col("tp") + col("tn")) / n
+    val pe = (dbl(col("tp") + col("fp")) * dbl(col("tp") + col("fn")) +
+      dbl(col("fn") + col("tn")) * dbl(col("fp") + col("tn"))) / (n * n)
+    t.select(col("event_type").as("slice"),
+      (col("tp") + col("fp") + col("fn") + col("tn")).as("n"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  private val kappaSql =
+    s"""WITH $scoredSql,
+        c AS (SELECT event_type,
+                     CAST(sum(CASE WHEN label = 1 AND score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(sum(CASE WHEN label = 0 AND score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                     CAST(sum(CASE WHEN label = 1 AND score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                     CAST(sum(CASE WHEN label = 0 AND score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              FROM scored GROUP BY 1)
+        SELECT event_type AS slice, tp + fp + fn + tn AS n,
+               round(CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE), 6) AS po,
+               round((CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                      + CAST(fn + tn AS DOUBLE) * CAST(fp + tn AS DOUBLE))
+                     / (CAST(tp + fp + fn + tn AS DOUBLE) * CAST(tp + fp + fn + tn AS DOUBLE)), 6) AS pe,
+               round((CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+                      - (CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                         + CAST(fn + tn AS DOUBLE) * CAST(fp + tn AS DOUBLE))
+                        / (CAST(tp + fp + fn + tn AS DOUBLE) * CAST(tp + fp + fn + tn AS DOUBLE)))
+                     / (1.0 - (CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                               + CAST(fn + tn AS DOUBLE) * CAST(fp + tn AS DOUBLE))
+                              / (CAST(tp + fp + fn + tn AS DOUBLE) * CAST(tp + fp + fn + tn AS DOUBLE))), 6)
+                 AS kappa
+        FROM c"""
+
   // ---- precision / recall / F1 / accuracy per slice ----------------------
   // Counts are exact integers, the ratios exact-rational divisions — both
   // engines produce bit-identical doubles before the canonical round.
@@ -513,6 +562,7 @@ object QueriesMl {
   val queries: Map[String, Q] = Map(
     "m_brier" -> brier,
     "m_confusion" -> confusion,
+    "m_kappa" -> kappa,
     "m_prf1" -> prf1,
     "m_auc" -> auc,
     "m_calibration" -> calibration,
@@ -527,6 +577,7 @@ object QueriesMl {
   val oracle: Map[String, String] = Map(
     "m_brier" -> brierSql,
     "m_confusion" -> confusionSql,
+    "m_kappa" -> kappaSql,
     "m_prf1" -> prf1Sql,
     "m_auc" -> aucSql,
     "m_calibration" -> calibrationSql,
