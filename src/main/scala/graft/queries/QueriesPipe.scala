@@ -615,6 +615,71 @@ object QueriesPipe {
   }
   private val pagerankSql = pagerankSqlFor(PR_ITERS)
 
+  // ---- g_kcore: k-core peeling census -----------------------------------
+  // The fourth graph primitive (beside PageRank, CC, label-prop): peel
+  // nodes of degree < k, recompute degrees, repeat — the standard
+  // community-core / spam-filter pass. Fixture contract: a FIXED 6 peel
+  // rounds per k (like PR_ITERS — determinism over convergence; the
+  // co-purchase graph stabilizes in fewer), k ∈ {2, 3}. Each round is
+  // one degree aggregate + two semi-joins of the edge table against the
+  // surviving-node set — node-sized exchanges only, the Pregel peel
+  // shape; localCheckpoint every 2 rounds truncates lineage exactly as
+  // iterateRanks does. Census per k: surviving nodes/edges, max degree.
+  private val KCORE_ROUNDS = 6
+  private def kcoreSurvivors(edges0: DataFrame, k: Int): DataFrame = {
+    var edges = edges0
+    for (i <- 1 to KCORE_ROUNDS) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      edges = edges
+        .join(keep, "src")
+        .join(keep.select(col("src").as("dst")), "dst")
+        .select("src", "dst")
+      if (i % 2 == 0 && i < KCORE_ROUNDS) edges = edges.localCheckpoint(true)
+    }
+    edges
+  }
+  private val kcore: Q = (s, d) => {
+    val (contrib, _) = orderGraph(s, d)
+    val edges0 = contrib.select("src", "dst")
+    Seq(2, 3).map { k =>
+      val deg = kcoreSurvivors(edges0, k)
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+      deg.agg(count(lit(1)).as("n_nodes"), sum("deg").as("n_edges"),
+          coalesce(max("deg"), lit(0L)).as("max_deg"))
+        .select(lit(k).as("k"), col("n_nodes"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"), col("max_deg"))
+    }.reduce(_ unionAll _)
+  }
+
+  private val kcoreSql = {
+    def chain(k: Int): String = (1 to KCORE_ROUNDS).map { i =>
+      // MATERIALIZED is load-bearing: each round references the previous
+      // edge set twice (degree filter + join), so inlined CTEs would
+      // re-evaluate the whole chain 2^rounds times
+      s"""k${k}n$i AS MATERIALIZED (SELECT src FROM k${k}d${i - 1} GROUP BY src
+                       HAVING count(*) >= $k),
+          k${k}d$i AS MATERIALIZED (SELECT e.src, e.dst FROM k${k}d${i - 1} e
+                       JOIN k${k}n$i a ON a.src = e.src
+                       JOIN k${k}n$i b ON b.src = e.dst)"""
+    }.mkString(",\n")
+    def census(k: Int): String =
+      s"""SELECT $k AS k, count(*) AS n_nodes,
+                 CAST(coalesce(sum(deg), 0) AS BIGINT) AS n_edges,
+                 CAST(coalesce(max(deg), 0) AS BIGINT) AS max_deg
+          FROM (SELECT src, count(*) AS deg FROM k${k}d$KCORE_ROUNDS GROUP BY 1)"""
+    s"""WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS cust,
+                              l.l_suppkey * 2 + 1 AS supp
+                       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        edges AS (SELECT cust AS src, supp AS dst FROM pairs
+                  UNION ALL
+                  SELECT supp AS src, cust AS dst FROM pairs),
+        k2d0 AS (SELECT * FROM edges), k3d0 AS (SELECT * FROM edges),
+        ${chain(2)},
+        ${chain(3)}
+        ${census(2)} UNION ALL ${census(3)}"""
+  }
+
   // ---- g_assortativity: degree assortativity of the order graph --------
   // Newman 2002's degree-mixing coefficient — the graph-QA scalar that
   // says whether hubs link to hubs (r>0) or to leaves (r<0); on the
@@ -1092,6 +1157,7 @@ object QueriesPipe {
     "x_bm25_topk" -> bm25TopK,
     "g_pagerank" -> pagerank,
     "g_assortativity" -> assortativity,
+    "g_kcore" -> kcore,
     "g_pagerank6" -> pagerankQ(6),
     "g_ppr" -> ppr,
     "g_labelprop" -> labelprop,
@@ -1114,6 +1180,7 @@ object QueriesPipe {
     "x_bm25_topk" -> bm25TopKSql,
     "g_pagerank" -> pagerankSql,
     "g_assortativity" -> assortativitySql,
+    "g_kcore" -> kcoreSql,
     "g_pagerank6" -> pagerankSqlFor(6),
     "g_ppr" -> pprSql,
     "g_labelprop" -> labelpropSql,
