@@ -69,7 +69,13 @@ object Plans {
       "x_bpe_merges" -> "BPE merges: one corpus wordcount shuffle, then vocab-sized pair aggregates; winner broadcast into the next merge",
       "n_pca_power" -> "PCA power step: D² quantized-product explode → one hash aggregate; all matrix work on 4096 rows",
       "m_bleu" -> "BLEU-2: corpus-sized gram explode + broadcast reference clip join, no pair space",
-      "i_csv_parse" -> "CSV boundary: map-side to_csv → from_csv round trip, single final aggregate")
+      "i_csv_parse" -> "CSV boundary: map-side to_csv → from_csv round trip, single final aggregate",
+      "i_jpeg_decode" -> "JPEG deep codec: per-row executor-side encode+decode (map-side, embarrassingly parallel), one census aggregate",
+      "i_orc_roundtrip" -> "ORC boundary: partition-parallel rewrite then vectorized ORC scan into one hash aggregate",
+      "i_xml_parse" -> "XML boundary: map-side to_xml → from_xml round trip through entity escaping, single aggregate",
+      "x_bpe_apply" -> "BPE apply: corpus (source,word) count once; merges trained vocab-sized then broadcast as two scalar pairs",
+      "g_assortativity" -> "degree assortativity: two node-sized degree joins + one 6-sum integer aggregate, closed-form Pearson",
+      "g_kcore" -> "k-core peel: per round one degree agg + two semi-joins, checkpointed every 2 rounds")
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans of headline queries\n\n"
     sb ++= s"Generated by `runMain graft.Plans` on `$dir`. Evidence for the\n"
