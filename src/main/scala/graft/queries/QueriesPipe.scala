@@ -628,14 +628,28 @@ object QueriesPipe {
   private val KCORE_ROUNDS = 6
   private def kcoreSurvivors(edges0: DataFrame, k: Int): DataFrame = {
     var edges = edges0
-    for (i <- 1 to KCORE_ROUNDS) {
-      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select("src")
-      edges = edges
-        .join(keep, "src")
-        .join(keep.select(col("src").as("dst")), "dst")
-        .select("src", "dst")
-      if (i % 2 == 0 && i < KCORE_ROUNDS) edges = edges.localCheckpoint(true)
+    var i = 1
+    var converged = false
+    while (i <= KCORE_ROUNDS && !converged) {
+      // peel DELTA, not survivor set: the nodes dropping this round —
+      // shrinking and (in real graphs) far below node count, so it
+      // broadcasts and both edge filters run map-side with NO edge
+      // shuffle per round. Checkpointed eagerly so the degree aggregate
+      // runs exactly once per round and the next round's lineage stays
+      // linear. Early exit on an empty delta: further rounds are no-ops,
+      // so the result is identical to the fixed 6-round oracle contract.
+      val bad = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k).select("src")
+        .localCheckpoint(true)
+      if (bad.isEmpty) converged = true
+      else {
+        edges = edges
+          .join(broadcast(bad), Seq("src"), "left_anti")
+          .join(broadcast(bad.select(col("src").as("dst"))), Seq("dst"), "left_anti")
+          .select("src", "dst")
+        if (i % 2 == 0 && i < KCORE_ROUNDS) edges = edges.localCheckpoint(true)
+      }
+      i += 1
     }
     edges
   }
