@@ -121,6 +121,12 @@ object QueriesRaster {
   private val roughness: Q = (s, d) => Terrain.roughness(gA(s, d))
   private val roughnessSql = terrainSql(Terrain.roughnessSqlExpr)
 
+  private val curvature: Q = (s, d) => Terrain.curvature(gA(s, d), 1.0)
+  private val curvatureSql = terrainSql(Terrain.curvatureSqlExpr(1.0))
+
+  private val flowD8: Q = (s, d) => Terrain.flowD8(gA(s, d), 1.0)
+  private val flowD8Sql = terrainSql(Terrain.flowD8SqlExpr(1.0))
+
   // §2.5 IDW gap-fill of raster B's holes, radius 3
   private val gapfill: Q = (s, d) => Terrain.gapfillIdw(gB(s, d), PixelGrid.W, 3)
   private val gapfillSql = Terrain.gapfillIdwSql(cteB, PixelGrid.W, 3)
@@ -409,6 +415,8 @@ object QueriesRaster {
     "t_aspect" -> aspect,
     "t_hillshade" -> hillshade,
     "t_roughness" -> roughness,
+    "t_curvature" -> curvature,
+    "t_flow_d8" -> flowD8,
     "t_gapfill_idw" -> gapfill,
     "t_gapfill_nearest" -> gapfillNearest,
     "t_gapfill_linear" -> gapfillLinear,
@@ -434,6 +442,8 @@ object QueriesRaster {
     "t_aspect" -> aspectSql,
     "t_hillshade" -> hillshadeSql,
     "t_roughness" -> roughnessSql,
+    "t_curvature" -> curvatureSql,
+    "t_flow_d8" -> flowD8Sql,
     "t_gapfill_idw" -> gapfillSql,
     "t_gapfill_nearest" -> gapfillNearestSql,
     "t_gapfill_linear" -> gapfillLinearSql,

@@ -131,6 +131,91 @@ object Terrain {
     s"round(greatest($zs) - least($zs), 6) AS roughness"
   }
 
+  /** Zevenbergen & Thorne 1987 curvatures at cell size `res`: general
+    * (−2(D+E), the Laplacian form GDAL/ArcGIS report ×100), profile
+    * (along-slope) and plan (across-slope), 0 where the gradient
+    * vanishes. Same one-shuffle stencil as [[slope]]; both engines run
+    * the identical fixed expression tree over the 3×3 columns. */
+  def curvature(px: DataFrame, res: Double = 1.0): DataFrame = {
+    val dD = (col("z21") + col("z23")) / 2.0 - col("z22")
+    val eE = (col("z12") + col("z32")) / 2.0 - col("z22")
+    val fF = (negate(col("z11")) + col("z13") + col("z31") - col("z33")) / 4.0
+    val gG = (negate(col("z21")) + col("z23")) / 2.0
+    val hH = (col("z12") - col("z32")) / 2.0
+    val l2 = lit(res * res)
+    val g2h2 = gG * gG + hH * hH
+    neighborhood(px).select(col("col"), col("row"),
+      round(lit(-2.0) * (dD + eE) / l2, 6).as("curv_general"),
+      round(when(g2h2 === 0, lit(0.0)).otherwise(
+        lit(-2.0) * (dD * gG * gG + eE * hH * hH + fF * gG * hH) / (g2h2 * l2)), 6)
+        .as("curv_profile"),
+      round(when(g2h2 === 0, lit(0.0)).otherwise(
+        lit(2.0) * (dD * hH * hH + eE * gG * gG - fF * gG * hH) / (g2h2 * l2)), 6)
+        .as("curv_plan"))
+  }
+
+  def curvatureSqlExpr(res: Double = 1.0): String = {
+    val d = "((z21 + z23) / 2.0 - z22)"
+    val e = "((z12 + z32) / 2.0 - z22)"
+    val f = "((-(z11) + z13 + z31 - z33) / 4.0)"
+    val g = "((-(z21) + z23) / 2.0)"
+    val h = "((z12 - z32) / 2.0)"
+    val l2 = (res * res).toString
+    val g2h2 = s"($g * $g + $h * $h)"
+    s"""round(-2.0 * ($d + $e) / $l2, 6) AS curv_general,
+        round(CASE WHEN $g2h2 = 0 THEN 0.0
+              ELSE -2.0 * ($d * $g * $g + $e * $h * $h + $f * $g * $h)
+                   / ($g2h2 * $l2) END, 6) AS curv_profile,
+        round(CASE WHEN $g2h2 = 0 THEN 0.0
+              ELSE 2.0 * ($d * $h * $h + $e * $g * $g - $f * $g * $h)
+                   / ($g2h2 * $l2) END, 6) AS curv_plan"""
+  }
+
+  /** D8 flow direction (O'Callaghan & Mark 1984, ESRI power-of-two
+    * encoding E=1 SE=2 S=4 SW=8 W=16 NW=32 N=64 NE=128): the direction of
+    * steepest positive drop (z22 − neighbor, diagonals ÷√2), 0 for pits/
+    * flats, ties broken in E,SE,S,SW,W,NW,N,NE order. The building block
+    * of every flow-accumulation / watershed pipeline; per pixel the
+    * decision is one fixed comparison tree over the 3×3 columns, so both
+    * engines agree bit-for-bit (√2 is the correctly-rounded IEEE value in
+    * both). Same one-shuffle stencil as [[slope]]. */
+  def flowD8(px: DataFrame, res: Double = 1.0): DataFrame = {
+    val s2 = math.sqrt(2.0) * res
+    // (code, drop) in tie-priority order
+    val dirs: Seq[(Int, Column)] = Seq(
+      1 -> ((col("z22") - col("z23")) / res), // E
+      2 -> ((col("z22") - col("z33")) / s2), // SE
+      4 -> ((col("z22") - col("z32")) / res), // S
+      8 -> ((col("z22") - col("z31")) / s2), // SW
+      16 -> ((col("z22") - col("z21")) / res), // W
+      32 -> ((col("z22") - col("z11")) / s2), // NW
+      64 -> ((col("z22") - col("z12")) / res), // N
+      128 -> ((col("z22") - col("z13")) / s2)) // NE
+    val maxDrop = greatest(dirs.map(_._2): _*)
+    val dir = dirs.foldRight(lit(0)) { case ((code, drop), acc) =>
+      when(drop === maxDrop, lit(code)).otherwise(acc)
+    }
+    neighborhood(px).select(col("col"), col("row"),
+      when(maxDrop > 0, dir).otherwise(lit(0)).as("flow_dir"),
+      round(when(maxDrop > 0, maxDrop).otherwise(lit(0.0)), 6).as("drop"))
+  }
+
+  def flowD8SqlExpr(res: Double = 1.0): String = {
+    val s2 = s"(sqrt(2.0) * $res)"
+    val dirs = Seq(
+      1 -> s"((z22 - z23) / $res)", 2 -> s"((z22 - z33) / $s2)",
+      4 -> s"((z22 - z32) / $res)", 8 -> s"((z22 - z31) / $s2)",
+      16 -> s"((z22 - z21) / $res)", 32 -> s"((z22 - z11) / $s2)",
+      64 -> s"((z22 - z12) / $res)", 128 -> s"((z22 - z13) / $s2)")
+    val maxDrop = s"greatest(${dirs.map(_._2).mkString(", ")})"
+    // foldRight: the FIRST match in tie-priority order wins
+    val pick = dirs.foldRight("0") { case ((code, drop), acc) =>
+      s"CASE WHEN $drop = $maxDrop THEN $code ELSE $acc END"
+    }
+    s"""CAST(CASE WHEN $maxDrop > 0 THEN $pick ELSE 0 END AS INT) AS flow_dir,
+        round(CASE WHEN $maxDrop > 0 THEN $maxDrop ELSE 0.0 END, 6) AS "drop""""
+  }
+
   /** Gap-fill by inverse-distance weighting over valid neighbors within
     * Chebyshev radius `maxDist` cells (`fill_no_data`,
     * differencing_functions.py:587–661): every missing cell of the full
