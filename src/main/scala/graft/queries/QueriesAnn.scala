@@ -137,6 +137,63 @@ object QueriesAnn {
         FROM ranked WHERE rank <= $NDCG_K
         GROUP BY 1"""
 
+  // ---- Matryoshka truncation recall --------------------------------------
+  // The MRL question (Kusupati et al. 2022): how much retrieval quality
+  // survives if vectors are truncated to a prefix of their dimensions?
+  // Per query: top-10 by FULL-dim cosine (truth) vs top-10 by PREFIX-16
+  // cosine (64-dim embeddings → 4× cheaper scan), recall = overlap/10 —
+  // the go/no-go measurement before deploying truncated embeddings at
+  // 100 TB. Both rankings share one broadcast-candidates frame (persisted
+  // — two windows consume it); prefix slices happen in-row, and the final
+  // overlap is an equi-join of two 10-row-per-query sets. Ties pinned by
+  // (rounded sim DESC, vec_id ASC) as everywhere in the family.
+  private val MRL_DIM = 16
+  private val matryoshka: Q = (s, d) => {
+    val e = emb(s, d)
+    val q = e.filter(col("vec_id") < NQUERIES).toDF("q_id", "qv")
+    val cands = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(Similarity.cosine(col("qv"), col("v")), 6).as("sim_full"),
+        round(Similarity.cosine(slice(col("qv"), 1, MRL_DIM),
+          slice(col("v"), 1, MRL_DIM)), 6).as("sim_pre"))
+      .persistShared()
+    def top(simCol: String) = cands
+      .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col(simCol).desc, col("vec_id").asc)))
+      .filter(col("rank") <= NDCG_K)
+      .select(col("q_id"), col("vec_id"))
+    top("sim_full")
+      .join(top("sim_pre").withColumn("hit", lit(1L)),
+        Seq("q_id", "vec_id"), "left_outer")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .select(col("q_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / NDCG_K.toDouble, 6)
+          .as("recall10"))
+  }
+
+  private val matryoshkaSql =
+    s"""WITH e AS ($embSqlCte),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQUERIES),
+        cands AS (SELECT q_id, vec_id,
+                         round(${Similarity.cosineSql("qv", "e.v")}, 6) AS sim_full,
+                         round(${Similarity.cosineSql(s"qv[1:$MRL_DIM]", s"e.v[1:$MRL_DIM]")}, 6) AS sim_pre
+                  FROM e JOIN q ON vec_id <> q_id),
+        tf AS (SELECT q_id, vec_id FROM
+                 (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+                    ORDER BY sim_full DESC, vec_id ASC) AS rank FROM cands)
+               WHERE rank <= $NDCG_K),
+        tp AS (SELECT q_id, vec_id FROM
+                 (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+                    ORDER BY sim_pre DESC, vec_id ASC) AS rank FROM cands)
+               WHERE rank <= $NDCG_K)
+        SELECT tf.q_id, CAST(sum(CASE WHEN tp.vec_id IS NOT NULL
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+               round(CAST(sum(CASE WHEN tp.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) / ${NDCG_K.toDouble}, 6) AS recall10
+        FROM tf LEFT JOIN tp ON tp.q_id = tf.q_id AND tp.vec_id = tf.vec_id
+        GROUP BY 1"""
+
   // ---- brute-force cosine top-k ----------------------------------------
   private val cosineTopk: Q = (s, d) => {
     val e = emb(s, d)
@@ -886,6 +943,7 @@ object QueriesAnn {
     "g_knn_triangles" -> knnTriangles,
     "x_semdedup" -> semdedup,
     "m_mrr" -> mrr,
+    "n_matryoshka_recall" -> matryoshka,
     "n_inertia" -> inertia,
     "n_sq8_topk" -> sq8Topk,
     "m_ndcg" -> ndcg,
@@ -904,6 +962,7 @@ object QueriesAnn {
     "g_knn_triangles" -> knnTrianglesSql,
     "x_semdedup" -> semdedupSql,
     "m_mrr" -> mrrSql,
+    "n_matryoshka_recall" -> matryoshkaSql,
     "n_inertia" -> inertiaSql,
     "n_sq8_topk" -> sq8TopkSql,
     "m_ndcg" -> ndcgSql,
