@@ -36,6 +36,7 @@ object GeoTiff {
   private val TAG_SAMPLES_PER_PX = 277
   private val TAG_ROWS_PER_STRIP = 278
   private val TAG_STRIP_COUNTS = 279
+  private val TAG_PREDICTOR = 317
   private val TAG_SAMPLE_FORMAT = 339
   private val TAG_TILE_WIDTH = 322
   private val TAG_TILE_LENGTH = 323
@@ -100,8 +101,14 @@ object GeoTiff {
     val h = scalar(TAG_HEIGHT).toInt
     val bits = scalar(TAG_BITS).toInt
     val compression = scalar(TAG_COMPRESSION, 1).toInt
-    require(compression == 1 || compression == 5 || compression == 8,
-      s"only Compression=1 (none), 5 (LZW) or 8 (Deflate) supported, got $compression")
+    require(compression == 1 || compression == 5 || compression == 8 ||
+      compression == 32773,
+      s"only Compression=1 (none), 5 (LZW), 8 (Deflate) or 32773 (PackBits) supported, got $compression")
+    val predictor = scalar(TAG_PREDICTOR, 1).toInt
+    // Predictor=2 is integer horizontal differencing — meaningless for
+    // IEEE-float samples (GDAL never pairs it with Float32/64)
+    require(predictor == 1 || predictor == 3,
+      s"only Predictor=1 (none) or 3 (floating point) supported, got $predictor")
     require(scalar(TAG_SAMPLES_PER_PX, 1) == 1, "only single-band rasters supported")
     require(scalar(TAG_SAMPLE_FORMAT, 1) == 3, "only IEEE-float SampleFormat=3 supported")
     require(bits == 32 || bits == 64, s"only 32/64-bit float samples, got $bits")
@@ -120,17 +127,28 @@ object GeoTiff {
     val px = if (bits == 64) 8 else 4
     def sample(buf: ByteBuffer, at: Int): Double =
       if (px == 8) buf.getDouble(at) else buf.getFloat(at).toDouble
+    require(predictor == 1 || compression != 1,
+      "Predictor=3 on uncompressed data unsupported (GDAL never writes it)")
+    // chunk scanline width: strips span the image, tiles span the tile
+    val chunkRowPx =
+      if (tags.contains(TAG_TILE_WIDTH)) scalar(TAG_TILE_WIDTH).toInt else w
     // per-chunk view: uncompressed chunks read in place; LZW
-    // (Compression=5) and zlib/Deflate (Compression=8, GDAL
-    // "compress=DEFLATE") chunks decompress into a chunk-local buffer
+    // (Compression=5), zlib/Deflate (Compression=8, GDAL
+    // "compress=DEFLATE") and PackBits (32773) chunks decompress into a
+    // chunk-local buffer; Predictor=3 then integrates + deshuffles each
+    // scanline in place (TIFF TechNote 3 / libtiff fpAcc)
     def chunkBuf(off: Int, cnt: Int): (ByteBuffer, Int) =
-      if (compression == 5)
-        (ByteBuffer.wrap(Lzw.decode(
-          java.util.Arrays.copyOfRange(bytes, off, off + cnt))).order(order), 0)
-      else if (compression == 8)
-        (ByteBuffer.wrap(Zlib.inflate(
-          java.util.Arrays.copyOfRange(bytes, off, off + cnt))).order(order), 0)
-      else (b, off)
+      if (compression == 1) (b, off)
+      else {
+        val raw = java.util.Arrays.copyOfRange(bytes, off, off + cnt)
+        val out = compression match {
+          case 5 => Lzw.decode(raw)
+          case 8 => Zlib.inflate(raw)
+          case _ => PackBits.decode(raw)
+        }
+        if (predictor == 3) FpPredictor.accumulate(out, chunkRowPx, px)
+        (ByteBuffer.wrap(out).order(order), 0)
+      }
     val rows =
       if (tags.contains(TAG_TILE_OFFSETS)) {
         // tile-organized layout (TIFF §15): tiles across then down,
@@ -305,10 +323,33 @@ object GeoTiff {
                     tile: Option[(Int, Int)]): Array[Byte] =
     encodeCompressed(meta, rows, bits, tile, 8, Zlib.deflate)
 
+  /** LZW + Predictor=3 writer — GDAL's `COMPRESS=LZW,PREDICTOR=3`
+    * combination for float rasters (TIFF TechNote 3): each chunk's
+    * scanlines are byte-plane-shuffled and horizontally differenced
+    * before the LZW pass, which is what makes float DEMs compress. */
+  def encodeLzwPred3(meta: GridMeta, rows: Array[Array[Double]], bits: Int,
+                     tile: Option[(Int, Int)]): Array[Byte] =
+    encodeCompressed(meta, rows, bits, tile, 5, Lzw.encode, predictor = 3)
+
+  /** Deflate + Predictor=3 writer (`COMPRESS=DEFLATE,PREDICTOR=3`). */
+  def encodeDeflatePred3(meta: GridMeta, rows: Array[Array[Double]], bits: Int,
+                         tile: Option[(Int, Int)]): Array[Byte] =
+    encodeCompressed(meta, rows, bits, tile, 8, Zlib.deflate, predictor = 3)
+
+  /** PackBits writer (Compression=32773, TIFF 6.0 §9) — the baseline RLE
+    * every conformant reader supports; per-scanline packet restarts. */
+  def encodePackBits(meta: GridMeta, rows: Array[Array[Double]], bits: Int,
+                     tile: Option[(Int, Int)]): Array[Byte] = {
+    val rowPx = tile.map(_._1).getOrElse(meta.width)
+    encodeCompressed(meta, rows, bits, tile, 32773,
+      raw => PackBits.encode(raw, rowPx * (bits / 8)))
+  }
+
   private def encodeCompressed(meta: GridMeta, rows: Array[Array[Double]],
                                bits: Int, tile: Option[(Int, Int)],
                                compTag: Int,
-                               codec: Array[Byte] => Array[Byte]): Array[Byte] = {
+                               codec: Array[Byte] => Array[Byte],
+                               predictor: Int = 1): Array[Byte] = {
     val w = meta.width
     val h = meta.height
     require(rows.length == h, s"expected $h rows, got ${rows.length}")
@@ -340,6 +381,9 @@ object GeoTiff {
           }, px * tw * th)
         }
     }
+    if (predictor == 3)
+      rawChunks.foreach(c =>
+        FpPredictor.difference(c, tile.map(_._1).getOrElse(w), px))
     val chunks = rawChunks.map(codec)
     val nChunks = chunks.length
     val nodataStr = {
@@ -347,7 +391,8 @@ object GeoTiff {
         meta.nodata.toLong.toString else meta.nodata.toString
       s + " "
     }
-    val entries = if (tile.isEmpty) 13 else 14
+    val entries = (if (tile.isEmpty) 13 else 14) +
+      (if (predictor == 3) 1 else 0)
     val ifdOff = 8
     var cursor = ifdOff + 2 + entries * 12 + 4
     val chunkOffsetsOff = cursor; cursor += 4 * nChunks
@@ -382,9 +427,11 @@ object GeoTiff {
         entry(TAG_SAMPLES_PER_PX, 3, 1)(_.putShort(1))
         entry(TAG_ROWS_PER_STRIP, 4, 1)(_.putInt(1))
         offsetsEntry(TAG_STRIP_COUNTS, chunkCountsOff, chunks(0).length)
+        if (predictor == 3) entry(TAG_PREDICTOR, 3, 1)(_.putShort(3))
         entry(TAG_SAMPLE_FORMAT, 3, 1)(_.putShort(3))
       case Some((tw, th)) =>
         entry(TAG_SAMPLES_PER_PX, 3, 1)(_.putShort(1))
+        if (predictor == 3) entry(TAG_PREDICTOR, 3, 1)(_.putShort(3))
         entry(TAG_TILE_WIDTH, 3, 1)(_.putShort(tw.toShort))
         entry(TAG_TILE_LENGTH, 3, 1)(_.putShort(th.toShort))
         offsetsEntry(TAG_TILE_OFFSETS, chunkOffsetsOff, dataOff)

@@ -602,6 +602,48 @@ object QueriesIngest {
       .select(col("col"), col("row"), col("value"))
   }
 
+  // Predictor=3 GeoTIFF round trip — GDAL's COMPRESS=LZW,PREDICTOR=3
+  // combination for float rasters (TIFF TechNote 3): scanline byte-plane
+  // shuffle + horizontal differencing before the LZW pass. Tiled layout
+  // so the per-tile-scanline filter geometry is exercised, not just the
+  // whole-strip case. Same oracle as the uncompressed round trip: green
+  // only if filter + LZW + layout are jointly bit-lossless.
+  private val geotiffPred3Roundtrip: Q = (s, d) => {
+    import s.implicits._
+    val meta = graft.raster.GridMeta()
+    val dense = graft.ingest.DenseRaster.toDense(
+      graft.raster.PixelGrid.grid(s, d, 1), meta)
+    val tiles = dense.select(col("row"), col("values"))
+      .as[(Int, Seq[Double])]
+      .groupByKey(_ => 0)
+      .mapGroups { (id: Int, it: Iterator[(Int, Seq[Double])]) =>
+        val rows = it.toArray.sortBy(_._1).map(_._2.toArray)
+        (id, graft.ingest.GeoTiff.encodeLzwPred3(meta, rows, 64, Some((32, 32))))
+      }
+      .toDF("tile_id", "data")
+    graft.ingest.GeoTiff.tilesToPixels(tiles)
+      .select(col("col"), col("row"), col("value"))
+  }
+
+  // PackBits (Compression=32773) round trip — the TIFF 6.0 baseline RLE
+  // every conformant reader ships; per-scanline packet restarts.
+  private val geotiffPackbitsRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val meta = graft.raster.GridMeta()
+    val dense = graft.ingest.DenseRaster.toDense(
+      graft.raster.PixelGrid.grid(s, d, 1), meta)
+    val tiles = dense.select(col("row"), col("values"))
+      .as[(Int, Seq[Double])]
+      .groupByKey(_ => 0)
+      .mapGroups { (id: Int, it: Iterator[(Int, Seq[Double])]) =>
+        val rows = it.toArray.sortBy(_._1).map(_._2.toArray)
+        (id, graft.ingest.GeoTiff.encodePackBits(meta, rows, 64, None))
+      }
+      .toDF("tile_id", "data")
+    graft.ingest.GeoTiff.tilesToPixels(tiles)
+      .select(col("col"), col("row"), col("value"))
+  }
+
   // PNG byte-boundary round trip (ingest.Png — the compressed-image
   // codec of the multimodal story, W3C PNG over the JDK zlib): raster B
   // quantized to 16-bit (v16 = floor(value·100 + ½); values live in
@@ -1140,6 +1182,8 @@ object QueriesIngest {
     "i_geotiff_roundtrip" -> geotiffRoundtrip,
     "i_geotiff_lzw_roundtrip" -> geotiffLzwRoundtrip,
     "i_geotiff_deflate_roundtrip" -> geotiffDeflateRoundtrip,
+    "i_geotiff_pred3_roundtrip" -> geotiffPred3Roundtrip,
+    "i_geotiff_packbits_roundtrip" -> geotiffPackbitsRoundtrip,
     "i_png_roundtrip" -> pngRoundtrip,
     "i_jpeg_decode" -> jpegDecode,
     "i_wav_pcm_roundtrip" -> wavPcmRoundtrip,
@@ -1167,6 +1211,8 @@ object QueriesIngest {
     "i_geotiff_roundtrip" -> geotiffRoundtripSql,
     "i_geotiff_lzw_roundtrip" -> geotiffRoundtripSql,
     "i_geotiff_deflate_roundtrip" -> geotiffRoundtripSql,
+    "i_geotiff_pred3_roundtrip" -> geotiffRoundtripSql,
+    "i_geotiff_packbits_roundtrip" -> geotiffRoundtripSql,
     "i_png_roundtrip" -> pngRoundtripSql,
     "i_jpeg_decode" -> jpegDecodeSql,
     "i_wav_pcm_roundtrip" -> wavPcmRoundtripSql,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ingest.{DenseRaster, GeoTiff}
+import graft.ingest.{DenseRaster, GeoTiff, PackBits}
 import graft.raster.GridMeta
 
 class GeoTiffSpec extends SparkSuite {
@@ -126,6 +126,61 @@ class GeoTiffSpec extends SparkSuite {
     val m64 = meta.copy(width = 64, height = 64)
     assert(GeoTiff.encodeDeflate(m64, flat, 64, None).length <
       GeoTiff.encode(m64, flat, 64, None).length / 4)
+  }
+
+  test("Predictor=3 (float differencing) round-trips, strip+tile, f32+f64") {
+    for (tile <- Seq[Option[(Int, Int)]](None, Some((16, 16)));
+         (enc, name) <- Seq(
+           (GeoTiff.encodeLzwPred3 _, "lzw+p3"),
+           (GeoTiff.encodeDeflatePred3 _, "deflate+p3"))) {
+      val bytes = enc(meta, rows, 64, tile)
+      val (m2, rows2) = GeoTiff.decode(bytes)
+      assert(m2 == meta, s"$name tile=$tile")
+      for (r <- rows.indices; c <- rows(r).indices)
+        assert(java.lang.Double.doubleToLongBits(rows2(r)(c)) ==
+          java.lang.Double.doubleToLongBits(rows(r)(c)), s"$name tile=$tile ($c,$r)")
+    }
+    // f32 path at float precision
+    val b32 = GeoTiff.encodeLzwPred3(meta, rows, 32, None)
+    val (_, r32) = GeoTiff.decode(b32)
+    for (r <- rows.indices; c <- rows(r).indices)
+      assert(r32(r)(c) == rows(r)(c).toFloat.toDouble, s"f32 ($c,$r)")
+    // the predictor must actually help: smooth float fields compress
+    // better WITH the byte-plane shuffle than without it
+    val smooth = Array.tabulate(64, 64)((r, c) => 1000.0 + r * 0.25 + c * 0.125)
+    val m64 = meta.copy(width = 64, height = 64)
+    assert(GeoTiff.encodeLzwPred3(m64, smooth, 64, None).length <
+      GeoTiff.encodeLzw(m64, smooth, 64, None).length,
+      "predictor did not improve smooth-field compression")
+    // filters invert exactly on raw byte rows too
+    val buf = Array.tabulate[Byte](4 * 16 * 3)(i => (i * 73 + 11).toByte)
+    val copy = buf.clone()
+    graft.ingest.FpPredictor.difference(copy, 16, 4)
+    assert(!copy.sameElements(buf))
+    graft.ingest.FpPredictor.accumulate(copy, 16, 4)
+    assert(copy.sameElements(buf))
+  }
+
+  test("PackBits (Compression=32773) round-trips, strip and tile") {
+    for (tile <- Seq[Option[(Int, Int)]](None, Some((16, 16)))) {
+      val bytes = GeoTiff.encodePackBits(meta, rows, 64, tile)
+      val (m2, rows2) = GeoTiff.decode(bytes)
+      assert(m2 == meta, s"tile=$tile")
+      for (r <- rows.indices; c <- rows(r).indices)
+        assert(java.lang.Double.doubleToLongBits(rows2(r)(c)) ==
+          java.lang.Double.doubleToLongBits(rows(r)(c)), s"tile=$tile ($c,$r)")
+    }
+    // RLE wins on constant content, stays near-raw on noise
+    val flat = Array.fill[Byte](4096)(42)
+    assert(PackBits.decode(PackBits.encode(flat, 256)).sameElements(flat))
+    assert(PackBits.encode(flat, 256).length < flat.length / 10)
+    val noise = Array.tabulate[Byte](4096)(i => (i * 131 + 7).toByte)
+    assert(PackBits.decode(PackBits.encode(noise, 256)).sameElements(noise))
+    // spec edge cases: -128 no-op byte is skipped, truncation throws
+    assert(PackBits.decode(Array[Byte](-128, 0, 55)).sameElements(Array[Byte](55)))
+    intercept[IllegalArgumentException] {
+      PackBits.decode(Array[Byte](5, 1, 2)) // literal of 6 with 2 present
+    }
   }
 
   test("zlib helper rejects truncated streams and validates length") {
