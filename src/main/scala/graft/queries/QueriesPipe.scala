@@ -634,20 +634,24 @@ object QueriesPipe {
       // peel DELTA, not survivor set: the nodes dropping this round —
       // shrinking and (in real graphs) far below node count, so it
       // broadcasts and both edge filters run map-side with NO edge
-      // shuffle per round. Checkpointed eagerly so the degree aggregate
-      // runs exactly once per round and the next round's lineage stays
-      // linear. Early exit on an empty delta: further rounds are no-ops,
-      // so the result is identical to the fixed 6-round oracle contract.
-      val bad = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") < k).select("src")
-        .localCheckpoint(true)
+      // shuffle per round. persistShared (registry-managed, freed at the
+      // family boundary — NOT localCheckpoint, whose scratch RDDs evade
+      // CacheRegistry hygiene) + the isEmpty probe materialize each
+      // delta once; the edge lineage stays a linear chain of map-side
+      // anti-joins over those cached node sets, so re-deriving bad_i
+      // costs i broadcast filters over the cached base, never a
+      // recomputation cascade. Early exit on an empty delta: further
+      // rounds are no-ops, so the result still matches the fixed
+      // 6-round oracle contract.
+      val bad = graft.functions.CacheRegistry.share(
+        edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") < k).select("src"))
       if (bad.isEmpty) converged = true
       else {
         edges = edges
           .join(broadcast(bad), Seq("src"), "left_anti")
           .join(broadcast(bad.select(col("src").as("dst"))), Seq("dst"), "left_anti")
           .select("src", "dst")
-        if (i % 2 == 0 && i < KCORE_ROUNDS) edges = edges.localCheckpoint(true)
       }
       i += 1
     }

@@ -26,10 +26,16 @@ class CacheHygieneSpec extends SparkSuite {
       "the cache-sharing queries should have registered shared frames")
     CacheRegistry.releaseAll()
     assert(CacheRegistry.registered == 0)
-    // blocking unpersist: the persistent-RDD map must be empty again
-    val live = spark.sparkContext.getPersistentRDDs
+    // blocking unpersist: the persistent-RDD map must be empty again.
+    // Locally-checkpointed RDDs are excluded: iterative builders
+    // (pagerank/SMRF) eagerly localCheckpoint at build time, suites share
+    // one session and may run concurrently, and those scratch RDDs are
+    // ContextCleaner-scoped (reclaimed on GC of the frame), not
+    // CacheRegistry leaks — this assertion targets the registry.
+    val live = spark.sparkContext.getPersistentRDDs.values
+      .filterNot(_.isCheckpointed)
     assert(live.isEmpty,
-      s"cached RDDs leaked after releaseAll: ${live.values.map(_.name).mkString(", ")}")
+      s"cached RDDs leaked after releaseAll: ${live.map(_.name).mkString(", ")}")
   }
 
   test("released frames recompute correctly (second run matches first)") {
