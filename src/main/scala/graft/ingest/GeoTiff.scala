@@ -57,42 +57,70 @@ object GeoTiff {
       case _ => throw new IllegalArgumentException("not a TIFF: bad byte-order mark")
     }
     val b = b0.order(order)
-    require(b.getShort(2) == 42, "not a classic TIFF (magic != 42)")
-    val ifd = b.getInt(4)
-    val nEntries = b.getShort(ifd) & 0xffff
+    // Classic TIFF (magic 42, u32 offsets) or BigTIFF (magic 43, u64
+    // offsets — the layout GDAL switches to past 4 GiB; same tags, IFD
+    // entries are 20 bytes with u64 counts and 8 inline-value bytes).
+    // In-memory indices stay Int AFTER bounds validation — a JVM byte
+    // array is < 2 GiB; larger files must be range-read per chunk.
+    val magic = b.getShort(2)
+    require(magic == 42 || magic == 43, s"not a TIFF (magic $magic)")
+    val big = magic == 43
+    if (big) require(b.getShort(4) == 8 && b.getShort(6) == 0,
+      "malformed BigTIFF header (offset size != 8)")
+    def off(at: Int): Int = { // file offset field → validated Int index
+      val v = if (big) b.getLong(at) else b.getInt(at) & 0xffffffffL
+      require(v >= 0 && v <= bytes.length, s"TIFF offset $v outside file")
+      v.toInt
+    }
+    val ifd = off(if (big) 8 else 4)
+    val nEntries =
+      (if (big) b.getLong(ifd) else (b.getShort(ifd) & 0xffff).toLong).toInt
+    val entryBase = ifd + (if (big) 8 else 2)
+    val entryLen = if (big) 20 else 12
+    val inlineCap = if (big) 8 else 4 // value bytes held inline
     // tag -> (type, count, value-or-offset position)
     var tags = Map.empty[Int, (Int, Int, Int)]
     for (i <- 0 until nEntries) {
-      val e = ifd + 2 + i * 12
+      val e = entryBase + i * entryLen
+      val cnt = if (big) b.getLong(e + 4) else (b.getInt(e + 4) & 0xffffffffL)
       tags += ((b.getShort(e) & 0xffff) -> (
-        (b.getShort(e + 2) & 0xffff, b.getInt(e + 4), e + 8)))
+        (b.getShort(e + 2) & 0xffff, cnt.toInt, e + (if (big) 12 else 8))))
     }
     def scalar(tag: Int, dflt: Long = -1): Long = tags.get(tag) match {
       case Some((3, _, p)) => b.getShort(p) & 0xffff // SHORT inline
       case Some((4, _, p)) => b.getInt(p) & 0xffffffffL // LONG inline
+      case Some((16, _, p)) if big => b.getLong(p) // LONG8 inline
       case None if dflt >= 0 => dflt
       case other => throw new IllegalArgumentException(s"tag $tag unreadable: $other")
     }
     def longArray(tag: Int, n: Int): Array[Long] = tags.get(tag) match {
       case Some((typ, cnt, p)) =>
         require(cnt == n, s"tag $tag count $cnt != $n")
-        val width = if (typ == 3) 2 else 4
-        val base = if (cnt * width <= 4) p else b.getInt(p)
+        val width = typ match {
+          case 3 => 2
+          case 4 => 4
+          case 16 => require(big, "LONG8 outside BigTIFF"); 8
+          case t => throw new IllegalArgumentException(s"tag $tag type $t")
+        }
+        val base = if (cnt * width <= inlineCap) p else off(p)
         Array.tabulate(n) { i =>
-          if (typ == 3) (b.getShort(base + 2 * i) & 0xffff).toLong
-          else b.getInt(base + 4 * i) & 0xffffffffL
+          width match {
+            case 2 => (b.getShort(base + 2 * i) & 0xffff).toLong
+            case 4 => b.getInt(base + 4 * i) & 0xffffffffL
+            case _ => b.getLong(base + 8 * i)
+          }
         }
       case None => throw new IllegalArgumentException(s"missing tag $tag")
     }
     def doubleArray(tag: Int): Array[Double] = tags.get(tag) match {
       case Some((12, cnt, p)) =>
-        val base = b.getInt(p)
+        val base = if (cnt * 8 <= inlineCap) p else off(p)
         Array.tabulate(cnt)(i => b.getDouble(base + 8 * i))
       case _ => Array.empty
     }
     def ascii(tag: Int): String = tags.get(tag) match {
       case Some((2, cnt, p)) =>
-        val base = if (cnt <= 4) p else b.getInt(p)
+        val base = if (cnt <= inlineCap) p else off(p)
         new String(bytes, base, cnt, "US-ASCII").takeWhile(c => c != '\u0000' && c != ' ')
       case _ => ""
     }
@@ -282,6 +310,117 @@ object GeoTiff {
     for (t <- 0 until nChunks) b.putInt(dataOff + chunkSize * t)
     b.position(chunkCountsOff)
     for (_ <- 0 until nChunks) b.putInt(chunkSize)
+    b.position(scaleOff)
+    b.putDouble(meta.dx).putDouble(meta.dy).putDouble(0.0)
+    b.position(tieOff)
+    b.putDouble(0.0).putDouble(0.0).putDouble(0.0)
+    b.putDouble(meta.originX).putDouble(meta.originY).putDouble(0.0)
+    b.position(nodataOff)
+    b.put(nodataStr.getBytes("US-ASCII"))
+    b.position(dataOff)
+    def put(v: Double): Unit =
+      if (px == 8) { b.putDouble(v); () } else { b.putFloat(v.toFloat); () }
+    tile match {
+      case None => rows.foreach(_.foreach(put))
+      case Some((tw, th)) =>
+        val across = (w + tw - 1) / tw
+        for (t <- 0 until nChunks; r <- 0 until th; c <- 0 until tw) {
+          val gr = (t / across) * th + r
+          val gc = (t % across) * tw + c
+          put(if (gr < h && gc < w) rows(gr)(gc) else meta.nodata)
+        }
+    }
+    b.array()
+  }
+
+  /** BigTIFF writer (magic 43, u64 offsets everywhere — what GDAL emits
+    * with `BIGTIFF=YES` or automatically past 4 GiB; TIFF tags and chunk
+    * layout otherwise identical to [[encode]]). Uncompressed strips or
+    * tiles; [[decode]] reads both magics through one parser, so the
+    * round-trip gate covers the 20-byte IFD entries, u64 counts, and
+    * LONG8 offset arrays that differ. In-memory fixtures stay < 2 GiB;
+    * the format's u64 offsets are the point — a 100-TB pipeline's
+    * mosaics exceed classic TIFF's 4 GiB addressing. */
+  def encodeBig(meta: GridMeta, rows: Array[Array[Double]], bits: Int,
+                tile: Option[(Int, Int)]): Array[Byte] = {
+    val w = meta.width
+    val h = meta.height
+    require(rows.length == h, s"expected $h rows, got ${rows.length}")
+    rows.foreach(r => require(r.length == w, s"expected $w cols, got ${r.length}"))
+    require(bits == 32 || bits == 64, s"bits must be 32 or 64, got $bits")
+    tile.foreach { case (tw, th) =>
+      require(tw > 0 && th > 0 && tw % 16 == 0 && th % 16 == 0,
+        s"TIFF tile dims must be positive multiples of 16, got ${tw}x$th") }
+    val px = bits / 8
+    val nodataStr = {
+      val s = if (meta.nodata == meta.nodata.toLong.toDouble)
+        meta.nodata.toLong.toString else meta.nodata.toString
+      s + " "
+    }
+    val (nChunks, chunkSize) = tile match {
+      case None => (h, px * w)
+      case Some((tw, th)) => (((w + tw - 1) / tw) * ((h + th - 1) / th), px * tw * th)
+    }
+    val entries = if (tile.isEmpty) 13 else 14
+    val header = 16
+    val ifdOff = header
+    var cursor = ifdOff + 8 + entries * 20 + 8
+    val chunkOffsetsOff = cursor; cursor += 8 * nChunks
+    val chunkCountsOff = cursor; cursor += 8 * nChunks
+    val scaleOff = cursor; cursor += 8 * 3
+    val tieOff = cursor; cursor += 8 * 6
+    val nodataOff = cursor; cursor += nodataStr.length
+    cursor = (cursor + 1) & ~1
+    val dataOff = cursor
+    val total = dataOff + chunkSize * nChunks
+    val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+
+    b.put('I'.toByte).put('I'.toByte).putShort(43)
+    b.putShort(8).putShort(0) // offset size, reserved
+    b.putLong(ifdOff.toLong)
+    b.position(ifdOff)
+    b.putLong(entries.toLong)
+    def entry(tag: Int, typ: Int, count: Long)(writeValue: ByteBuffer => Unit): Unit = {
+      b.putShort(tag.toShort).putShort(typ.toShort).putLong(count)
+      val p = b.position()
+      writeValue(b)
+      b.position(p + 8)
+    }
+    // LONG8 arrays inline when count == 1 (8 bytes fit the value field)
+    def offsetsEntry(tag: Int, valueAt: Int, inlineVal: Long): Unit =
+      entry(tag, 16, nChunks.toLong)(bb =>
+        bb.putLong(if (nChunks == 1) inlineVal else valueAt.toLong))
+    entry(TAG_WIDTH, 4, 1)(_.putInt(w))
+    entry(TAG_HEIGHT, 4, 1)(_.putInt(h))
+    entry(TAG_BITS, 3, 1)(_.putShort(bits.toShort))
+    entry(TAG_COMPRESSION, 3, 1)(_.putShort(1))
+    entry(TAG_PHOTOMETRIC, 3, 1)(_.putShort(1))
+    tile match {
+      case None =>
+        offsetsEntry(TAG_STRIP_OFFSETS, chunkOffsetsOff, dataOff.toLong)
+        entry(TAG_SAMPLES_PER_PX, 3, 1)(_.putShort(1))
+        entry(TAG_ROWS_PER_STRIP, 4, 1)(_.putInt(1))
+        offsetsEntry(TAG_STRIP_COUNTS, chunkCountsOff, chunkSize.toLong)
+        entry(TAG_SAMPLE_FORMAT, 3, 1)(_.putShort(3))
+      case Some((tw, th)) =>
+        entry(TAG_SAMPLES_PER_PX, 3, 1)(_.putShort(1))
+        entry(TAG_TILE_WIDTH, 3, 1)(_.putShort(tw.toShort))
+        entry(TAG_TILE_LENGTH, 3, 1)(_.putShort(th.toShort))
+        offsetsEntry(TAG_TILE_OFFSETS, chunkOffsetsOff, dataOff.toLong)
+        offsetsEntry(TAG_TILE_COUNTS, chunkCountsOff, chunkSize.toLong)
+        entry(TAG_SAMPLE_FORMAT, 3, 1)(_.putShort(3))
+    }
+    entry(TAG_PIXEL_SCALE, 12, 3)(_.putLong(scaleOff.toLong))
+    entry(TAG_TIEPOINT, 12, 6)(_.putLong(tieOff.toLong))
+    entry(TAG_GDAL_NODATA, 2, nodataStr.length.toLong)(bb =>
+      if (nodataStr.length <= 8) bb.put(nodataStr.getBytes("US-ASCII"))
+      else bb.putLong(nodataOff.toLong))
+    b.putLong(0L) // no next IFD
+
+    b.position(chunkOffsetsOff)
+    for (t <- 0 until nChunks) b.putLong(dataOff.toLong + chunkSize.toLong * t)
+    b.position(chunkCountsOff)
+    for (_ <- 0 until nChunks) b.putLong(chunkSize.toLong)
     b.position(scaleOff)
     b.putDouble(meta.dx).putDouble(meta.dy).putDouble(0.0)
     b.position(tieOff)

@@ -625,6 +625,28 @@ object QueriesIngest {
       .select(col("col"), col("row"), col("value"))
   }
 
+  // BigTIFF round trip (magic 43, u64 offsets — GDAL's BIGTIFF=YES /
+  // automatic-past-4-GiB layout): the format a 100-TB mosaic actually
+  // needs, since classic TIFF cannot address beyond 4 GiB. Tiled so the
+  // 20-byte IFD entries, u64 counts, AND LONG8 offset arrays all pass
+  // through the decoder; same oracle as the classic round trip.
+  private val bigtiffRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val meta = graft.raster.GridMeta()
+    val dense = graft.ingest.DenseRaster.toDense(
+      graft.raster.PixelGrid.grid(s, d, 1), meta)
+    val tiles = dense.select(col("row"), col("values"))
+      .as[(Int, Seq[Double])]
+      .groupByKey(_ => 0)
+      .mapGroups { (id: Int, it: Iterator[(Int, Seq[Double])]) =>
+        val rows = it.toArray.sortBy(_._1).map(_._2.toArray)
+        (id, graft.ingest.GeoTiff.encodeBig(meta, rows, 64, Some((32, 32))))
+      }
+      .toDF("tile_id", "data")
+    graft.ingest.GeoTiff.tilesToPixels(tiles)
+      .select(col("col"), col("row"), col("value"))
+  }
+
   // PackBits (Compression=32773) round trip — the TIFF 6.0 baseline RLE
   // every conformant reader ships; per-scanline packet restarts.
   private val geotiffPackbitsRoundtrip: Q = (s, d) => {
@@ -1184,6 +1206,7 @@ object QueriesIngest {
     "i_geotiff_deflate_roundtrip" -> geotiffDeflateRoundtrip,
     "i_geotiff_pred3_roundtrip" -> geotiffPred3Roundtrip,
     "i_geotiff_packbits_roundtrip" -> geotiffPackbitsRoundtrip,
+    "i_bigtiff_roundtrip" -> bigtiffRoundtrip,
     "i_png_roundtrip" -> pngRoundtrip,
     "i_jpeg_decode" -> jpegDecode,
     "i_wav_pcm_roundtrip" -> wavPcmRoundtrip,
@@ -1213,6 +1236,7 @@ object QueriesIngest {
     "i_geotiff_deflate_roundtrip" -> geotiffRoundtripSql,
     "i_geotiff_pred3_roundtrip" -> geotiffRoundtripSql,
     "i_geotiff_packbits_roundtrip" -> geotiffRoundtripSql,
+    "i_bigtiff_roundtrip" -> geotiffRoundtripSql,
     "i_png_roundtrip" -> pngRoundtripSql,
     "i_jpeg_decode" -> jpegDecodeSql,
     "i_wav_pcm_roundtrip" -> wavPcmRoundtripSql,

@@ -128,6 +128,31 @@ class GeoTiffSpec extends SparkSuite {
       GeoTiff.encode(m64, flat, 64, None).length / 4)
   }
 
+  test("BigTIFF (magic 43, u64 offsets) round-trips, strip and tile, f32+f64") {
+    for (tile <- Seq[Option[(Int, Int)]](None, Some((16, 16)));
+         bits <- Seq(32, 64)) {
+      val bytes = GeoTiff.encodeBig(meta, rows, bits, tile)
+      assert(bytes(2) == 43 && bytes(3) == 0, "BigTIFF magic")
+      val (m2, rows2) = GeoTiff.decode(bytes)
+      assert(m2 == meta, s"bits=$bits tile=$tile")
+      for (r <- rows.indices; c <- rows(r).indices) {
+        val want = if (bits == 64) rows(r)(c) else rows(r)(c).toFloat.toDouble
+        assert(java.lang.Double.doubleToLongBits(rows2(r)(c)) ==
+          java.lang.Double.doubleToLongBits(want), s"bits=$bits tile=$tile ($c,$r)")
+      }
+    }
+    // single-chunk file exercises the inline LONG8 offset path
+    val one = meta.copy(width = 16, height = 16)
+    val small = Array.fill(16)(Array.tabulate(16)(_ * 1.5 + 90))
+    val (m1, r1) = GeoTiff.decode(GeoTiff.encodeBig(one, small, 64, Some((16, 16))))
+    assert(m1 == one && r1(3)(5) == small(3)(5))
+    // malformed offset-size field is rejected by name
+    val bad = GeoTiff.encodeBig(one, small, 64, None)
+    bad(4) = 4
+    val e = intercept[IllegalArgumentException](GeoTiff.decode(bad))
+    assert(e.getMessage.contains("BigTIFF"))
+  }
+
   test("Predictor=3 (float differencing) round-trips, strip+tile, f32+f64") {
     for (tile <- Seq[Option[(Int, Int)]](None, Some((16, 16)));
          (enc, name) <- Seq(
