@@ -127,6 +127,74 @@ object QueriesRaster {
   private val flowD8: Q = (s, d) => Terrain.flowD8(gA(s, d), 1.0)
   private val flowD8Sql = terrainSql(Terrain.flowD8SqlExpr(1.0))
 
+  // Bounded-hop D8 flow accumulation: acc_{i+1}(cell) = 1 + Σ acc_i of
+  // its upstream neighbors, iterated FLOW_HOPS times — after k hops each
+  // cell counts the cells whose flow path reaches it within k steps
+  // (itself included), the core of watershed/catchment pipelines. Full
+  // convergence is path-length-bounded; the fixture pins k=4 and the
+  // oracle runs the identical chain. Scale shape: the flow table is
+  // cell-sized (≪ pixels); each hop is one equi-join + hash aggregate
+  // on the cell key — the same Pregel-superstep shape as PageRank, with
+  // exact integer counts so any merge order hashes identically.
+  private val FLOW_HOPS = 4
+  private val d8Moves = Seq(1 -> (1, 0), 2 -> (1, 1), 4 -> (0, 1),
+    8 -> (-1, 1), 16 -> (-1, 0), 32 -> (-1, -1), 64 -> (0, -1),
+    128 -> (1, -1))
+  private val flowAccum: Q = (s, d) => {
+    val flow = graft.functions.CacheRegistry.share(
+      Terrain.flowD8(gA(s, d), 1.0))
+    val dcCase = d8Moves.foldLeft(lit(0)) { case (e, (code, (dc, _))) =>
+      when(col("flow_dir") === code, lit(dc)).otherwise(e) }
+    val drCase = d8Moves.foldLeft(lit(0)) { case (e, (code, (_, dr))) =>
+      when(col("flow_dir") === code, lit(dr)).otherwise(e) }
+    val cells = flow.select(col("col").as("c"), col("row").as("r"))
+    val edges = graft.functions.CacheRegistry.share(
+      flow.filter(col("flow_dir") > 0).select(
+        col("col").as("sc"), col("row").as("sr"),
+        (col("col") + dcCase).as("tc"), (col("row") + drCase).as("tr")))
+    var acc = cells.withColumn("a", lit(1L))
+    for (_ <- 1 to FLOW_HOPS) {
+      val up = edges
+        .join(acc.select(col("c").as("sc"), col("r").as("sr"), col("a")),
+          Seq("sc", "sr"))
+        .groupBy(col("tc").as("c"), col("tr").as("r"))
+        .agg(sum("a").as("up"))
+      acc = cells.join(up, Seq("c", "r"), "left_outer")
+        .select(col("c"), col("r"),
+          (lit(1L) + coalesce(col("up"), lit(0L))).as("a"))
+    }
+    acc.select(col("c").as("col"), col("r").as("row"), col("a").as("flow_acc"))
+  }
+
+  private val flowAccumSql = {
+    val dcCase = d8Moves.foldLeft("0") { case (e, (code, (dc, _))) =>
+      s"CASE WHEN flow_dir = $code THEN $dc ELSE $e END" }
+    val drCase = d8Moves.foldLeft("0") { case (e, (code, (_, dr))) =>
+      s"CASE WHEN flow_dir = $code THEN $dr ELSE $e END" }
+    val hops = (1 to FLOW_HOPS).map { i =>
+      s"""a$i AS MATERIALIZED (
+            SELECT cells.c, cells.r, 1 + coalesce(up.s, 0) AS a
+            FROM cells LEFT JOIN
+              (SELECT tc AS c, tr AS r, sum(p.a) AS s
+               FROM edges JOIN a${i - 1} p ON p.c = edges.sc AND p.r = edges.sr
+               GROUP BY 1, 2) up
+            ON up.c = cells.c AND up.r = cells.r)"""
+    }.mkString(",\n")
+    s"""WITH g AS ($cteA),
+        nb AS (${Terrain.neighborhoodSql}),
+        f AS MATERIALIZED (SELECT col, "row", flow_dir FROM
+               (SELECT col, "row", ${Terrain.flowD8SqlExpr(1.0)} FROM nb)),
+        cells AS MATERIALIZED (SELECT col AS c, "row" AS r FROM f),
+        edges AS MATERIALIZED (
+          SELECT c AS sc, r AS sr, c + ($dcCase) AS tc, r + ($drCase) AS tr
+          FROM (SELECT col AS c, "row" AS r, flow_dir FROM f)
+          WHERE flow_dir > 0),
+        a0 AS (SELECT c, r, CAST(1 AS BIGINT) AS a FROM cells),
+        $hops
+        SELECT c AS col, r AS "row", CAST(a AS BIGINT) AS flow_acc
+        FROM a$FLOW_HOPS"""
+  }
+
   // §2.5 IDW gap-fill of raster B's holes, radius 3
   private val gapfill: Q = (s, d) => Terrain.gapfillIdw(gB(s, d), PixelGrid.W, 3)
   private val gapfillSql = Terrain.gapfillIdwSql(cteB, PixelGrid.W, 3)
@@ -417,6 +485,7 @@ object QueriesRaster {
     "t_roughness" -> roughness,
     "t_curvature" -> curvature,
     "t_flow_d8" -> flowD8,
+    "t_flow_accum" -> flowAccum,
     "t_gapfill_idw" -> gapfill,
     "t_gapfill_nearest" -> gapfillNearest,
     "t_gapfill_linear" -> gapfillLinear,
@@ -444,6 +513,7 @@ object QueriesRaster {
     "t_roughness" -> roughnessSql,
     "t_curvature" -> curvatureSql,
     "t_flow_d8" -> flowD8Sql,
+    "t_flow_accum" -> flowAccumSql,
     "t_gapfill_idw" -> gapfillSql,
     "t_gapfill_nearest" -> gapfillNearestSql,
     "t_gapfill_linear" -> gapfillLinearSql,
