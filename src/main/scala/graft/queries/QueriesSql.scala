@@ -210,6 +210,54 @@ object QueriesSql {
         FROM z JOIN m USING (zone) GROUP BY 1"""
   }
 
+  // ---- z-score standardization + outlier census --------------------------
+  // The feature-engineering staple: per-group standardize x and count
+  // |z| > 2 outliers. Sums run over INTEGER dollars (floor(price + ½)),
+  // so n/S/Q are exact longs under any merge order (Q = Σx² stays under
+  // 2^63 through sf10); mean/var/z are then one fixed double expression
+  // tree over those integers — sums cast to double first, sample
+  // variance (n−1), identical IEEE ops in both engines. One hash
+  // aggregate + one broadcast join back onto the stream; no window.
+  private val zscoreOutliers: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+      expr("CAST(floor(l_extendedprice + 0.5) AS BIGINT)").as("x"))
+    val st = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sq"))
+    def dbl(c: String) = col(c).cast("double")
+    val mean = dbl("sx") / dbl("n")
+    val variance = (dbl("sq") - dbl("sx") * dbl("sx") / dbl("n")) /
+      (col("n") - 1).cast("double")
+    val z = (dbl("x") - mean) / sqrt(variance)
+    li.join(broadcast(st), "l_returnflag")
+      .select(col("l_returnflag"), z.as("z"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("z")) > 2.0, 1L).otherwise(0L)).as("n_outliers"),
+        round(min("z"), 6).as("z_min"), round(max("z"), 6).as("z_max"))
+  }
+
+  private val zscoreOutliersSql =
+    """WITH li AS (SELECT l_returnflag,
+                          CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS x
+                   FROM lineitem),
+        st AS (SELECT l_returnflag, count(*) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(x * x) AS BIGINT) AS sq
+               FROM li GROUP BY 1),
+        zs AS (SELECT li.l_returnflag,
+                      (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                        / sqrt((CAST(sq AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                  / CAST(n AS DOUBLE))
+                               / CAST(n - 1 AS DOUBLE)) AS z
+               FROM li JOIN st ON st.l_returnflag = li.l_returnflag)
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers,
+               round(min(z), 6) AS z_min, round(max(z), 6) AS z_max
+        FROM zs GROUP BY 1"""
+
   // ---- area-scaled correlated uncertainty per zone ----------------------
   // The reference's closed-form shortcut (ApplyUncertainty.compute_spatial
   // _uncertainties, variography_uncertainty.py:1670–1737): one correlated
@@ -407,6 +455,7 @@ object QueriesSql {
     "w_range_frame" -> rangeFrame,
     "r_quadkey_rollup" -> quadkeyRollup,
     "a_nmad" -> nmad,
+    "a_zscore_outliers" -> zscoreOutliers,
   )
 
   val oracle: Map[String, String] = Map(
@@ -421,5 +470,6 @@ object QueriesSql {
     "w_range_frame" -> rangeFrameSql,
     "r_quadkey_rollup" -> quadkeyRollupSql,
     "a_nmad" -> nmadSql,
+    "a_zscore_outliers" -> zscoreOutliersSql,
   )
 }
