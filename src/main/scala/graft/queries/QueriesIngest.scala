@@ -1137,6 +1137,56 @@ object QueriesIngest {
         FROM h"""
   }
 
+  // ---- i_npy_roundtrip: NumPy .npy matrix boundary ------------------------
+  // The embedding-matrix interchange format of NumPy-centric pipelines
+  // (the reference is NumPy end to end; np.save/np.load is how embedding
+  // dumps actually move). Four vec_id-bucketed tiles each assemble one
+  // `<f4` 2-D .npy in an executor (ingest.Npy; NpySpec pins NumPy-written
+  // goldens), decode tile-parallel, and the census checksums every
+  // element through the f32→f64-exact widening: q = floor(x·2²⁰ + ½) per
+  // element (f32 values widen exactly, so both engines quantize the same
+  // doubles). Green only if header + layout + payload round-trip every
+  // float bit-exactly.
+  private val npyRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .groupByKey { case (id, _) => (id % 4).toInt }
+      .mapGroups { (tile: Int, it: Iterator[(Long, Array[Float])]) =>
+        val rows = it.toArray.sortBy(_._1)
+        (tile, rows.map(_._1), graft.ingest.Npy.encodeF32(rows.map(_._2)))
+      }
+      .toDF("tile", "ids", "data")
+      .as[(Int, Array[Long], Array[Byte])]
+      .flatMap { case (tile, ids, data) =>
+        val (n, dims, m) = graft.ingest.Npy.decode(data)
+        require(n == ids.length, s"tile $tile row count")
+        for (i <- 0 until n) yield {
+          var cs = 0L
+          var j = 0
+          while (j < dims) {
+            cs += math.floor(m(i)(j) * 1048576.0 + 0.5).toLong
+            j += 1
+          }
+          (tile, ids(i), dims, cs)
+        }
+      }
+      .toDF("tile", "vec_id", "dims", "cs")
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_vecs"), max(col("dims").cast("long")).as("dims"),
+        sum("vec_id").as("id_sum"), sum("cs").as("checksum"))
+  }
+
+  private val npyRoundtripSql =
+    """SELECT CAST(vec_id % 4 AS INT) AS tile, count(*) AS n_vecs,
+              CAST(max(len(embedding)) AS BIGINT) AS dims,
+              CAST(sum(vec_id) AS BIGINT) AS id_sum,
+              CAST(sum(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                     x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT))))
+                AS BIGINT) AS checksum
+       FROM embeddings GROUP BY 1"""
+
   // ---- i_xml_parse: XML codec boundary (to_xml → from_xml) ---------------
   // The markup sibling of i_csv_parse, over Spark 4's native XML source
   // functions: every document row is SERIALIZED to an XML record (a
@@ -1217,6 +1267,7 @@ object QueriesIngest {
     "i_geojson_parse" -> geojsonParse,
     "i_csv_parse" -> csvParse,
     "i_xml_parse" -> xmlParse,
+    "i_npy_roundtrip" -> npyRoundtrip,
     "i_dbf_roundtrip" -> dbfRoundtrip,
     "g_wkb_roundtrip" -> wkbRoundtrip,
     "i_gpkg_roundtrip" -> gpkgRoundtrip,
@@ -1247,6 +1298,7 @@ object QueriesIngest {
     "i_geojson_parse" -> geojsonParseSql,
     "i_csv_parse" -> csvParseSql,
     "i_xml_parse" -> xmlParseSql,
+    "i_npy_roundtrip" -> npyRoundtripSql,
     "i_dbf_roundtrip" -> dbfRoundtripSql,
     "g_wkb_roundtrip" -> wkbRoundtripSql,
     "i_gpkg_roundtrip" -> gpkgRoundtripSql,
