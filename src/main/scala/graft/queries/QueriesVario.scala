@@ -312,7 +312,70 @@ object QueriesVario {
         FROM (SELECT count(*) AS n, sqrt(avg(v * v)) AS rms FROM (${Vario.pointsSql}))"""
   }
 
+  // ---- v_jackknife: delete-group jackknife SE of the mean ----------------
+  // The third classical resampler beside the engine's bootstrap and CV:
+  // split the stream into K=10 md5-free deterministic groups
+  // (event_id % 10), recompute the mean leaving each group out, and
+  // report the jackknife standard error. Convention note: deviations are
+  // taken around the FULL-sample mean (not the mean of the K leave-one-out
+  // estimates) — the delete-group variant both engines run identically;
+  // the two centers differ by O(1/K²) and the fixture pins this one.
+  // Exactness: per-group sums run over 1e-6-quantized integers (exact
+  // longs any merge order); each θ_i is one fixed double tree over those
+  // integers; squared deviations re-quantize to 1e-12 integers BEFORE the
+  // K-row sum, so the final reduction is an exact integer aggregate too.
+  // Scale shape: one corpus hash-aggregate to K rows, then K-row math.
+  private val JACK_K = 10
+  private val jackknife: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      (col("event_id") % JACK_K).as("run"),
+      expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("q"))
+    val per = ev.groupBy("run")
+      .agg(count(lit(1)).as("ni"), sum("q").as("si"))
+    val tot = per.agg(sum("ni").as("n"), sum("si").as("sT"),
+      count(lit(1)).as("k"))
+    def dbl(c: Column) = c.cast("double")
+    val thetaFull = dbl(col("sT")) / dbl(col("n")) / 1e6
+    val thetaI = dbl(col("sT") - col("si")) / dbl(col("n") - col("ni")) / 1e6
+    per.crossJoin(broadcast(tot))
+      .select(col("k"), col("n"), thetaFull.as("tf"), thetaI.as("ti"))
+      .select(col("k"), col("n"), col("tf"), col("ti"),
+        floor((col("ti") - col("tf")) * (col("ti") - col("tf")) * 1e12 + 0.5)
+          .cast("long").as("devq"))
+      .groupBy("k", "n")
+      .agg(round(min("tf"), 6).as("theta"),
+        round(min("ti"), 6).as("theta_loo_min"),
+        round(max("ti"), 6).as("theta_loo_max"),
+        round(sqrt((dbl(col("k") - 1) / dbl(col("k"))) *
+          (dbl(sum("devq")) / 1e12)), 9).as("se_jack"))
+  }
+
+  private val jackknifeSql =
+    s"""WITH ev AS (SELECT event_id % $JACK_K AS run,
+                           CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q
+                    FROM events),
+        per AS (SELECT run, count(*) AS ni, CAST(sum(q) AS BIGINT) AS si
+                FROM ev GROUP BY 1),
+        tot AS (SELECT CAST(sum(ni) AS BIGINT) AS n,
+                       CAST(sum(si) AS BIGINT) AS sT,
+                       count(*) AS k FROM per),
+        j AS (SELECT k, n,
+                     CAST(sT AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS tf,
+                     CAST(sT - si AS DOUBLE) / CAST(n - ni AS DOUBLE) / 1e6 AS ti
+              FROM per CROSS JOIN tot),
+        dq AS (SELECT k, n, tf, ti,
+                      CAST(floor((ti - tf) * (ti - tf) * 1e12 + 0.5) AS BIGINT)
+                        AS devq
+               FROM j)
+        SELECT k, n, round(min(tf), 6) AS theta,
+               round(min(ti), 6) AS theta_loo_min,
+               round(max(ti), 6) AS theta_loo_max,
+               round(sqrt((CAST(k - 1 AS DOUBLE) / CAST(k AS DOUBLE)) *
+                 (CAST(sum(devq) AS DOUBLE) / 1e12)), 9) AS se_jack
+        FROM dq GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
+    "v_jackknife" -> jackknife,
     "v_sample_points" -> samplePoints,
     "v_multirun_sample" -> multirunSample,
     "v_variogram" -> variogram,
@@ -329,6 +392,7 @@ object QueriesVario {
   )
 
   val oracle: Map[String, String] = Map(
+    "v_jackknife" -> jackknifeSql,
     "v_sample_points" -> samplePointsSql,
     "v_multirun_sample" -> multirunSampleSql,
     "v_variogram" -> variogramSql,
