@@ -85,6 +85,59 @@ object QueriesMl {
                CAST(sum(CASE WHEN label = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
         FROM p GROUP BY ROLLUP (event_type)"""
 
+  // ---- population stability index per slice -------------------------------
+  // The standard score-drift monitor: PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i)
+  // between a reference split (even event_id) and a current split (odd),
+  // 10 fixed score bins, +1 Laplace smoothing so empty bins stay finite
+  // (documented fixture convention, identical in both engines). Counts
+  // are exact integers; each bin's term is one fixed double tree over
+  // them, re-quantized to 1e-9 integers BEFORE the 10-row sum so the
+  // final reduction is merge-order-exact. PSI < 0.1 = stable, > 0.25 =
+  // drifted — reported per slice beside the bin count.
+  private val psi: Q = (s, d) => {
+    val binned = scored(s, d).select(col("event_type"),
+      least(floor(col("score") * 10).cast("int"), lit(9)).as("bin"),
+      (col("event_id") % 2 === 0).as("ref"))
+    val counts = binned.groupBy("event_type", "bin")
+      .agg(sum(when(col("ref"), 1L).otherwise(0L)).as("cr"),
+        sum(when(!col("ref"), 1L).otherwise(0L)).as("cc"))
+    val tot = counts.groupBy(col("event_type").as("t_type"))
+      .agg(sum("cr").as("nr"), sum("cc").as("nc"))
+    def dbl(c: Column) = c.cast("double")
+    val p = dbl(col("cr") + 1) / dbl(col("nr") + 10)
+    val q = dbl(col("cc") + 1) / dbl(col("nc") + 10)
+    counts.join(tot, col("event_type") === col("t_type"))
+      .select(col("event_type"),
+        floor((p - q) * log(p / q) * 1e9 + 0.5).cast("long").as("termq"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_bins"),
+        round(sum("termq").cast("double") / 1e9, 6).as("psi"))
+  }
+
+  private val psiSql =
+    s"""WITH $scoredSql,
+        b AS (SELECT event_type,
+                     least(CAST(floor(score * 10) AS INT), 9) AS bin,
+                     event_id % 2 = 0 AS ref
+              FROM scored),
+        c AS (SELECT event_type, bin,
+                     CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+                     CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cc
+              FROM b GROUP BY 1, 2),
+        t AS (SELECT event_type AS t_type, CAST(sum(cr) AS BIGINT) AS nr,
+                     CAST(sum(cc) AS BIGINT) AS nc
+              FROM c GROUP BY 1),
+        terms AS (SELECT event_type,
+                         CAST(floor((CAST(cr + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE)
+                                     - CAST(cc + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))
+                                    * ln((CAST(cr + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE))
+                                         / (CAST(cc + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE)))
+                                    * 1e9 + 0.5) AS BIGINT) AS termq
+                  FROM c JOIN t ON t_type = event_type)
+        SELECT event_type, count(*) AS n_bins,
+               round(CAST(sum(termq) AS DOUBLE) / 1e9, 6) AS psi
+        FROM terms GROUP BY 1"""
+
   // ---- Cohen's kappa per slice -------------------------------------------
   // Chance-corrected agreement between prediction and label (Cohen 1960):
   // kappa = (po − pe)/(1 − pe) with po the observed accuracy and pe the
@@ -563,6 +616,7 @@ object QueriesMl {
     "m_brier" -> brier,
     "m_confusion" -> confusion,
     "m_kappa" -> kappa,
+    "m_psi" -> psi,
     "m_prf1" -> prf1,
     "m_auc" -> auc,
     "m_calibration" -> calibration,
@@ -578,6 +632,7 @@ object QueriesMl {
     "m_brier" -> brierSql,
     "m_confusion" -> confusionSql,
     "m_kappa" -> kappaSql,
+    "m_psi" -> psiSql,
     "m_prf1" -> prf1Sql,
     "m_auc" -> aucSql,
     "m_calibration" -> calibrationSql,
