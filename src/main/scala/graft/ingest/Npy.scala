@@ -36,6 +36,25 @@ object Npy {
     b.array()
   }
 
+  /** Decode every member of an `.npz` archive (np.savez /
+    * np.savez_compressed — a zip of `.npy` members, stored or deflated;
+    * the JDK zip reader handles both). Returns member name (without the
+    * `.npy` suffix) → decoded matrix. */
+  def decodeNpz(bytes: Array[Byte]): Map[String, (Int, Int, Array[Array[Double]])] = {
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = scala.collection.mutable.Map
+      .empty[String, (Int, Int, Array[Array[Double]])]
+    var e = zin.getNextEntry
+    require(e != null, "not an NPZ archive (no zip entries)")
+    while (e != null) {
+      val name = e.getName.stripSuffix(".npy")
+      out(name) = decode(zin.readAllBytes())
+      e = zin.getNextEntry
+    }
+    out.toMap
+  }
+
   /** Decode a v1.0/2.0 `.npy` holding a 2-D `<f4` or `<f8` C-order
     * array. Returns (n, d, row-major doubles — f32 widened exactly). */
   def decode(bytes: Array[Byte]): (Int, Int, Array[Array[Double]]) = {

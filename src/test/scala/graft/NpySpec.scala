@@ -39,6 +39,19 @@ class NpySpec extends AnyFunSuite {
       assert(v8(i)(j) == (i * 11 + j) * 0.125 - 2.0, s"f8 ($i,$j)")
   }
 
+  test("decodes NumPy-written NPZ archives, stored and compressed") {
+    for (f <- Seq("tools/npz_golden.npz", "tools/npz_golden_c.npz")) {
+      val m = Npy.decodeNpz(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(f)))
+      assert(m.keySet == Set("alpha", "beta"), f)
+      val (an, ad, av) = m("alpha")
+      assert((an, ad) == (2, 2) && av(1)(0) == 3.5, f)
+      val (bn, bd, bv) = m("beta")
+      assert((bn, bd) == (1, 3) && bv(0)(1) == -0.75, f)
+    }
+    intercept[IllegalArgumentException](Npy.decodeNpz(Array[Byte](1, 2, 3)))
+  }
+
   test("junk, wrong dtype, and truncation throw by name") {
     intercept[IllegalArgumentException](Npy.decode("nope".getBytes))
     val good = Npy.encodeF32(Array(Array(1f, 2f), Array(3f, 4f)))
