@@ -75,7 +75,13 @@ object Plans {
       "i_xml_parse" -> "XML boundary: map-side to_xml → from_xml round trip through entity escaping, single aggregate",
       "x_bpe_apply" -> "BPE apply: corpus (source,word) count once; merges trained vocab-sized then broadcast as two scalar pairs",
       "g_assortativity" -> "degree assortativity: two node-sized degree joins + one 6-sum integer aggregate, closed-form Pearson",
-      "g_kcore" -> "k-core peel: per round one degree agg + two semi-joins, checkpointed every 2 rounds")
+      "g_kcore" -> "k-core peel: per round one degree agg + two broadcast anti-joins on the cached peel delta (zero edge shuffle)",
+      "t_flow_accum" -> "D8 flow accumulation: cell-sized edge table cached, per hop one equi-join + integer hash agg",
+      "i_bigtiff_roundtrip" -> "BigTIFF boundary: u64-offset tiles assembled per executor, tile-parallel decode",
+      "i_npy_roundtrip" -> "NPY matrix boundary: per-tile .npy assembly + decode in executors, quantized element checksum",
+      "m_psi" -> "PSI drift: integer bin counts, per-bin terms quantized before the 10-row sum",
+      "v_jackknife" -> "delete-group jackknife: one corpus agg to K rows, exact integer devq reduction",
+      "a_zscore_outliers" -> "z-score census: integer-dollar moments, broadcast stats join back, no window")
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans of headline queries\n\n"
     sb ++= s"Generated by `runMain graft.Plans` on `$dir`. Evidence for the\n"
