@@ -166,6 +166,77 @@ object QueriesRaster {
     acc.select(col("c").as("col"), col("r").as("row"), col("a").as("flow_acc"))
   }
 
+  // D8 watershed labeling by POINTER DOUBLING: each cell starts with a
+  // pointer to its 1-step downstream cell (itself if it is a sink);
+  // each doubling round joins the pointer table to itself, so after j
+  // rounds every cell knows its 2^j-step successor — 3 rounds = 8-hop
+  // reach with THREE joins instead of eight (the classic distributed
+  // list-ranking/path-contraction trick: O(log L) rounds for paths of
+  // length L, the only shape that labels continental flow paths at
+  // 100 TB without an L-round loop). Labels = the reached terminal;
+  // census = catchment sizes per terminal. Exact: pointers are integer
+  // cell keys; a sink's self-pointer makes doubling idempotent there.
+  private val WSHED_DOUBLINGS = 3
+  private val watershed: Q = (s, d) => {
+    val flow = graft.functions.CacheRegistry.share(
+      Terrain.flowD8(gA(s, d), 1.0))
+    val dcCase = d8Moves.foldLeft(lit(0)) { case (e, (code, (dc, _))) =>
+      when(col("flow_dir") === code, lit(dc)).otherwise(e) }
+    val drCase = d8Moves.foldLeft(lit(0)) { case (e, (code, (_, dr))) =>
+      when(col("flow_dir") === code, lit(dr)).otherwise(e) }
+    val cells = flow.select(col("col").as("c"), col("row").as("r"))
+    // next pointer: downstream cell IF it exists in the grid, else self
+    // (flow off the interior edge terminates there, like a sink)
+    val step0 = flow.select(col("col").as("c"), col("row").as("r"),
+        (col("col") + dcCase).as("nc0"), (col("row") + drCase).as("nr0"))
+      .join(cells.select(col("c").as("nc0"), col("r").as("nr0"))
+        .withColumn("hit", lit(1)), Seq("nc0", "nr0"), "left_outer")
+      .select(col("c"), col("r"),
+        when(col("hit").isNotNull, col("nc0")).otherwise(col("c")).as("nc"),
+        when(col("hit").isNotNull, col("nr0")).otherwise(col("r")).as("nr"))
+    var ptr = step0
+    for (_ <- 1 to WSHED_DOUBLINGS) {
+      ptr = ptr.join(
+          ptr.select(col("c").as("nc"), col("r").as("nr"),
+            col("nc").as("nc2"), col("nr").as("nr2")),
+          Seq("nc", "nr"))
+        .select(col("c"), col("r"), col("nc2").as("nc"), col("nr2").as("nr"))
+    }
+    ptr.groupBy(col("nc").as("term_col"), col("nr").as("term_row"))
+      .agg(count(lit(1)).as("catchment_cells"))
+      .filter(col("catchment_cells") >= 3)
+  }
+
+  private val watershedSql = {
+    val dcCase = d8Moves.foldLeft("0") { case (e, (code, (dc, _))) =>
+      s"CASE WHEN flow_dir = $code THEN $dc ELSE $e END" }
+    val drCase = d8Moves.foldLeft("0") { case (e, (code, (_, dr))) =>
+      s"CASE WHEN flow_dir = $code THEN $dr ELSE $e END" }
+    val dbl = (1 to WSHED_DOUBLINGS).map { i =>
+      s"""p$i AS MATERIALIZED (
+            SELECT a.c, a.r, b.nc, b.nr
+            FROM p${i - 1} a JOIN p${i - 1} b ON b.c = a.nc AND b.r = a.nr)"""
+    }.mkString(",\n")
+    s"""WITH g AS ($cteA),
+        nb AS (${Terrain.neighborhoodSql}),
+        f AS MATERIALIZED (SELECT col, "row", flow_dir FROM
+               (SELECT col, "row", ${Terrain.flowD8SqlExpr(1.0)} FROM nb)),
+        cells AS MATERIALIZED (SELECT col AS c, "row" AS r FROM f),
+        p0 AS MATERIALIZED (
+          SELECT s.c, s.r,
+                 CASE WHEN t.c IS NOT NULL THEN s.tc ELSE s.c END AS nc,
+                 CASE WHEN t.c IS NOT NULL THEN s.tr ELSE s.r END AS nr
+          FROM (SELECT col AS c, "row" AS r,
+                       col + ($dcCase) AS tc, "row" + ($drCase) AS tr
+                FROM f) s
+          LEFT JOIN cells t ON t.c = s.tc AND t.r = s.tr),
+        $dbl
+        SELECT nc AS term_col, nr AS term_row,
+               count(*) AS catchment_cells
+        FROM p$WSHED_DOUBLINGS GROUP BY 1, 2
+        HAVING count(*) >= 3"""
+  }
+
   private val flowAccumSql = {
     val dcCase = d8Moves.foldLeft("0") { case (e, (code, (dc, _))) =>
       s"CASE WHEN flow_dir = $code THEN $dc ELSE $e END" }
@@ -486,6 +557,7 @@ object QueriesRaster {
     "t_curvature" -> curvature,
     "t_flow_d8" -> flowD8,
     "t_flow_accum" -> flowAccum,
+    "t_watershed" -> watershed,
     "t_gapfill_idw" -> gapfill,
     "t_gapfill_nearest" -> gapfillNearest,
     "t_gapfill_linear" -> gapfillLinear,
@@ -514,6 +586,7 @@ object QueriesRaster {
     "t_curvature" -> curvatureSql,
     "t_flow_d8" -> flowD8Sql,
     "t_flow_accum" -> flowAccumSql,
+    "t_watershed" -> watershedSql,
     "t_gapfill_idw" -> gapfillSql,
     "t_gapfill_nearest" -> gapfillNearestSql,
     "t_gapfill_linear" -> gapfillLinearSql,
