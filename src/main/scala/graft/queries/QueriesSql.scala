@@ -210,6 +210,28 @@ object QueriesSql {
         FROM z JOIN m USING (zone) GROUP BY 1"""
   }
 
+  // ---- correlated LATERAL subquery (top-2 per customer) -------------------
+  // One shared text: a comma-LATERAL derived table returns each
+  // customer's two priciest orders (ties pinned by orderkey), then the
+  // outer query censuses per segment. Spark decorrelates the correlated
+  // ORDER BY ... LIMIT into a partitioned rank (DecorrelateInnerQuery) —
+  // the grouped top-k shape, never a per-row re-execution; DuckDB runs
+  // its native lateral join. Money stays integer cents end to end.
+  private val lateralSql =
+    """SELECT c.c_mktsegment, count(*) AS n,
+              CAST(sum(t.top_cents) AS BIGINT) AS top_cents_sum
+       FROM customer c,
+            LATERAL (SELECT CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                              AS top_cents
+                     FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                     ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+                     LIMIT 2) t
+       GROUP BY c.c_mktsegment"""
+
+  private val sqlLateral: Q = (s, d) =>
+    runSql(s, d, Seq("customer", "orders"), lateralSql)
+
   // ---- z-score standardization + outlier census --------------------------
   // The feature-engineering staple: per-group standardize x and count
   // |z| > 2 outliers. Sums run over INTEGER dollars (floor(price + ½)),
@@ -449,6 +471,7 @@ object QueriesSql {
     "st_retention_cohort" -> retention,
     "u_area_scaled" -> areaScaled,
     "q_sql_exists" -> sqlExists,
+    "q_sql_lateral" -> sqlLateral,
     "q_sql_scalar_in" -> sqlScalarIn,
     "q_sql_window" -> sqlWindow,
     "o_salted_join" -> saltedJoin,
@@ -464,6 +487,7 @@ object QueriesSql {
     "st_retention_cohort" -> retentionSql,
     "u_area_scaled" -> areaScaledSql,
     "q_sql_exists" -> existsSql,
+    "q_sql_lateral" -> lateralSql,
     "q_sql_scalar_in" -> scalarInSql,
     "q_sql_window" -> windowSqlText,
     "o_salted_join" -> saltedJoinSql,
