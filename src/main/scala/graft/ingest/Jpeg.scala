@@ -467,7 +467,10 @@ object Jpeg {
         case 0x01 => // TEM, parameterless
         case _ =>
           val len = u16(pos)
-          require(pos + len <= bytes.length, s"truncated segment ${m.toHexString}")
+          // a marker segment length includes its own 2 bytes; < 2 would
+          // make the walk non-advancing on corrupt input
+          require(len >= 2 && pos + len <= bytes.length,
+            s"bad segment ${m.toHexString} length $len")
           m match {
             case 0xdb => // DQT — may hold several tables
               var p = pos + 2

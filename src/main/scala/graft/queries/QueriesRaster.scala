@@ -194,13 +194,18 @@ object QueriesRaster {
       .select(col("c"), col("r"),
         when(col("hit").isNotNull, col("nc0")).otherwise(col("c")).as("nc"),
         when(col("hit").isNotNull, col("nr0")).otherwise(col("r")).as("nr"))
-    var ptr = step0
+    // each doubling consumes the previous pointer table TWICE (left and
+    // right of the self-join) — share every round or the lazy tree holds
+    // 2^rounds copies of the stencil chain (trivial on the fixture's
+    // cell count, a real recompute blowup on a continental grid)
+    var ptr = graft.functions.CacheRegistry.share(step0)
     for (_ <- 1 to WSHED_DOUBLINGS) {
-      ptr = ptr.join(
-          ptr.select(col("c").as("nc"), col("r").as("nr"),
-            col("nc").as("nc2"), col("nr").as("nr2")),
-          Seq("nc", "nr"))
-        .select(col("c"), col("r"), col("nc2").as("nc"), col("nr2").as("nr"))
+      ptr = graft.functions.CacheRegistry.share(
+        ptr.join(
+            ptr.select(col("c").as("nc"), col("r").as("nr"),
+              col("nc").as("nc2"), col("nr").as("nr2")),
+            Seq("nc", "nr"))
+          .select(col("c"), col("r"), col("nc2").as("nc"), col("nr2").as("nr")))
     }
     ptr.groupBy(col("nc").as("term_col"), col("nr").as("term_row"))
       .agg(count(lit(1)).as("catchment_cells"))
