@@ -115,7 +115,10 @@ object QueriesIngest {
   // micros. Scale note: the rewrite is one pass, partition-parallel —
   // the same shape a format-migration job runs at 100 TB.
   private val orcRoundtrip: Q = (s, d) => {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+    // session-scoped path: two concurrent sessions (or a stale run's
+    // leftovers) must not feed each other's reads
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+      s.sparkContext.applicationId
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_linestatus"), col("l_quantity"), col("l_extendedprice"),
