@@ -44,6 +44,30 @@ class GpkgSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Sqlite.decode("junk".getBytes ++ new Array[Byte](4096), "t") }
   }
 
+  test("decodes a PINNED database written by CPython's sqlite3") {
+    // tools/sqlite_golden.db: 400 rows, 10 pages (interior + leaves),
+    // INTEGER-PRIMARY-KEY rowid alias (column 0 stored as NULL), TEXT,
+    // REAL, BLOB, and NULL-able TEXT — written by the real SQLite
+    // library, so this pins varint/record/b-tree conformance against an
+    // independent implementation, not a self-round-trip.
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/sqlite_golden.db"))
+    val rows = Sqlite.decode(bytes, "golden")
+    assert(rows.length == 400)
+    assert(rows.map(_._1) == (1L to 400L))
+    for ((rowid, vals) <- rows) {
+      val i = rowid.toInt
+      assert(vals(0) == null, s"rowid-alias column at $i") // id aliases rowid
+      assert(vals(1) == f"row-$i%03d-" + "x" * (i % 37), s"name at $i")
+      assert(vals(2) == i * 0.125 - 3.0, s"score at $i")
+      val blob = vals(3).asInstanceOf[Array[Byte]]
+      assert(blob.length == i % 61 &&
+        blob.zipWithIndex.forall { case (v, j) => (v & 0xff) == (i * 7 + j) % 251 },
+        s"payload at $i")
+      assert(vals(4) == (if (i % 10 == 0) null else s"note$i"), s"note at $i")
+    }
+  }
+
   test("GPB blobs wrap and unwrap WKB with envelope and srs") {
     val wkb = poly(5)
     val gpb = Gpkg.encodeGpb(wkb)
