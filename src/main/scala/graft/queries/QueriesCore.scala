@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Canon.round
@@ -150,6 +150,47 @@ object QueriesCore {
     """SELECT o_orderkey,
               round(year(o_orderdate) + (dayofyear(o_orderdate) - 1) / 365.25, 6) AS decimal_year
        FROM orders WHERE o_orderkey % 211 = 0"""
+
+  // Business-day lead time (order → ship, weekends excluded) — the SLA
+  // arithmetic every operations dashboard runs. Closed form, no calendar
+  // table: with e = epoch-day and f(e) = 5·((e+3) div 7) +
+  // least((e+3) mod 7, 5) − 3 counting weekdays in [1970-01-01, e),
+  // business days = f(e_ship) − f(e_order). Pure integer math on the
+  // same epoch-day values in both engines (timestamps cast to DATE under
+  // the shared UTC session), so the census is exact. One equi-join +
+  // one hash aggregate.
+  private val businessDays: Q = (s, d) => {
+    // epoch days are non-negative here, so truncation == floor division
+    def f(e: Column): Column =
+      lit(5) * floor((e + 3) / 7).cast("long") +
+        least((e + 3) % 7, lit(5)) - 3
+    val j = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01")).as("e1"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"),
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01")).as("e2")),
+        col("o_orderkey") === col("l_orderkey"))
+    j.select(col("o_orderpriority"),
+        (f(col("e2")).cast("long") - f(col("e1")).cast("long")).as("bd"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("bd").as("bd_sum"),
+        max("bd").as("bd_max"), min("bd").as("bd_min"))
+  }
+
+  private val businessDaysSql = {
+    def f(e: String) = s"(5 * (($e + 3) // 7) + least(($e + 3) % 7, 5) - 3)"
+    s"""WITH j AS (SELECT o.o_orderpriority,
+                          datediff('day', DATE '1970-01-01',
+                                   CAST(o.o_orderdate AS DATE)) AS e1,
+                          datediff('day', DATE '1970-01-01',
+                                   CAST(l.l_shipdate AS DATE)) AS e2
+                   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(${f("e2")} - ${f("e1")}) AS BIGINT) AS bd_sum,
+               CAST(max(${f("e2")} - ${f("e1")}) AS BIGINT) AS bd_max,
+               CAST(min(${f("e2")} - ${f("e1")}) AS BIGINT) AS bd_min
+        FROM j GROUP BY 1"""
+  }
 
   // §2.2 GPS-seconds → date, with the LAS-1.4 +1e9 adjustment
   // (differencing_functions.py:1559–1567, 1889–1893)
@@ -490,6 +531,7 @@ object QueriesCore {
     "s_name_sanitize" -> nameSanitize,
     "s_source_classifier" -> sourceClassifier,
     "d_temporal_parse" -> temporalParse,
+    "d_business_days" -> businessDays,
     "d_midpoint_epoch" -> midpointEpoch,
     "d_decimal_year" -> decimalYear,
     "d_gps_epoch" -> gpsEpoch,
@@ -520,6 +562,7 @@ object QueriesCore {
     "s_name_sanitize" -> nameSanitizeSql,
     "s_source_classifier" -> sourceClassifierSql,
     "d_temporal_parse" -> temporalParseSql,
+    "d_business_days" -> businessDaysSql,
     "d_midpoint_epoch" -> midpointEpochSql,
     "d_decimal_year" -> decimalYearSql,
     "d_gps_epoch" -> gpsEpochSql,
