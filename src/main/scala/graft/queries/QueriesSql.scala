@@ -210,6 +210,51 @@ object QueriesSql {
         FROM z JOIN m USING (zone) GROUP BY 1"""
   }
 
+  // ---- Benford leading-digit audit ----------------------------------------
+  // The classic data-forensics check: leading digits of genuine financial
+  // amounts follow P(d) = log10(1 + 1/d). Digit extraction is an exact
+  // string op on integer cents (never float log10 of the value); the
+  // expected shares are Scala-precomputed literals embedded via toString
+  // so both engines parse identical doubles; each digit's chi-squared
+  // term is then one fixed double tree over exact integer counts. One
+  // hash aggregate + a 1-row broadcast.
+  private val benfordP: Seq[(Int, Double)] =
+    (1 to 9).map(dd => dd -> math.log10(1.0 + 1.0 / dd))
+  private val benford: Q = (s, d) => {
+    val digits = Tables.lineitem(s, d).select(
+      substring(expr(
+        "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS STRING)"),
+        1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("obs"))
+    val tot = digits.agg(sum("obs").as("n"))
+    val p = benfordP.foldLeft(lit(0.0)) { case (e, (dd, pv)) =>
+      when(col("digit") === dd.toString, lit(pv)).otherwise(e) }
+    def dbl(c: String) = col(c).cast("double")
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("obs"),
+        round(dbl("obs") / dbl("n"), 6).as("share"),
+        round(p, 6).as("benford_p"),
+        round((dbl("obs") - dbl("n") * p) * (dbl("obs") - dbl("n") * p) /
+          (dbl("n") * p), 6).as("chi2_term"))
+  }
+
+  private val benfordSql = {
+    val pCase = benfordP.foldLeft("0.0") { case (e, (dd, pv)) =>
+      s"CASE WHEN digit = '$dd' THEN $pv ELSE $e END" }
+    s"""WITH digits AS (SELECT substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5)
+                                  AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+                               count(*) AS obs
+                        FROM lineitem GROUP BY 1),
+        tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM digits)
+        SELECT digit, obs,
+               round(CAST(obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+               round($pCase, 6) AS benford_p,
+               round((CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * ($pCase))
+                     * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * ($pCase))
+                     / (CAST(n AS DOUBLE) * ($pCase)), 6) AS chi2_term
+        FROM digits CROSS JOIN tot"""
+  }
+
   // ---- correlated LATERAL subquery (top-2 per customer) -------------------
   // One shared text: a comma-LATERAL derived table returns each
   // customer's two priciest orders (ties pinned by orderkey), then the
@@ -479,6 +524,7 @@ object QueriesSql {
     "r_quadkey_rollup" -> quadkeyRollup,
     "a_nmad" -> nmad,
     "a_zscore_outliers" -> zscoreOutliers,
+    "a_benford" -> benford,
   )
 
   val oracle: Map[String, String] = Map(
@@ -495,5 +541,6 @@ object QueriesSql {
     "r_quadkey_rollup" -> quadkeyRollupSql,
     "a_nmad" -> nmadSql,
     "a_zscore_outliers" -> zscoreOutliersSql,
+    "a_benford" -> benfordSql,
   )
 }
