@@ -58,7 +58,10 @@ object Wkb {
   private def decodeGeom(bytes: Array[Byte], start: Int, polyIdx: Int,
       out: scala.collection.mutable.Builder[(Int, Int, Int, Double, Double),
         Array[(Int, Int, Int, Double, Double)]]): Int = {
-    require(start + 5 <= bytes.length, "truncated WKB header")
+    // +9, not +5: both geometry branches read the 4-byte ring/member count
+    // at start+5, so a buffer truncated inside that count must reject here
+    // (not via a raw ByteBuffer IndexOutOfBounds)
+    require(start + 9 <= bytes.length, "truncated WKB header")
     val order = bytes(start)
     require(order == 0 || order == 1, s"bad WKB byte-order marker $order")
     val b = ByteBuffer.wrap(bytes).order(

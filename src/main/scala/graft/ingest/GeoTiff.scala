@@ -73,10 +73,17 @@ object GeoTiff {
       v.toInt
     }
     val ifd = off(if (big) 8 else 4)
-    val nEntries =
-      (if (big) b.getLong(ifd) else (b.getShort(ifd) & 0xffff).toLong).toInt
-    val entryBase = ifd + (if (big) 8 else 2)
+    val nEntries64 =
+      if (big) b.getLong(ifd) else (b.getShort(ifd) & 0xffff).toLong
     val entryLen = if (big) 20 else 12
+    // bound the IFD walk BEFORE truncating the (BigTIFF u64) entry count
+    // to Int: a corrupt header must reject loudly, not drive the loop
+    // through garbage entries
+    require(nEntries64 >= 0 && nEntries64 <= bytes.length / entryLen &&
+      ifd.toLong + (if (big) 8 else 2) + nEntries64 * entryLen <= bytes.length,
+      s"TIFF IFD with $nEntries64 entries at $ifd runs past file end")
+    val nEntries = nEntries64.toInt
+    val entryBase = ifd + (if (big) 8 else 2)
     val inlineCap = if (big) 8 else 4 // value bytes held inline
     // tag -> (type, count, value-or-offset position)
     var tags = Map.empty[Int, (Int, Int, Int)]

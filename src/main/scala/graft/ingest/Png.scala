@@ -148,6 +148,13 @@ object Png {
     require(width > 0 && height > 0, "missing IHDR")
     val channels = if (colorType == 0) 1 else 3
     val bpp = depth / 8 * channels
+    // size math in Long before any Int allocation: adversarial IHDR dims
+    // (e.g. 2^28 × 2^28) overflow Int stride*height to a negative/wrapped
+    // size and surface as NegativeArraySizeException instead of a clean
+    // rejection
+    val need = (bpp.toLong * width + 1L) * height
+    require(need <= Int.MaxValue && width.toLong * height <= (1L << 30),
+      s"PNG dims ${width}x$height (bpp $bpp) exceed supported size")
     val stride = bpp * width
     val raw = Zlib.inflate(idat.toByteArray, (stride + 1) * height)
 

@@ -181,8 +181,15 @@ object Sqlite {
     }
     if (cur.nonEmpty || cells.isEmpty) leaves += cur
     val leafSeq = leaves.result()
-    require(leafSeq.length <= (PageSize - InteriorHdr) / 7 - 1,
-      s"${leafSeq.length} leaves exceed one interior level (unsupported)")
+    // interior capacity check with ACTUAL cell sizes: each divider cell is
+    // a 2-byte pointer slot + 4-byte child page + max-rowid varint (which
+    // is 2+ bytes once rowids reach 128, not the 1 byte a flat per-child
+    // estimate assumes); the rightmost child sits in the header, cell-free
+    val interiorUsed = InteriorHdr +
+      leafSeq.dropRight(1).map(l => 2 + 4 + varintLen(l.last._1)).sum
+    require(interiorUsed <= PageSize,
+      s"${leafSeq.length} leaves need $interiorUsed interior bytes > " +
+        s"$PageSize — exceeds one interior level (unsupported)")
     // page plan: 1 = header+sqlite_master; 2 = table root; 3.. = extra leaves
     val multi = leafSeq.length > 1
     val nPages = if (multi) 2 + leafSeq.length else 3 - 1 // root leaf → 2 pages

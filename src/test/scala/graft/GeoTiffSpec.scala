@@ -151,6 +151,15 @@ class GeoTiffSpec extends SparkSuite {
     bad(4) = 4
     val e = intercept[IllegalArgumentException](GeoTiff.decode(bad))
     assert(e.getMessage.contains("BigTIFF"))
+    // corrupt u64 IFD entry count must reject BEFORE the entry loop, not
+    // truncate to Int and walk garbage entries
+    val bad2 = GeoTiff.encodeBig(one, small, 64, None)
+    val ifdOff = java.nio.ByteBuffer.wrap(bad2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(8).toInt
+    java.nio.ByteBuffer.wrap(bad2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putLong(ifdOff, 0x1_0000_0000L + 7) // truncates to 7 in Int
+    val e2 = intercept[IllegalArgumentException](GeoTiff.decode(bad2))
+    assert(e2.getMessage.contains("runs past file end"), e2.getMessage)
   }
 
   test("Predictor=3 (float differencing) round-trips, strip+tile, f32+f64") {

@@ -44,6 +44,26 @@ class GpkgSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Sqlite.decode("junk".getBytes ++ new Array[Byte](4096), "t") }
   }
 
+  test("interior capacity guard uses actual varint cell sizes") {
+    // rowids >= 128 need 2-byte varints (8-byte interior cells), so the
+    // one-interior-page ceiling is (4096-12)/8+1 = 511 leaves, NOT the
+    // 582 a flat 7-byte estimate allows. ~3000-byte payloads force one
+    // cell per leaf; 520 such rows used to pass the require and write a
+    // silently corrupt interior page (cell content underflowing into the
+    // pointer array) — they must reject loudly now.
+    def rows(n: Int) = (0 until n).map(i =>
+      (1000L + i, Seq[Sqlite.Value]("x" * 3000, i.toLong)))
+    intercept[IllegalArgumentException] {
+      Sqlite.encode("t", "CREATE TABLE t (a, b)", rows(520))
+    }
+    // at the true capacity boundary the encode still round-trips
+    val ok = rows(505)
+    val back = Sqlite.decode(
+      Sqlite.encode("t", "CREATE TABLE t (a, b)", ok), "t")
+    assert(back.map(_._1) == ok.map(_._1))
+    assert(back.forall(r => r._2(1) == r._1 - 1000L))
+  }
+
   test("decodes a PINNED database written by CPython's sqlite3") {
     // tools/sqlite_golden.db: 400 rows, 10 pages (interior + leaves),
     // INTEGER-PRIMARY-KEY rowid alias (column 0 stored as NULL), TEXT,

@@ -96,4 +96,19 @@ class PngSpec extends AnyFunSuite {
     intercept[Exception](Png.decode(good.take(good.length - 6)))
     intercept[Exception](Png.decode("nope".getBytes))
   }
+
+  test("adversarial IHDR dims reject cleanly, not via wrapped Int sizes") {
+    // patch width/height to 2^28 each (stride*height wraps negative in
+    // Int) and fix the IHDR CRC so the dims check itself is what fires
+    val good = Png.encode(8, 8, 8, 1, lcgRows(8, 8, 1, 0xff, 1L))
+    val evil = good.clone()
+    val ihdrData = 16 // 8-byte signature + 4-byte len + 4-byte type
+    val b = java.nio.ByteBuffer.wrap(evil)
+    b.putInt(ihdrData, 1 << 28).putInt(ihdrData + 4, 1 << 28)
+    val crc = new java.util.zip.CRC32
+    crc.update(evil, 12, 4 + 13) // chunk type + data
+    b.putInt(ihdrData + 13, crc.getValue.toInt)
+    val e = intercept[IllegalArgumentException](Png.decode(evil))
+    assert(e.getMessage.contains("exceed supported size"), e.getMessage)
+  }
 }

@@ -38,6 +38,13 @@ class WkbSpec extends SparkSuite {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .put(1.toByte).putInt(1).putDouble(1.0).putDouble(2.0).array()
     intercept[IllegalArgumentException] { Wkb.decode(point) }
+    // truncated INSIDE the ring/member count (bytes 5..8): must be the
+    // codec's IllegalArgumentException, not a raw ByteBuffer IOOBE
+    intercept[IllegalArgumentException] { Wkb.decode(ok.take(7)) }
+    // nested multipolygon member under-check: a member header cut inside
+    // its ring count rejects the same way
+    val multi = Wkb.encodeMultiPolygon(Array(tri))
+    intercept[IllegalArgumentException] { Wkb.decode(multi.take(9 + 7)) }
   }
 
   test("random geometries round-trip (property)") {
