@@ -1196,6 +1196,67 @@ object QueriesIngest {
                 AS BIGINT) AS checksum
        FROM embeddings GROUP BY 1"""
 
+  // ---- i_gtx_roundtrip: NOAA/VDatum .gtx geoid grid boundary -------------
+  // The geoid grid-FILE format the reference's _GEOID_MAP points most
+  // CONUS/AK/HI vertical datums at (differencing_functions.py:2145–2156)
+  // — SURVEY §7.5's last named binding concern. Four tiles each assemble
+  // one BE-header + f32-grid .gtx in an executor (ingest.Gtx; GtxSpec
+  // pins a CPython-struct-written golden), decode tile-parallel, and the
+  // census integer-checksums every node THROUGH the header: lat/lon are
+  // reconstructed from the decoded llLat/llLon/dLat/dLon (exact binary
+  // fractions, so lat*4 and lon*2 are exact integers) and undulations
+  // are 1/128-quantized so the f32 write/read is bit-exact. Real geoid
+  // grids are MB-sized at any raster scale: at 100 TB the grid side of
+  // this pipeline stays one broadcast-sized frame per datum.
+  private val gtxRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val N = 16
+    s.range(4L * N * N)
+      .select(col("id"),
+        expr(s"CAST(id div ${N * N} AS INT)").as("tile"),
+        expr(s"CAST((id % ${N * N}) div $N AS INT)").as("gr"),
+        expr(s"CAST(id % $N AS INT)").as("gc"),
+        (floor(graft.rng.Rand.u01(col("id"), 93) * 4096) / 128.0 + 28.0)
+          .as("n"))
+      .as[(Long, Int, Int, Int, Double)]
+      .groupByKey(_._2)
+      .mapGroups { (tile: Int, it: Iterator[(Long, Int, Int, Int, Double)]) =>
+        val grid = Array.ofDim[Float](N, N)
+        it.foreach { case (_, _, r, c, v) => grid(r)(c) = v.toFloat }
+        val h = graft.ingest.Gtx.Header(
+          40.0 + tile, -100.0 + tile, 0.25, 0.5, N, N)
+        (tile, graft.ingest.Gtx.encode(h, grid))
+      }
+      .toDF("tile", "data").as[(Int, Array[Byte])]
+      .flatMap { case (tile, data) =>
+        val (h, g) = graft.ingest.Gtx.decode(data)
+        for (r <- 0 until h.nRows; c <- 0 until h.nCols) yield {
+          val lat = h.llLat + r * h.dLat
+          val lon = h.llLon + c * h.dLon
+          (tile, math.floor(lat * 4.0).toLong, math.floor(lon * 2.0).toLong,
+            math.floor(g(r)(c) * 128.0 + 0.5).toLong)
+        }
+      }
+      .toDF("tile", "lat4", "lon2", "n128")
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_nodes"), sum("lat4").as("lat4_sum"),
+        sum("lon2").as("lon2_sum"), sum("n128").as("n128_sum"))
+  }
+
+  private val gtxRoundtripSql =
+    s"""WITH cells AS (
+          SELECT CAST(i // 256 AS INT) AS tile,
+                 (i % 256) // 16 AS r, i % 16 AS c,
+                 floor((${graft.rng.Rand.u01Sql("i", 93)}) * 4096)
+                   / 128.0 + 28.0 AS n
+          FROM (SELECT unnest(range(1024)) AS i))
+        SELECT tile, count(*) AS n_nodes,
+               CAST(sum(160 + 4 * tile + r) AS BIGINT) AS lat4_sum,
+               CAST(sum(-200 + 2 * tile + c) AS BIGINT) AS lon2_sum,
+               CAST(sum(CAST(floor(n * 128.0 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS n128_sum
+        FROM cells GROUP BY 1"""
+
   // ---- i_xml_parse: XML codec boundary (to_xml → from_xml) ---------------
   // The markup sibling of i_csv_parse, over Spark 4's native XML source
   // functions: every document row is SERIALIZED to an XML record (a
@@ -1277,6 +1338,7 @@ object QueriesIngest {
     "i_csv_parse" -> csvParse,
     "i_xml_parse" -> xmlParse,
     "i_npy_roundtrip" -> npyRoundtrip,
+    "i_gtx_roundtrip" -> gtxRoundtrip,
     "i_dbf_roundtrip" -> dbfRoundtrip,
     "g_wkb_roundtrip" -> wkbRoundtrip,
     "i_gpkg_roundtrip" -> gpkgRoundtrip,
@@ -1308,6 +1370,7 @@ object QueriesIngest {
     "i_csv_parse" -> csvParseSql,
     "i_xml_parse" -> xmlParseSql,
     "i_npy_roundtrip" -> npyRoundtripSql,
+    "i_gtx_roundtrip" -> gtxRoundtripSql,
     "i_dbf_roundtrip" -> dbfRoundtripSql,
     "g_wkb_roundtrip" -> wkbRoundtripSql,
     "i_gpkg_roundtrip" -> gpkgRoundtripSql,

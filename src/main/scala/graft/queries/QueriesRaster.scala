@@ -450,6 +450,53 @@ object QueriesRaster {
                round(g.value - n.n_geoid, 6) AS z_ortho
         FROM g JOIN nodes n ON n.gc = g.col // 16 AND n.gr = g."row" // 16"""
 
+  // §7.5 geoid offset THROUGH the .gtx grid-file boundary: the same
+  // vertical-datum application as r_geoid_offset, but the undulation
+  // surface round-trips an actual NOAA/VDatum .gtx byte payload
+  // (ingest.Gtx — the grid-FILE format the reference's _GEOID_MAP names,
+  // differencing_functions.py:2145–2156) before being broadcast onto the
+  // pixel table. Node values are 1/128-quantized so the f32 grid write/
+  // read is bit-exact and the DuckDB oracle can compute them analytically.
+  // Grid assembly is ONE executor task over 64 nodes (geoid grids are
+  // MB-sized at any raster scale); the raster side never shuffles.
+  private val gtxGeoid: Q = (s, d) => {
+    import s.implicits._
+    val nodes = s.range(8L * 8)
+      .select(col("id"),
+        expr("CAST(id % 8 AS INT)").as("gc"),
+        expr("CAST(id div 8 AS INT)").as("gr"),
+        (floor(Rand.u01(col("id"), 91) * 512) / 128.0 + 28.0).as("n"))
+      .as[(Long, Int, Int, Double)]
+      .groupByKey(_ => 0)
+      .mapGroups { (_: Int, it: Iterator[(Long, Int, Int, Double)]) =>
+        val grid = Array.ofDim[Float](8, 8)
+        it.foreach { case (_, c, r, v) => grid(r)(c) = v.toFloat }
+        graft.ingest.Gtx.encode(
+          graft.ingest.Gtx.Header(40.0, -100.0, 0.25, 0.5, 8, 8), grid)
+      }
+      .flatMap { data =>
+        val (h, g) = graft.ingest.Gtx.decode(data)
+        for (r <- 0 until h.nRows; c <- 0 until h.nCols)
+          yield (c, r, g(r)(c))
+      }
+      .toDF("gc", "gr", "n_geoid")
+    gA(s, d)
+      .withColumn("gc", expr("CAST(col div 16 AS INT)"))
+      .withColumn("gr", expr("CAST(`row` div 16 AS INT)"))
+      .join(broadcast(nodes), Seq("gc", "gr"))
+      .select(col("col"), col("row"), col("value"), col("n_geoid"),
+        round(col("value") - col("n_geoid"), 6).as("z_ortho"))
+  }
+  private val gtxGeoidSql =
+    s"""WITH g AS ($cteA),
+        nodes AS (SELECT CAST(i % 8 AS INT) AS gc, CAST(i // 8 AS INT) AS gr,
+                         floor((${Rand.u01Sql("i", 91)}) * 512) / 128.0 + 28.0
+                           AS n_geoid
+                  FROM (SELECT unnest(range(64)) AS i))
+        SELECT g.col, g."row", g.value, n.n_geoid,
+               round(g.value - n.n_geoid, 6) AS z_ortho
+        FROM g JOIN nodes n ON n.gc = g.col // 16 AND n.gr = g."row" // 16"""
+
   // §7.5 arbitrary-datum grid RESAMPLING (closes the last documented
   // pass-through non-goal): transform a raster between two vertical
   // datums whose undulation surfaces live on DIFFERENT coarse grids
@@ -545,6 +592,7 @@ object QueriesRaster {
   val queries: Map[String, Q] = Map(
     "r_geoid_offset" -> geoidOffset,
     "r_geoid_resample" -> geoidResample,
+    "r_gtx_geoid" -> gtxGeoid,
     "r_scan_valid" -> scanValid,
     "r_stable_anti" -> stableAnti,
     "r_zone_counts" -> zoneCounts,
@@ -574,6 +622,7 @@ object QueriesRaster {
   val oracle: Map[String, String] = Map(
     "r_geoid_offset" -> geoidOffsetSql,
     "r_geoid_resample" -> geoidResampleSql,
+    "r_gtx_geoid" -> gtxGeoidSql,
     "r_scan_valid" -> scanValidSql,
     "r_stable_anti" -> stableAntiSql,
     "r_zone_counts" -> zoneCountsSql,
