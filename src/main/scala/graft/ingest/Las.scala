@@ -113,6 +113,184 @@ object Las {
     }
   }
 
+  // ---- LAS 1.4 / point data record format 6 ------------------------------
+  // The container modern USGS/OT deliveries actually ship (the reference's
+  // GPS-epoch branch is explicitly LAS-1.4-aware,
+  // differencing_functions.py:1564). Differences from 1.2: 375-byte
+  // header, LEGACY u32 point counts pinned to 0 (fmt >= 6 mandates it),
+  // real counts as u64 at offset 247, 15 by-return u64 counts, extended
+  // VLRs appended after the points (60-byte header, u64 payload length),
+  // and the 30-byte fmt-6 record: full-byte classification, 4-bit
+  // return/count fields, 2-bit scanner channel, i16 scan angle in 0.006°
+  // units, and an ALWAYS-present f64 GPS time (adjusted standard epoch,
+  // global-encoding bit 0).
+
+  private val HEADER14_SIZE = 375
+  private val POINT6_LEN = 30
+  private val EVLR_HDR = 60
+
+  /** One format-6 point. `scanAngle` is the raw i16 (0.006° units);
+    * `gpsTime` is the stored f64, bit-exact through the round trip. */
+  final case class P6(x: Double, y: Double, z: Double, intensity: Int,
+                      returnNo: Int, nReturns: Int, channel: Int,
+                      classification: Int, scanAngle: Int, sourceId: Int,
+                      gpsTime: Double)
+
+  /** Points (+ optional extended VLRs as (userId, recordId, payload)) →
+    * LAS 1.4 format-6 bytes. */
+  def encode14(points: Array[P6],
+               evlrs: Seq[(String, Int, Array[Byte])] = Nil): Array[Byte] = {
+    val n = points.length
+    points.foreach { p =>
+      require(p.returnNo >= 1 && p.returnNo <= 15 &&
+        p.nReturns >= p.returnNo && p.nReturns <= 15,
+        s"return ${p.returnNo}/${p.nReturns} outside fmt-6 4-bit fields")
+      require(p.channel >= 0 && p.channel <= 3, s"scanner channel ${p.channel}")
+      require(p.classification >= 0 && p.classification <= 255,
+        s"classification ${p.classification}")
+      require(p.intensity >= 0 && p.intensity <= 0xffff &&
+        p.sourceId >= 0 && p.sourceId <= 0xffff, "u16 field out of range")
+      require(p.scanAngle >= Short.MinValue && p.scanAngle <= Short.MaxValue,
+        s"scan angle ${p.scanAngle}")
+    }
+    val evlrBytes = evlrs.map { case (uid, _, data) =>
+      require(uid.getBytes("US-ASCII").length <= 16, s"user id '$uid' > 16")
+      EVLR_HDR + data.length
+    }.sum
+    val b = ByteBuffer.allocate(HEADER14_SIZE + POINT6_LEN * n + evlrBytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    def quant(v: Double): Int = {
+      val q = math.floor(v / Scale + 0.5)
+      require(q >= Int.MinValue && q <= Int.MaxValue,
+        s"coordinate $v overflows int32 at scale $Scale")
+      q.toInt
+    }
+    b.put("LASF".getBytes("US-ASCII"))
+    b.putShort(4, 0.toShort)          // file source id
+    b.putShort(6, 1.toShort)          // global encoding: adjusted std GPS time
+    b.put(24, 1.toByte); b.put(25, 4.toByte) // version 1.4
+    b.putShort(94, HEADER14_SIZE.toShort)
+    b.putInt(96, HEADER14_SIZE)       // offset to point data
+    b.putInt(100, 0)                  // number of (legacy-position) VLRs
+    b.put(104, 6.toByte)              // point data record format
+    b.putShort(105, POINT6_LEN.toShort)
+    b.putInt(107, 0)                  // LEGACY point count: 0 for fmt >= 6
+    // legacy by-return counts 111..130 stay 0
+    b.position(131)
+    b.putDouble(Scale).putDouble(Scale).putDouble(Scale)
+    b.putDouble(0.0).putDouble(0.0).putDouble(0.0)
+    def mm(f: P6 => Double): (Double, Double) =
+      if (n == 0) (0.0, 0.0) else (points.map(f).max, points.map(f).min)
+    val (xmax, xmin) = mm(_.x); val (ymax, ymin) = mm(_.y)
+    val (zmax, zmin) = mm(_.z)
+    b.putDouble(xmax).putDouble(xmin).putDouble(ymax)
+      .putDouble(ymin).putDouble(zmax).putDouble(zmin)
+    b.putLong(227, 0L)                // waveform packet start
+    b.putLong(235,
+      if (evlrs.isEmpty) 0L else (HEADER14_SIZE + POINT6_LEN.toLong * n))
+    b.putInt(243, evlrs.length)
+    b.putLong(247, n.toLong)          // number of point records (u64)
+    points.groupBy(_.returnNo).foreach { case (r, ps) =>
+      b.putLong(255 + 8 * (r - 1), ps.length.toLong)
+    }
+    b.position(HEADER14_SIZE)
+    points.foreach { p =>
+      b.putInt(quant(p.x)).putInt(quant(p.y)).putInt(quant(p.z))
+      b.putShort(p.intensity.toShort)
+      b.put((p.returnNo | (p.nReturns << 4)).toByte)
+      b.put((p.channel << 4).toByte)  // class flags 0, scan dir/edge 0
+      b.put(p.classification.toByte)
+      b.put(0.toByte)                 // user data
+      b.putShort(p.scanAngle.toShort)
+      b.putShort(p.sourceId.toShort)
+      b.putDouble(p.gpsTime)
+    }
+    evlrs.foreach { case (uid, rid, data) =>
+      val hdrStart = b.position()
+      b.putShort(0.toShort)           // reserved
+      val u = uid.getBytes("US-ASCII")
+      b.put(u); b.position(hdrStart + 18)
+      b.putShort(rid.toShort)
+      b.putLong(data.length.toLong)   // record length AFTER header (u64)
+      b.position(hdrStart + EVLR_HDR) // 32-byte description stays 0
+      b.put(data)
+    }
+    b.array()
+  }
+
+  /** LAS 1.4 format-6 bytes → (points, extended VLRs). Corrupt input
+    * throws IllegalArgumentException by name. */
+  def decode14(bytes: Array[Byte]): (Array[P6], Seq[(String, Int, Array[Byte])]) = {
+    require(bytes.length >= HEADER14_SIZE &&
+      new String(bytes, 0, 4, "US-ASCII") == "LASF", "not a LAS file")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val (vMaj, vMin) = (bytes(24) & 0xff, bytes(25) & 0xff)
+    require(vMaj == 1 && vMin >= 4, s"not a LAS 1.4+ file (version $vMaj.$vMin)")
+    require((b.getShort(94) & 0xffff) >= HEADER14_SIZE,
+      s"LAS 1.4 header size ${b.getShort(94)} < $HEADER14_SIZE")
+    val fmt = bytes(104) & 0x3f       // high bits flag LAZ compression
+    require(fmt == 6, s"only point format 6 supported for LAS 1.4, got $fmt")
+    val recLen = b.getShort(105) & 0xffff
+    require(recLen >= POINT6_LEN, s"fmt-6 record length $recLen < $POINT6_LEN")
+    require(b.getInt(107) == 0, "legacy point count must be 0 for fmt 6")
+    val n64 = b.getLong(247)
+    val dataOff = b.getInt(96)
+    require(n64 >= 0 && n64 <= Int.MaxValue &&
+      dataOff >= HEADER14_SIZE &&
+      dataOff + n64 * recLen <= bytes.length,
+      s"$n64 points of $recLen bytes at $dataOff run past file end")
+    val n = n64.toInt
+    val sx = b.getDouble(131); val sy = b.getDouble(139); val sz = b.getDouble(147)
+    val ox = b.getDouble(155); val oy = b.getDouble(163); val oz = b.getDouble(171)
+    val pts = Array.tabulate(n) { i =>
+      val p = dataOff + i * recLen
+      val ret = bytes(p + 14) & 0xff
+      val flags = bytes(p + 15) & 0xff
+      P6(b.getInt(p) * sx + ox, b.getInt(p + 4) * sy + oy,
+        b.getInt(p + 8) * sz + oz,
+        b.getShort(p + 12) & 0xffff,
+        ret & 0x0f, (ret >> 4) & 0x0f, (flags >> 4) & 0x03,
+        bytes(p + 16) & 0xff,
+        b.getShort(p + 18).toInt,
+        b.getShort(p + 20) & 0xffff,
+        b.getDouble(p + 22))
+    }
+    val nEvlr = b.getInt(243)
+    var off = b.getLong(235)
+    require(nEvlr == 0 || (off >= dataOff + n64 * recLen &&
+      off <= bytes.length - EVLR_HDR), s"EVLR start $off outside file")
+    val evlrs = (0 until nEvlr).map { _ =>
+      val o = off.toInt
+      require(o + EVLR_HDR <= bytes.length, "truncated EVLR header")
+      val uid = new String(bytes, o + 2, 16, "US-ASCII").takeWhile(_ != '\u0000')
+      val rid = b.getShort(o + 18) & 0xffff
+      val len = b.getLong(o + 20)
+      require(len >= 0 && o + EVLR_HDR + len <= bytes.length,
+        s"EVLR payload $len bytes runs past file end")
+      val data = java.util.Arrays.copyOfRange(
+        bytes, o + EVLR_HDR, o + EVLR_HDR + len.toInt)
+      off += EVLR_HDR + len
+      (uid, rid, data)
+    }
+    (pts, evlrs)
+  }
+
+  /** LAS 1.4 ingest boundary: `[tile_id, data]` → full fmt-6 point table,
+    * decoded tile-parallel. */
+  def tilesToPoints14(tiles: DataFrame): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.select(col("tile_id").cast("int"), col("data"))
+      .as[(Int, Array[Byte])]
+      .flatMap { case (id, data) =>
+        decode14(data)._1.iterator.map(p =>
+          (id, p.x, p.y, p.z, p.intensity, p.returnNo, p.nReturns,
+            p.channel, p.classification, p.scanAngle, p.sourceId, p.gpsTime))
+      }
+      .toDF("tile_id", "x", "y", "z", "intensity", "return_no", "n_returns",
+        "channel", "classification", "scan_angle", "source_id", "gps_time")
+  }
+
   /** Distributed ingest boundary: `[tile_id:int, data:binary]` LAS tiles →
     * point table `[tile_id, x, y, z, classification]`, decoded
     * tile-parallel. */

@@ -742,6 +742,90 @@ object QueriesIngest {
     PointCloud.gridDem(graft.ingest.Las.tilesToPoints(tiles))
   }
 
+  // LAS 1.4 / point-format-6 byte-boundary round trip — the container
+  // modern USGS/OT deliveries ship (the reference's GPS-epoch branch is
+  // explicitly LAS-1.4-aware, differencing_functions.py:1564). Four
+  // tiles of synthetic fmt-6 points (EVERY channel deterministic from
+  // the counter RNG: full-byte classification, 4-bit return/count, 2-bit
+  // scanner channel, u16 intensity/source, i16 scan angle, f64 GPS time)
+  // are encoded as complete LAS 1.4 files in executors — 375-byte
+  // header, legacy counts pinned 0, u64 counts — decoded tile-parallel,
+  // and integer-census'd per classification bucket. The oracle applies
+  // the identical int32 quantization to the raw formulas: green only if
+  // every fmt-6 field survives the byte boundary exactly.
+  private val las14Roundtrip: Q = (s, d) => {
+    import s.implicits._
+    val k = col("o_orderkey")
+    def m(salt: Long) = graft.rng.Rand.mix(k, salt)
+    val pts = Tables.orders(s, d).select(
+      (m(93) % 4).cast("int").as("tile"),
+      (graft.rng.Rand.u01(k, 81) * 64.0).as("x"),
+      (graft.rng.Rand.u01(k, 82) * 64.0).as("y"),
+      round(graft.rng.Rand.u01(k, 84) * 30.0 + 100.0, 6).as("z"),
+      (m(86) % 65536).cast("int").as("intensity"),
+      (m(89) % 5 + 1).cast("int").as("n_returns"),
+      (m(92) % 4).cast("int").as("channel"),
+      (m(83) % 256).cast("int").as("classification"),
+      (m(87) % 60001 - 30000).cast("int").as("scan_angle"),
+      (m(88) % 65536).cast("int").as("source_id"),
+      round(graft.rng.Rand.u01(k, 85) * 86400.0, 6).as("gps_time"),
+      (m(90) % (m(89) % 5 + 1) + 1).cast("int").as("return_no"))
+    val tiles = pts
+      .as[(Int, Double, Double, Double, Int, Int, Int, Int, Int, Int, Double, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (tile: Int,
+          it: Iterator[(Int, Double, Double, Double, Int, Int, Int, Int, Int, Int, Double, Int)]) =>
+        val p6 = it.map { case (_, x, y, z, inten, nret, chan, cls, ang, src, gps, ret) =>
+          graft.ingest.Las.P6(x, y, z, inten, ret, nret, chan, cls, ang, src, gps)
+        }.toArray
+        (tile, graft.ingest.Las.encode14(p6,
+          evlrs = Seq(("graft", 1, Array[Byte](1, 2, 3)))))
+      }
+      .toDF("tile_id", "data")
+    graft.ingest.Las.tilesToPoints14(tiles)
+      .groupBy((col("classification") % 8).cast("long").as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x") / 1e-6 + 0.5).cast("long")).as("x6_sum"),
+        sum(floor(col("y") / 1e-6 + 0.5).cast("long")).as("y6_sum"),
+        sum(floor(col("z") / 1e-6 + 0.5).cast("long")).as("z6_sum"),
+        sum(col("intensity").cast("long")).as("inten_sum"),
+        sum(col("return_no").cast("long")).as("ret_sum"),
+        sum(col("n_returns").cast("long")).as("nret_sum"),
+        sum(col("channel").cast("long")).as("chan_sum"),
+        sum(col("scan_angle").cast("long")).as("angle_sum"),
+        sum(col("source_id").cast("long")).as("src_sum"),
+        sum(floor(col("gps_time") * 1e6 + 0.5).cast("long")).as("gps6_sum"))
+  }
+
+  private val las14RoundtripSql = {
+    def m(salt: Long) = graft.rng.Rand.mixSql("o_orderkey", salt)
+    def u(salt: Long) = graft.rng.Rand.u01Sql("o_orderkey", salt)
+    s"""WITH pts AS (
+          SELECT ${u(81)} * 64.0 AS x, ${u(82)} * 64.0 AS y,
+                 round(${u(84)} * 30.0 + 100.0, 6) AS z,
+                 (${m(86)}) % 65536 AS intensity,
+                 (${m(89)}) % 5 + 1 AS n_returns,
+                 (${m(92)}) % 4 AS channel,
+                 (${m(83)}) % 256 AS classification,
+                 (${m(87)}) % 60001 - 30000 AS scan_angle,
+                 (${m(88)}) % 65536 AS source_id,
+                 round(${u(85)} * 86400.0, 6) AS gps_time,
+                 (${m(90)}) % ((${m(89)}) % 5 + 1) + 1 AS return_no
+          FROM orders)
+        SELECT CAST(classification % 8 AS BIGINT) AS grp, count(*) AS n,
+               CAST(sum(CAST(floor(x / 0.000001 + 0.5) AS BIGINT)) AS BIGINT) AS x6_sum,
+               CAST(sum(CAST(floor(y / 0.000001 + 0.5) AS BIGINT)) AS BIGINT) AS y6_sum,
+               CAST(sum(CAST(floor(z / 0.000001 + 0.5) AS BIGINT)) AS BIGINT) AS z6_sum,
+               CAST(sum(intensity) AS BIGINT) AS inten_sum,
+               CAST(sum(return_no) AS BIGINT) AS ret_sum,
+               CAST(sum(n_returns) AS BIGINT) AS nret_sum,
+               CAST(sum(channel) AS BIGINT) AS chan_sum,
+               CAST(sum(scan_angle) AS BIGINT) AS angle_sum,
+               CAST(sum(source_id) AS BIGINT) AS src_sum,
+               CAST(sum(CAST(floor(gps_time * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS gps6_sum
+        FROM pts GROUP BY 1"""
+  }
+
   // LAZ (laszip-compressed) byte-boundary round trip — the format the
   // reference writes whenever pc_outType='laz' (PDAL writers.las with
   // "compression": "laszip", differencing_functions.py:707–735), and the
@@ -1332,6 +1416,7 @@ object QueriesIngest {
     "i_wav_pcm_roundtrip" -> wavPcmRoundtrip,
     "i_orc_roundtrip" -> orcRoundtrip,
     "i_las_roundtrip" -> lasRoundtrip,
+    "i_las14_roundtrip" -> las14Roundtrip,
     "i_laz_roundtrip" -> lazRoundtrip,
     "i_shp_roundtrip" -> shpRoundtrip,
     "i_geojson_parse" -> geojsonParse,
@@ -1364,6 +1449,7 @@ object QueriesIngest {
     "i_wav_pcm_roundtrip" -> wavPcmRoundtripSql,
     "i_orc_roundtrip" -> orcRoundtripSql,
     "i_las_roundtrip" -> lasRoundtripSql,
+    "i_las14_roundtrip" -> las14RoundtripSql,
     "i_laz_roundtrip" -> lasRoundtripSql,
     "i_shp_roundtrip" -> shpRoundtripSql,
     "i_geojson_parse" -> geojsonParseSql,

@@ -70,6 +70,83 @@ class LasSpec extends SparkSuite {
     assert(got == timed.map(p => (p._4, p._1 + p._3)).sortBy(_._2).toSeq)
   }
 
+  private val pts14: Array[Las.P6] = Array(
+    Las.P6(0.0, 0.0, 100.0, 0, 1, 1, 0, 2, 0, 0, 0.0),
+    Las.P6(63.999999, 63.999999, 129.999999, 65535, 3, 5, 3, 255,
+      -30000, 65535, 315964800.123456),
+    Las.P6(12.345678, 0.000001, 115.5, 777, 2, 2, 1, 64, 15000, 42,
+      -1.5e-9),
+    Las.P6(-5.25, -0.000001, -42.125, 1, 15, 15, 2, 18, 30000, 1,
+      1.0e9 + 0.000001))
+
+  test("LAS 1.4 fmt 6 round-trips every channel; header layout correct") {
+    val bytes = Las.encode14(pts14)
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(b.get(24) == 1 && b.get(25) == 4)            // version 1.4
+    assert((b.getShort(94) & 0xffff) == 375)            // header size
+    assert((b.getShort(6) & 1) == 1)                    // adjusted GPS time
+    assert(b.getInt(107) == 0)                          // legacy count 0
+    assert(b.getLong(247) == pts14.length)              // u64 count
+    assert(b.getLong(255) == 1 && b.getLong(255 + 8) == 1 &&
+      b.getLong(255 + 16) == 1 && b.getLong(255 + 14 * 8) == 1,
+      "by-return u64 counts")
+    val (back, evlrs) = Las.decode14(bytes)
+    assert(evlrs.isEmpty && back.length == pts14.length)
+    def q(v: Double): Double = math.floor(v / Las.Scale + 0.5) * Las.Scale
+    for ((p, i) <- pts14.zipWithIndex) {
+      val g = back(i)
+      assert(g.x == q(p.x) && g.y == q(p.y) && g.z == q(p.z), s"xyz $i")
+      assert(java.lang.Double.doubleToLongBits(g.gpsTime) ==
+        java.lang.Double.doubleToLongBits(p.gpsTime), s"gps $i")
+      assert(g.copy(x = p.x, y = p.y, z = p.z) == p, s"channels $i")
+    }
+  }
+
+  test("LAS 1.4 extended VLRs round-trip after the point records") {
+    val payload = Array.tabulate[Byte](100)(i => (i * 7).toByte)
+    val bytes = Las.encode14(pts14,
+      Seq(("graft", 42, payload), ("LASF_Spec", 4, Array[Byte](1, 2))))
+    val (_, evlrs) = Las.decode14(bytes)
+    assert(evlrs.map(e => (e._1, e._2)) == Seq(("graft", 42), ("LASF_Spec", 4)))
+    assert(evlrs(0)._3.toSeq == payload.toSeq && evlrs(1)._3.toSeq == Seq[Byte](1, 2))
+  }
+
+  test("LAS 1.4 decoder rejects corrupt input by name") {
+    val good = Las.encode14(pts14)
+    intercept[IllegalArgumentException] { Las.decode14("junk".getBytes) }
+    // a 1.2 file through the 1.4 decoder
+    intercept[IllegalArgumentException] { Las.decode14(Las.encode(pts)) }
+    intercept[IllegalArgumentException] { Las.decode14(good.take(200)) }
+    val badFmt = good.clone(); badFmt(104) = 7
+    intercept[IllegalArgumentException] { Las.decode14(badFmt) }
+    val badLegacy = good.clone()
+    java.nio.ByteBuffer.wrap(badLegacy)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(107, 4)
+    intercept[IllegalArgumentException] { Las.decode14(badLegacy) }
+    val badCount = good.clone()
+    java.nio.ByteBuffer.wrap(badCount)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(247, 1L << 40)
+    intercept[IllegalArgumentException] { Las.decode14(badCount) }
+    // EVLR payload length past file end
+    val withE = Las.encode14(pts14, Seq(("graft", 1, Array[Byte](9))))
+    val badE = withE.clone()
+    java.nio.ByteBuffer.wrap(badE).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putLong(withE.length - 61 + 20, 1000L)
+    intercept[IllegalArgumentException] { Las.decode14(badE) }
+    // the 1.2 decoder still rejects fmt 6 (no silent misparse)
+    intercept[IllegalArgumentException] { Las.decode(good) }
+  }
+
+  test("tilesToPoints14 surfaces all fmt-6 channels tile-parallel") {
+    val tiles = Seq((1, Las.encode14(pts14.take(2))),
+      (2, Las.encode14(pts14.drop(2)))).toDF("tile_id", "data")
+    val got = Las.tilesToPoints14(tiles).collect()
+    assert(got.length == pts14.length)
+    val row = got.map(r => (r.getInt(0), r.getInt(8), r.getDouble(11))).sorted.toSeq
+    assert(row == Seq((1, 2, 0.0), (1, 255, 315964800.123456),
+      (2, 18, 1.0e9 + 0.000001), (2, 64, -1.5e-9)).sorted)
+  }
+
   test("tilesToPoints decodes tile-parallel with ids attached") {
     val tiles = Seq((3, Las.encode(pts.take(2))), (4, Las.encode(pts.drop(2))))
       .toDF("tile_id", "data")
