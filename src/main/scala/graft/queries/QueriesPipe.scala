@@ -560,22 +560,13 @@ object QueriesPipe {
     * frames (never a re-derivation of a lazy step), so convergence is
     * observable in any long run at ~zero cost. */
   private def iterateRanks(r0: DataFrame, iters: Int)
-      (step: DataFrame => DataFrame): DataFrame = {
-    var lastChk = r0
-    (1 to iters).foldLeft(r0) { (r, i) =>
-      val nxt = step(r)
-      if (i % 2 == 0 && i < iters) {
-        val chk = nxt.localCheckpoint(true)
-        val delta = chk.join(
-            lastChk.select(col("src"), col("r").as("rp")), "src")
-          .agg(sum(abs(col("r") - col("rp"))).as("d"))
-          .head.getDouble(0)
-        System.err.println(f"[graft.pagerank] iter=$i%d l1_delta=$delta%.6f")
-        lastChk = chk
-        chk
-      } else nxt
-    }
-  }
+      (step: DataFrame => DataFrame): DataFrame =
+    // eps = 0 never exits early (the hash gate needs pinned rounds); the
+    // convergence-driven path for real runs is the SAME code with eps > 0
+    // — see functions.Iterate and IterateSpec's early-exit ≡ fixed-rounds
+    // proof
+    graft.functions.Iterate.untilDelta(r0, iters, eps = 0.0,
+      tag = "pagerank")(step).result
 
   private def pagerankQ(iters: Int): Q = (s, d) => {
     val (contrib, deg) = orderGraph(s, d)
