@@ -261,6 +261,98 @@ object Multimodal {
     b.array()
   }
 
+  /** MJPEG-style AVI: the same RIFF layout as [[encodeAvi]] but the
+    * stream is fourcc 'MJPG' (biCompression = 'MJPG') and each movi
+    * chunk is a COMPLETE baseline JPEG stream ('00dc' = compressed
+    * frame, variable length, word-aligned per the RIFF rule). This is
+    * the actual shape multimodal ingest meets in the wild: a container
+    * walk that yields per-frame codec payloads, each independently
+    * decodable — the (file, frame) fan-out unit of a distributed video
+    * pipeline. Frames are passed in pre-encoded so the codec choice
+    * stays composable (ingest.Jpeg here; any T.81 encoder works). */
+  def encodeAviMjpeg(width: Int, height: Int,
+                     frames: Array[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty,
+      "AVI dims/frames must be positive")
+    val padded = frames.map(f => f.length + (f.length & 1))
+    val moviSize = 4 + padded.map(8 + _).sum
+    val maxF = frames.map(_.length).max
+    val total = 224 + moviSize - 4 // 12 RIFF + 200 hdrl + 8 + moviSize
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = b.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); b.putInt(total - 8); fourcc("AVI ")
+    fourcc("LIST"); b.putInt(192); fourcc("hdrl")
+    fourcc("avih"); b.putInt(56)
+    b.putInt(40000)            // dwMicroSecPerFrame (25 fps)
+    b.putInt(maxF * 25)        // dwMaxBytesPerSec
+    b.putInt(0).putInt(0)      // padding granularity, flags
+    b.putInt(frames.length)    // dwTotalFrames
+    b.putInt(0); b.putInt(1)   // initial frames, streams
+    b.putInt(maxF)             // dwSuggestedBufferSize
+    b.putInt(width); b.putInt(height)
+    b.putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); b.putInt(116); fourcc("strl")
+    fourcc("strh"); b.putInt(56)
+    fourcc("vids"); fourcc("MJPG")
+    b.putInt(0); b.putInt(0); b.putInt(0)
+    b.putInt(1); b.putInt(25)  // scale, rate
+    b.putInt(0); b.putInt(frames.length)
+    b.putInt(maxF); b.putInt(0); b.putInt(0)
+    b.putShort(0).putShort(0)
+    b.putShort(width.toShort).putShort(height.toShort)
+    fourcc("strf"); b.putInt(40)
+    b.putInt(40); b.putInt(width); b.putInt(height)
+    b.putShort(1); b.putShort(24)
+    fourcc("MJPG")             // biCompression
+    b.putInt(maxF)
+    b.putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); b.putInt(moviSize); fourcc("movi")
+    frames.foreach { f =>
+      fourcc("00dc"); b.putInt(f.length)
+      b.put(f)
+      if ((f.length & 1) == 1) b.put(0.toByte) // RIFF word alignment
+    }
+    b.array()
+  }
+
+  /** Walk an AVI's movi list and return every frame payload ('00dc'
+    * compressed or '00db' uncompressed), in stream order. Bounds are
+    * validated at every hop; junk and truncation throw. */
+  def aviFrames(bytes: Array[Byte]): Array[Array[Byte]] = {
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+      "not an AVI")
+    val out = Array.newBuilder[Array[Byte]]
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val len = b.getInt(off + 4)
+      // Long math: a hostile length near Int.MaxValue wraps the Int bound
+      // check and reads as in-bounds
+      require(len >= 0 && off + 8 + len.toLong <= bytes.length,
+        s"corrupt AVI chunk '$id' length $len at $off")
+      if (id == "LIST" && len >= 4 && tag(off + 8) == "movi") {
+        var o2 = off + 12
+        val end = off + 8 + len
+        while (o2 + 8 <= end) {
+          val cid = tag(o2)
+          val l2 = b.getInt(o2 + 4)
+          require(l2 >= 0 && o2 + 8 + l2.toLong <= end,
+            s"corrupt movi chunk '$cid' length $l2 at $o2")
+          if (cid == "00dc" || cid == "00db")
+            out += java.util.Arrays.copyOfRange(bytes, o2 + 8, o2 + 8 + l2)
+          o2 += 8 + l2 + (l2 & 1)
+        }
+      }
+      off += 8 + len + (len & 1)
+    }
+    val frames = out.result()
+    require(frames.nonEmpty, "no frames in movi list")
+    frames
+  }
+
   /** Walk the RIFF lists of an AVI and return (width, height, nFrames,
     * durationMs) from the avih main header; durationMs is the exact
     * integer µsPerFrame·frames / 1000. Junk and truncation throw. */

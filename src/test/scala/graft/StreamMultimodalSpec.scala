@@ -323,6 +323,40 @@ class StreamMultimodalSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Multimodal.wavSamples(badWav) }
   }
 
+  test("MJPEG AVI composes container and JPEG codec; frames extract and decode") {
+    val (w, h) = (24, 17)
+    var st = 7L
+    def nxt(): Long = { st = st * 6364136223846793005L + 1442695040888963407L; st }
+    val pixels = Array.fill(3)(Array.fill(h, w)(((nxt() >>> 33) & 0xff).toInt))
+    val jpegs = pixels.map(px => graft.ingest.Jpeg.encodeGray(w, h, px, 90))
+    val avi = Multimodal.encodeAviMjpeg(w, h, jpegs)
+    // header parse sees the MJPG stream's dims and frame count
+    val (aw, ah, af, ams) = Multimodal.aviInfo(avi)
+    assert((aw, ah, af) == ((w, h, 3L)) && ams == 40000L * 3 / 1000)
+    // container walk returns the EXACT jpeg payloads (odd lengths padded
+    // in the container but not in the extracted frame)
+    val frames = Multimodal.aviFrames(avi)
+    assert(frames.length == 3)
+    for (i <- 0 until 3) assert(frames(i).toSeq == jpegs(i).toSeq, s"frame $i")
+    // each extracted frame decodes within the T.81 white-noise bound
+    for ((fb, i) <- frames.zipWithIndex) {
+      val (dw, dh, nc, out) = graft.ingest.Jpeg.decode(fb)
+      assert(dw == w && dh == h && nc == 1, s"frame $i dims")
+      val err = pixels(i).indices.map(r =>
+        (0 until w).map(c => math.abs(pixels(i)(r)(c) - out(r)(c))).max).max
+      assert(err <= 64, s"frame $i err $err")
+    }
+    // the uncompressed encoder's frames extract through the same walker
+    assert(Multimodal.aviFrames(Multimodal.encodeAvi(8, 4, 2, 1L)).length == 2)
+    // corrupt movi chunk length rejects by name
+    intercept[IllegalArgumentException] { Multimodal.aviFrames("junk".getBytes) }
+    val bad = avi.clone()
+    val moviAt = avi.indexOfSlice("movi".getBytes("US-ASCII"))
+    java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(moviAt + 8, Int.MaxValue) // first 00dc length
+    intercept[IllegalArgumentException] { Multimodal.aviFrames(bad) }
+  }
+
   test("AVI RIFF lists walk conformantly to their declared ends") {
     // A strict RIFF walker must be able to descend every LIST and land
     // exactly on each declared boundary: LIST ckSize includes the 4-byte
