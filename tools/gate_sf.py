@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Full-gate runner at an arbitrary SF: mirrors the driver's correctness
+gate (DuckDB oracle per query, canonicalized column/row sort, 9-dp
+rounding, dtype parity) and writes a CORRECTNESS-style JSON artifact.
+Usage: gate_sf.py <sfDir> <verifyOutDir> <outJson>"""
+import sys, os, json, math, decimal
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        rr = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, decimal.Decimal):
+                v = float(v)
+            if isinstance(v, float):
+                if math.isnan(v): v = "NaN"
+                else: v = round(v, 9)
+            rr.append(v)
+        out.append(tuple(rr))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], out
+
+def main():
+    sf, outdir, outjson = sys.argv[1], sys.argv[2], sys.argv[3]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    report = {}
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        entry = {"rows_match": False, "schema_match": False,
+                 "hash_match": False, "spark_rows": None,
+                 "oracle_rows": None, "err": None}
+        report[name] = entry
+        spark_dir = f"{outdir}/{name}"
+        try:
+            if not os.path.isdir(spark_dir):
+                raise RuntimeError("no spark output")
+            orel = con.sql(sql)
+            ocols = list(orel.columns)
+            otypes = dict(zip(ocols, [str(t) for t in orel.types]))
+            orows = orel.fetchall()
+            srel = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'")
+            scols = list(srel.columns)
+            stypes = dict(zip(scols, [str(t) for t in srel.types]))
+            srows = srel.fetchall()
+            entry["spark_rows"] = len(srows)
+            entry["oracle_rows"] = len(orows)
+            entry["rows_match"] = len(srows) == len(orows)
+            oc, orows = canon(orows, ocols)
+            sc, srows = canon(srows, scols)
+            entry["schema_match"] = (oc == sc and
+                all(otypes[c] == stypes[c] for c in oc))
+            entry["hash_match"] = (entry["rows_match"] and
+                entry["schema_match"] and orows == srows)
+        except Exception as e:
+            entry["err"] = str(e)[:300]
+        if entry["rows_match"] and entry["schema_match"] and entry["hash_match"]:
+            n_ok += 1
+        else:
+            n_bad += 1
+            print(f"BAD {name}: {entry}")
+    json.dump(report, open(outjson, "w"), indent=1)
+    print(f"{n_ok} ok, {n_bad} bad -> {outjson}")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
