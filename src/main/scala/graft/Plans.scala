@@ -64,7 +64,11 @@ object Plans {
       "i_gpkg_roundtrip" -> "GeoPackage boundary: per-tile SQLite b-tree encode → GPB/WKB vertex fan-out → per-feature census",
       "g_wkb_roundtrip" -> "WKB geometry column: in-row encode/decode of binary geometry (the GeoParquet shape), one census aggregate",
       "x_url_canon" -> "URL canonicalization: pure map-side regex chain + one canonical-key aggregate (no joins)",
-      "q_sql_recursive" -> "recursive CTE: Catalyst UnionLoop, per-level DISTINCT keeps the frontier node-bounded",
+      "q_sql_recursive" -> "recursive CTE: UnionLoop body joins ONE cached edge relation per level (broadcast frontier, edges materialized outside the loop — r8)",
+      "i_gtx_roundtrip" -> "GTX geoid boundary: per-tile .gtx assembly + decode in executors, header-derived node checksum",
+      "i_las14_roundtrip" -> "LAS 1.4 fmt-6 boundary: executor-side container encode → tile-parallel decode, every channel censused",
+      "i_mjpeg_frames" -> "MJPEG AVI: container walk yields per-frame JPEG payloads, each independently decoded map-side",
+      "r_gtx_geoid" -> "geoid offset through real .gtx bytes: one-task grid assembly, broadcast onto the pixel table",
       "g_knn_triangles" -> "kNN-graph triangles: IVF-bucketed candidate equi-join → top-k window → 3-way join on ≤k·n canonical edges",
       "x_bpe_merges" -> "BPE merges: one corpus wordcount shuffle, then vocab-sized pair aggregates; winner broadcast into the next merge",
       "n_pca_power" -> "PCA power step: D² quantized-product explode → one hash aggregate; all matrix work on 4096 rows",
