@@ -895,6 +895,47 @@ object QueriesIngest {
         FROM pts GROUP BY 1"""
   }
 
+  // DataSource V2 connector gate: the SAME point cloud written as a
+  // DIRECTORY of per-tile .las files — two tiles LAS 1.2 fmt 1, two
+  // tiles LAS 1.4 fmt 6, the mixed-vintage delivery shape — then read
+  // back through `spark.read.format("graft.sources.LasSource")` (one
+  // InputPartition per file, pruned ReadSchema) and gridded to the DEM.
+  // Shares lasRoundtripSql: green only if connector planning + per-file
+  // version dispatch + decode equal the plain int32 quantization.
+  // File staging runs IN EXECUTORS (local mode = shared FS; a cluster
+  // stages to a shared filesystem); the 4-row staging summary is the
+  // only driver action.
+  private val lasDsv2: Q = (s, d) => {
+    import s.implicits._
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_las_dsv2_" + java.lang.Integer.toHexString(d.hashCode))
+    dir.mkdirs()
+    val staged = PointCloud.points(s, d)
+      .select(col("x"), col("y"), col("z"), col("classification"))
+      .as[(Double, Double, Double, Int)]
+      .groupByKey { case (x, _, _, _) =>
+        math.min(3, math.max(0, math.floor(x / 16.0).toInt)) }
+      .mapGroups { (tile: Int, it: Iterator[(Double, Double, Double, Int)]) =>
+        val pts = it.toArray.sortBy(p => (p._1, p._2, p._3))
+        val bytes =
+          if (tile < 2) // LAS 1.2 format 1 (gps time = z, deterministic)
+            graft.ingest.Las.encodeTimed(pts.map(p =>
+              (p._1, p._2, p._3, p._4, p._3)))
+          else          // LAS 1.4 format 6
+            graft.ingest.Las.encode14(pts.map(p =>
+              graft.ingest.Las.P6(p._1, p._2, p._3, 0, 1, 1, 0, p._4,
+                0, 0, p._3)))
+        val f = new java.io.File(dir, f"tile_$tile%02d.las")
+        java.nio.file.Files.write(f.toPath, bytes)
+        (tile, pts.length)
+      }
+      .collect() // 4 rows — forces staging before the connector plans
+    require(staged.length == 4 && staged.map(_._2).sum > 0, "staging failed")
+    PointCloud.gridDem(
+      s.read.format("graft.sources.LasSource").load(dir.getAbsolutePath)
+        .select("x", "y", "z", "classification"))
+  }
+
   // LAZ (laszip-compressed) byte-boundary round trip — the format the
   // reference writes whenever pc_outType='laz' (PDAL writers.las with
   // "compression": "laszip", differencing_functions.py:707–735), and the
@@ -1487,6 +1528,7 @@ object QueriesIngest {
     "i_orc_roundtrip" -> orcRoundtrip,
     "i_las_roundtrip" -> lasRoundtrip,
     "i_las14_roundtrip" -> las14Roundtrip,
+    "i_las_dsv2" -> lasDsv2,
     "i_laz_roundtrip" -> lazRoundtrip,
     "i_shp_roundtrip" -> shpRoundtrip,
     "i_geojson_parse" -> geojsonParse,
@@ -1521,6 +1563,7 @@ object QueriesIngest {
     "i_orc_roundtrip" -> orcRoundtripSql,
     "i_las_roundtrip" -> lasRoundtripSql,
     "i_las14_roundtrip" -> las14RoundtripSql,
+    "i_las_dsv2" -> lasRoundtripSql,
     "i_laz_roundtrip" -> lasRoundtripSql,
     "i_shp_roundtrip" -> shpRoundtripSql,
     "i_geojson_parse" -> geojsonParseSql,

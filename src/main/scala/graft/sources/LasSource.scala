@@ -1,0 +1,114 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 reader for LAS point clouds —
+  * `spark.read.format("graft.sources.LasSource").load(dir)` — the
+  * idiomatic Spark front door for the byte codecs in [[graft.ingest.Las]]
+  * (the reference's PDAL `readers.las`, differencing_functions.py:782–786,
+  * re-expressed as a connector instead of a pipeline stage).
+  *
+  * Scale shape: ONE InputPartition per .las file, so a 100-TB delivery of
+  * N files fans out to N independent readers with no driver-side byte
+  * handling — the same unit of distribution as the tile-parallel
+  * `tilesToPoints` path, but planned by Catalyst (the scan shows up in
+  * `explain` with its pruned ReadSchema like any built-in source).
+  * Column pruning is pushed down ([[SupportsPushDownRequiredColumns]]):
+  * a projection of (x, y, z) never materializes gps_time rows.
+  *
+  * Version dispatch per FILE, from the header bytes: LAS 1.2/1.3 point
+  * formats 0/1 decode through `decodeTimed`; LAS 1.4 format 6 through
+  * `decode14` — a directory mixing delivery vintages reads as one table.
+  */
+object LasSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false),
+    StructField("z", DoubleType, nullable = false),
+    StructField("classification", IntegerType, nullable = false),
+    StructField("gps_time", DoubleType, nullable = false)))
+}
+
+class LasSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    LasSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new LasTable(properties.get("path"))
+}
+
+private[sources] class LasTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"las($path)"
+  override def schema(): StructType = LasSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LasScanBuilder(Option(path).getOrElse(options.get("path")))
+}
+
+private[sources] class LasScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = LasSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new LasScan(path, required)
+}
+
+private[sources] class LasScan(path: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    require(path != null, "las source needs a load path")
+    val root = new java.io.File(path)
+    val files =
+      if (root.isFile) Array(root)
+      else {
+        require(root.isDirectory, s"no such path: $path")
+        root.listFiles().filter(_.getName.endsWith(".las")).sortBy(_.getName)
+      }
+    require(files.nonEmpty, s"no .las files under $path")
+    files.map(f => LasInputPartition(f.getAbsolutePath): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LasReaderFactory(required.fieldNames)
+}
+
+private[sources] case class LasInputPartition(file: String) extends InputPartition
+
+private[sources] class LasReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[LasInputPartition].file
+    new PartitionReader[InternalRow] {
+      private val pts: Array[(Double, Double, Double, Int, Double)] = {
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(file))
+        require(bytes.length > 25, s"truncated LAS file $file")
+        if ((bytes(24) & 0xff) == 1 && (bytes(25) & 0xff) >= 4)
+          graft.ingest.Las.decode14(bytes)._1
+            .map(p => (p.x, p.y, p.z, p.classification, p.gpsTime))
+        else graft.ingest.Las.decodeTimed(bytes)
+      }
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < pts.length }
+      override def get(): InternalRow = {
+        val p = pts(i)
+        InternalRow.fromSeq(fields.toIndexedSeq.map {
+          case "x" => p._1
+          case "y" => p._2
+          case "z" => p._3
+          case "classification" => p._4
+          case "gps_time" => p._5
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

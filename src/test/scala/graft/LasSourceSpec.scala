@@ -1,0 +1,64 @@
+package graft
+
+import graft.ingest.Las
+
+class LasSourceSpec extends SparkSuite {
+
+  private def stage(): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory("las_dsv2_spec").toFile
+    // tile 0: LAS 1.2 format 1 (with gps times)
+    val t12 = Array((1.5, 2.5, 100.0, 2, 7.25), (17.0, 3.0, 101.5, 1, 8.5))
+    java.nio.file.Files.write(new java.io.File(dir, "a.las").toPath,
+      Las.encodeTimed(t12))
+    // tile 1: LAS 1.4 format 6
+    val t14 = Array(
+      Las.P6(40.0, 5.0, 110.0, 9, 2, 3, 1, 7, -100, 4, 315964800.5),
+      Las.P6(60.25, 6.5, 99.999999, 0, 1, 1, 0, 2, 0, 0, -1.25))
+    java.nio.file.Files.write(new java.io.File(dir, "b.las").toPath,
+      Las.encode14(t14))
+    // a non-.las file in the directory is ignored, not misparsed
+    java.nio.file.Files.write(new java.io.File(dir, "readme.txt").toPath,
+      "not a point cloud".getBytes)
+    dir
+  }
+
+  test("mixed 1.2/1.4 directory reads as one table, one partition per file") {
+    val dir = stage()
+    val df = spark.read.format("graft.sources.LasSource")
+      .load(dir.getAbsolutePath)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("x", "y", "z", "classification", "gps_time"))
+    assert(df.rdd.getNumPartitions == 2, "one InputPartition per .las file")
+    val rows = df.collect().map(r => (r.getDouble(0), r.getInt(3),
+      r.getDouble(4))).sortBy(_._1).toSeq
+    def q(v: Double) = math.floor(v / Las.Scale + 0.5) * Las.Scale
+    assert(rows == Seq((q(1.5), 2, 7.25), (q(17.0), 1, 8.5),
+      (q(40.0), 7, 315964800.5), (q(60.25), 2, -1.25)))
+  }
+
+  test("column pruning is pushed into the scan") {
+    val dir = stage()
+    val pruned = spark.read.format("graft.sources.LasSource")
+      .load(dir.getAbsolutePath)
+      .select("x", "classification")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("x") && !plan.contains("gps_time"),
+      s"gps_time survived pruning:\n$plan")
+    assert(pruned.collect().length == 4)
+  }
+
+  test("empty dir and junk bytes reject loudly") {
+    val empty = java.nio.file.Files.createTempDirectory("las_dsv2_empty").toFile
+    intercept[Exception] {
+      spark.read.format("graft.sources.LasSource")
+        .load(empty.getAbsolutePath).collect()
+    }
+    val junkDir = java.nio.file.Files.createTempDirectory("las_dsv2_junk").toFile
+    java.nio.file.Files.write(new java.io.File(junkDir, "x.las").toPath,
+      "LASF but truncated".getBytes)
+    intercept[Exception] {
+      spark.read.format("graft.sources.LasSource")
+        .load(junkDir.getAbsolutePath).collect()
+    }
+  }
+}
