@@ -895,42 +895,29 @@ object QueriesIngest {
         FROM pts GROUP BY 1"""
   }
 
-  // DataSource V2 connector gate: the SAME point cloud written as a
-  // DIRECTORY of per-tile .las files — two tiles LAS 1.2 fmt 1, two
-  // tiles LAS 1.4 fmt 6, the mixed-vintage delivery shape — then read
-  // back through `spark.read.format("graft.sources.LasSource")` (one
-  // InputPartition per file, pruned ReadSchema) and gridded to the DEM.
-  // Shares lasRoundtripSql: green only if connector planning + per-file
-  // version dispatch + decode equal the plain int32 quantization.
-  // File staging runs IN EXECUTORS (local mode = shared FS; a cluster
-  // stages to a shared filesystem); the 4-row staging summary is the
-  // only driver action.
+  // DataSource V2 connector gate, BOTH directions: the point cloud is
+  // STAGED through the write connector (`df.write.format(
+  // "graft.sources.LasSource")` — each executor task encodes one
+  // complete .las container, even partitions LAS 1.2 fmt 1 / odd
+  // partitions LAS 1.4 fmt 6, the mixed-vintage delivery shape), then
+  // read back through the read connector (one InputPartition per file,
+  // pruned ReadSchema, per-file version dispatch) and gridded to the
+  // DEM. Shares lasRoundtripSql: green only if connector write planning
+  // + container encode + read planning + decode equal the plain int32
+  // quantization. No driver-side byte handling in either direction.
   private val lasDsv2: Q = (s, d) => {
-    import s.implicits._
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_las_dsv2_" + java.lang.Integer.toHexString(d.hashCode))
-    dir.mkdirs()
-    val staged = PointCloud.points(s, d)
-      .select(col("x"), col("y"), col("z"), col("classification"))
-      .as[(Double, Double, Double, Int)]
-      .groupByKey { case (x, _, _, _) =>
-        math.min(3, math.max(0, math.floor(x / 16.0).toInt)) }
-      .mapGroups { (tile: Int, it: Iterator[(Double, Double, Double, Int)]) =>
-        val pts = it.toArray.sortBy(p => (p._1, p._2, p._3))
-        val bytes =
-          if (tile < 2) // LAS 1.2 format 1 (gps time = z, deterministic)
-            graft.ingest.Las.encodeTimed(pts.map(p =>
-              (p._1, p._2, p._3, p._4, p._3)))
-          else          // LAS 1.4 format 6
-            graft.ingest.Las.encode14(pts.map(p =>
-              graft.ingest.Las.P6(p._1, p._2, p._3, 0, 1, 1, 0, p._4,
-                0, 0, p._3)))
-        val f = new java.io.File(dir, f"tile_$tile%02d.las")
-        java.nio.file.Files.write(f.toPath, bytes)
-        (tile, pts.length)
-      }
-      .collect() // 4 rows — forces staging before the connector plans
-    require(staged.length == 4 && staged.map(_._2).sum > 0, "staging failed")
+    // idempotent staging: a previous run at another parallelism may have
+    // left more part files — stale extras would duplicate points
+    if (dir.isDirectory)
+      dir.listFiles().filter(_.getName.endsWith(".las")).foreach(_.delete())
+    PointCloud.points(s, d)
+      .select(col("x"), col("y"), col("z"), col("classification"),
+        col("z").as("gps_time"))
+      .repartition(4)
+      .write.format("graft.sources.LasSource").mode("append")
+      .save(dir.getAbsolutePath)
     PointCloud.gridDem(
       s.read.format("graft.sources.LasSource").load(dir.getAbsolutePath)
         .select("x", "y", "z", "classification"))

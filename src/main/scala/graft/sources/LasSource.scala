@@ -2,9 +2,10 @@ package graft.sources
 
 import java.util.{Map => JMap}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -43,13 +44,65 @@ class LasSource extends TableProvider {
     new LasTable(properties.get("path"))
 }
 
-private[sources] class LasTable(path: String) extends Table with SupportsRead {
+private[sources] class LasTable(path: String)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"las($path)"
   override def schema(): StructType = LasSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LasScanBuilder(Option(path).getOrElse(options.get("path")))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val p = Option(path).getOrElse(info.options.get("path"))
+    require(p != null, "las sink needs a save path")
+    require(info.schema().fieldNames.toSeq == LasSource.Schema.fieldNames.toSeq,
+      s"las sink needs columns ${LasSource.Schema.fieldNames.mkString(", ")}, " +
+        s"got ${info.schema().fieldNames.mkString(", ")}")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new LasBatchWrite(p)
+      }
+    }
+  }
+}
+
+/** Per-partition .las files — the write twin of the one-partition-per-
+  * file read: each executor task encodes its rows into ONE complete
+  * container (even task ids as LAS 1.2 fmt 1, odd as LAS 1.4 fmt 6, so
+  * a written directory exercises both vintages deterministically).
+  * Tasks write `part_<pid>.las` directly (local/shared FS; a cluster
+  * deployment swaps the file write for its object store — the commit
+  * protocol hooks are where a temp-and-rename scheme would slot in). */
+private[sources] class LasBatchWrite(path: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    new java.io.File(path).mkdirs()
+    new LasWriterFactory(path)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class LasWriterFactory(path: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(Double, Double, Double, Int, Double)]
+      override def write(r: InternalRow): Unit =
+        buf += ((r.getDouble(0), r.getDouble(1), r.getDouble(2),
+          r.getInt(3), r.getDouble(4)))
+      override def commit(): WriterCommitMessage = {
+        val bytes =
+          if (partitionId % 2 == 0) graft.ingest.Las.encodeTimed(buf.toArray)
+          else graft.ingest.Las.encode14(buf.toArray.map { case (x, y, z, c, t) =>
+            graft.ingest.Las.P6(x, y, z, 0, 1, 1, 0, c, 0, 0, t) })
+        java.nio.file.Files.write(new java.io.File(path,
+          f"part_$partitionId%05d.las").toPath, bytes)
+        new WriterCommitMessage {}
+      }
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] class LasScanBuilder(path: String)

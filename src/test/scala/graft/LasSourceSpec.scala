@@ -47,6 +47,34 @@ class LasSourceSpec extends SparkSuite {
     assert(pruned.collect().length == 4)
   }
 
+  test("write connector round-trips through the read connector") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("las_dsv2_w").toFile
+    val pts = Seq(
+      (1.25, 2.5, 100.0, 2, 5.5), (3.75, 4.0, 101.25, 1, 6.5),
+      (10.0, 11.0, 99.5, 7, 7.5), (12.5, 13.0, 98.0, 2, 8.5))
+    pts.toDF("x", "y", "z", "classification", "gps_time")
+      .repartition(2)
+      .write.format("graft.sources.LasSource").mode("append")
+      .save(dir.getAbsolutePath)
+    val files = dir.listFiles().filter(_.getName.endsWith(".las")).sortBy(_.getName)
+    assert(files.length == 2, "one .las per partition")
+    // even partition = LAS 1.2, odd = LAS 1.4 (mixed-vintage by design)
+    val vers = files.map(f => java.nio.file.Files.readAllBytes(f.toPath)(25))
+    assert(vers.toSet == Set(2.toByte, 4.toByte), s"versions ${vers.toSeq}")
+    val back = spark.read.format("graft.sources.LasSource")
+      .load(dir.getAbsolutePath)
+      .collect().map(r => (r.getDouble(0), r.getInt(3), r.getDouble(4)))
+      .sortBy(_._1).toSeq
+    assert(back == pts.sortBy(_._1).map(p => (p._1, p._4, p._5)))
+    // a wrong schema rejects at plan time, not as a corrupt file
+    intercept[Exception] {
+      Seq((1.0, 2.0)).toDF("x", "y")
+        .write.format("graft.sources.LasSource").mode("append")
+        .save(dir.getAbsolutePath)
+    }
+  }
+
   test("empty dir and junk bytes reject loudly") {
     val empty = java.nio.file.Files.createTempDirectory("las_dsv2_empty").toFile
     intercept[Exception] {
