@@ -96,6 +96,30 @@ object QueriesExt2 {
              UNION ALL SELECT 'tax', l_tax FROM lineitem)
        GROUP BY 1"""
 
+  // ---- pivot (long → wide) ------------------------------------------------
+  // The inverse of the unpivot above: per-returnflag rows pivoted on
+  // l_linestatus with an EXPLICIT value list (an inferred list would add
+  // a distinct-scan job and make the output schema data-dependent — the
+  // wrong default at 100 TB). One hash aggregate; the pivot widens
+  // columns map-side, no extra shuffle vs the plain groupBy.
+  private val pivotWide: Q = (s, d) =>
+    Tables.lineitem(s, d).withColumn("c", cents(col("l_extendedprice")))
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum("c"))
+      .select(col("l_returnflag"),
+        (coalesce(col("F"), lit(0L)) / 100.0).as("total_f"),
+        (coalesce(col("O"), lit(0L)) / 100.0).as("total_o"))
+  private val pivotWideSql =
+    """SELECT l_returnflag,
+              (CAST(coalesce(sum(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) END), 0)
+                 AS BIGINT) / 100.0) AS total_f,
+              (CAST(coalesce(sum(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(round(l_extendedprice * 100, 0) AS BIGINT) END), 0)
+                 AS BIGINT) / 100.0) AS total_o
+       FROM lineitem GROUP BY 1"""
+
   // ---- rank family ------------------------------------------------------
   // dense_rank / percent_rank / ntile / cume_dist in one windowed pass;
   // sampled down AFTER ranking (rank must see the full partition). The
@@ -338,6 +362,7 @@ object QueriesExt2 {
     "w_first_last" -> firstLast,
     "x_fuzzy_names" -> fuzzyNames,
     "a_cube_status" -> cubeStatus,
+    "a_pivot_wide" -> pivotWide,
     "a_unpivot" -> unpivot,
     "w_rank_funcs" -> rankFuncs,
     "w_ewma" -> ewma,
@@ -352,6 +377,7 @@ object QueriesExt2 {
     "w_first_last" -> firstLastSql,
     "x_fuzzy_names" -> fuzzyNamesSql,
     "a_cube_status" -> cubeStatusSql,
+    "a_pivot_wide" -> pivotWideSql,
     "a_unpivot" -> unpivotSql,
     "w_rank_funcs" -> rankFuncsSql,
     "w_ewma" -> ewmaSql,
