@@ -69,6 +69,10 @@ object Plans {
       "i_las14_roundtrip" -> "LAS 1.4 fmt-6 boundary: executor-side container encode → tile-parallel decode, every channel censused",
       "i_mjpeg_frames" -> "MJPEG AVI: container walk yields per-frame JPEG payloads, each independently decoded map-side",
       "r_gtx_geoid" -> "geoid offset through real .gtx bytes: one-task grid assembly, broadcast onto the pixel table",
+      "i_las_dsv2" -> "DataSource V2 connector: one InputPartition per .las file, pruned ReadSchema, per-file version dispatch",
+      "r_helmert_datum" -> "7-param Helmert datum chain as one codegen projection (no UDF, no shuffle); oracle = pinned longdouble artifact",
+      "r_gridshift_datum" -> "PROJ-style grid-shift: two GTX shift grids broadcast, 8 corner joins, fixed-order bilinear — zero raster shuffle",
+      "a_pivot_wide" -> "explicit-value-list pivot: one hash aggregate, map-side column widening (no inferred-list distinct scan)",
       "g_knn_triangles" -> "kNN-graph triangles: IVF-bucketed candidate equi-join → top-k window → 3-way join on ≤k·n canonical edges",
       "x_bpe_merges" -> "BPE merges: one corpus wordcount shuffle, then vocab-sized pair aggregates; winner broadcast into the next merge",
       "n_pca_power" -> "PCA power step: D² quantized-product explode → one hash aggregate; all matrix work on 4096 rows",
