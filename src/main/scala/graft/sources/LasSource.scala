@@ -50,7 +50,7 @@ private[sources] class LasTable(path: String)
   override def schema(): StructType = LasSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LasScanBuilder(Option(path).getOrElse(options.get("path")))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -131,6 +131,47 @@ private[sources] class LasScan(path: String, required: StructType)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new LasReaderFactory(required.fieldNames)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new LasMicroBatchStream(path, required.fieldNames)
+}
+
+/** Streaming half of the connector: `spark.readStream.format(...)` over
+  * a GROWING directory of .las deliveries. The offset is the count of
+  * name-sorted files already processed, so each micro-batch plans one
+  * InputPartition per NEW file — the Structured Streaming twin of the
+  * batch fan-out. Files are assumed to arrive with lexicographically
+  * increasing names (the staged-delivery convention; `part_00001.las` …),
+  * exactly like the built-in FileStreamSource's archive pattern. */
+private[sources] class LasMicroBatchStream(path: String, fields: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  private def files: Array[String] = {
+    val root = new java.io.File(path)
+    if (root.isFile) Array(root.getAbsolutePath)
+    else if (!root.isDirectory) Array.empty
+    else root.listFiles().filter(_.getName.endsWith(".las"))
+      .map(_.getAbsolutePath).sorted
+  }
+  override def initialOffset(): Offset = LasOffset(0)
+  override def latestOffset(): Offset = LasOffset(files.length)
+  override def deserializeOffset(json: String): Offset =
+    LasOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val fs = files
+    val s = start.asInstanceOf[LasOffset].n
+    val e = math.min(end.asInstanceOf[LasOffset].n, fs.length)
+    fs.slice(s, e).map(f => LasInputPartition(f): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LasReaderFactory(fields)
+}
+
+private[sources] case class LasOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
 }
 
 private[sources] case class LasInputPartition(file: String) extends InputPartition

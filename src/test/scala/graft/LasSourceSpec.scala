@@ -75,6 +75,30 @@ class LasSourceSpec extends SparkSuite {
     }
   }
 
+  test("streaming read picks up new .las deliveries per micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("las_dsv2_s").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "a.las").toPath,
+      Las.encodeTimed(Array((1.0, 2.0, 100.0, 2, 1.5))))
+    val q = spark.readStream.format("graft.sources.LasSource")
+      .load(dir.getAbsolutePath)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("las_stream_test").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("las_stream_test").count() == 1)
+      // second delivery, lexicographically later — next micro-batch only
+      // plans the NEW file
+      java.nio.file.Files.write(new java.io.File(dir, "b.las").toPath,
+        Las.encode14(Array(
+          Las.P6(5.0, 6.0, 101.0, 0, 1, 1, 0, 7, 0, 0, 2.5),
+          Las.P6(7.0, 8.0, 102.0, 0, 1, 1, 0, 2, 0, 0, 3.5))))
+      q.processAllAvailable()
+      val rows = spark.table("las_stream_test").collect()
+        .map(r => (r.getDouble(0), r.getInt(3))).sortBy(_._1).toSeq
+      assert(rows == Seq((1.0, 2), (5.0, 7), (7.0, 2)))
+    } finally q.stop()
+  }
+
   test("empty dir and junk bytes reject loudly") {
     val empty = java.nio.file.Files.createTempDirectory("las_dsv2_empty").toFile
     intercept[Exception] {
