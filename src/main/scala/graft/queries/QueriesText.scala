@@ -1170,6 +1170,84 @@ object QueriesText {
                round(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall
         FROM hits"""
 
+  // ---- x_lsh_recall_sampled: the LINEAR-SCALE form of the recall audit --
+  // x_lsh_recall's exact all-pairs ground truth is the fleet's one
+  // inherently superlinear query (pair space grows with near-dup
+  // density² — 13.5× wall at 10× data). At 100 TB a recall audit runs on
+  // a deterministic DOC SAMPLE: both truth and candidates restrict to
+  // docs with mix(doc_id) % 3 == 0 (~1/9 of the pair space), giving a
+  // statistically equivalent recall estimate at linear-in-sample cost.
+  // Same prefix-filter + SSJoin-length + in-row intersect machinery; the
+  // full-corpus query stays as the exhaustive gate.
+  private val LSH_SAMPLE_SALT = 55L
+  private val lshRecallSampled: Q = (s, d) => {
+    def sampled(c: Column) = graft.rng.Rand.mix(c, LSH_SAMPLE_SALT) % 3 === 0
+    val sh = shingleSet(s, d).filter(sampled(col("doc_id")))
+    val docArr = sh.groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("arr"), count(lit(1)).as("sz"))
+      .persistShared()
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val prefixes = sh.join(dfreq, "sh")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("df"), col("sh"))).as("a"))
+      .select(col("doc_id"), explode(expr(
+        s"slice(array_sort(a), 1, cast(size(a) - ceil($LSH_TAU * size(a)) + 1 as int))")).as("p"))
+      .select(col("doc_id"), col("p.sh").as("sh"))
+      .persistShared()
+    val pairs = prefixes.toDF("a_id", "sh")
+      .join(prefixes.toDF("b_id", "sh"), Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val szOnly = docArr.select(col("doc_id"), col("sz"))
+    val truth = pairs
+      .join(szOnly.toDF("a_id", "a_sz"), "a_id")
+      .join(szOnly.toDF("b_id", "b_sz"), "b_id")
+      .filter(least(col("a_sz"), col("b_sz")).cast("double") >=
+        lit(LSH_TAU) * greatest(col("a_sz"), col("b_sz")).cast("double"))
+      .join(docArr.select(col("doc_id").as("a_id"), col("arr").as("a_arr")), "a_id")
+      .join(docArr.select(col("doc_id").as("b_id"), col("arr").as("b_arr")), "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("a_arr"), col("b_arr"))).cast("long"))
+      .filter(col("inter").cast("double") /
+        (col("a_sz") + col("b_sz") - col("inter")).cast("double") >= LSH_TAU)
+      .select("a_id", "b_id")
+    val cand = dedupMinhash(s, d).select("a_id", "b_id")
+      .filter(sampled(col("a_id")) && sampled(col("b_id")))
+    truth.join(cand.withColumn("hit", lit(1L)), Seq("a_id", "b_id"), "left_outer")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_truth").cast("double"), 6)
+          .as("recall"))
+  }
+
+  private val lshRecallSampledSql = {
+    def sampled(c: String) =
+      s"(${graft.rng.Rand.mixSql(c, LSH_SAMPLE_SALT)}) % 3 = 0"
+    s"""WITH shd AS (SELECT DISTINCT doc_id, sh
+                     FROM (SELECT doc_id, unnest(${TextOps.shinglesSql("text")}) AS sh
+                           FROM documents WHERE ${sampled("doc_id")})),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+        truth AS (SELECT a_id, b_id
+                  FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+                        FROM shd a JOIN shd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+                  JOIN sizes sa ON sa.doc_id = a_id
+                  JOIN sizes sb ON sb.doc_id = b_id
+                  WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+                        >= $LSH_TAU),
+        cand AS (SELECT a_id, b_id FROM ($dedupMinhashSql)
+                 WHERE ${sampled("a_id")} AND ${sampled("b_id")}),
+        hits AS (SELECT count(*) AS n_truth,
+                        CAST(sum(CASE WHEN c.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                 FROM truth t LEFT JOIN cand c
+                   ON c.a_id = t.a_id AND c.b_id = t.b_id)
+        SELECT n_truth, (SELECT count(*) FROM cand) AS n_cand, n_hit,
+               round(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall
+        FROM hits"""
+  }
+
   // ---- language-ID confusion vs the labeled lang column -----------------
   // Curation QA for the classifier itself: confusion counts of predicted
   // vs labeled language, plus each cell's share of its actual-language
@@ -1446,6 +1524,7 @@ object QueriesText {
     "x_bpe_apply" -> bpeApply,
     "a_hll_est" -> hllEst,
     "x_lsh_recall" -> lshRecall,
+    "x_lsh_recall_sampled" -> lshRecallSampled,
     "x_kn_ppl" -> knPpl,
     "x_tokens_regex" -> tokensRegex,
     "x_kn3_ppl" -> kn3Ppl,
@@ -1477,6 +1556,7 @@ object QueriesText {
     "a_cms_est" -> cmsEstSql,
     "a_hll_est" -> hllEstSql,
     "x_lsh_recall" -> lshRecallSql,
+    "x_lsh_recall_sampled" -> lshRecallSampledSql,
     "x_kn_ppl" -> knPplSql,
     "x_tokens_regex" -> tokensRegexSql,
     "x_kn3_ppl" -> kn3PplSql,
