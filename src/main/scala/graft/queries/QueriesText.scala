@@ -1514,7 +1514,139 @@ object QueriesText {
                CAST(sum(CASE WHEN b6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
         FROM b GROUP BY 1"""
 
+  // ---- m_chrf: corpus chrF against each language's canonical doc --------
+  // The character-n-gram F-score (Popović 2015) — the text-generation
+  // eval that complements m_bleu's word n-grams: whitespace-stripped
+  // char 3-grams and 6-grams, per-order precision AND recall (BLEU is
+  // precision-only + brevity penalty; chrF's recall needs the per-lang
+  // reference gram totals, one broadcast row per (lang, order)), F_β=2
+  // per order, orders averaged. Same candidate/reference derivation as
+  // m_bleu (per-lang min-doc_id reference, every other doc a hypothesis).
+  // Same scale shape too: one corpus-sized gram explode, reference side
+  // broadcast, no pair space. Per-doc scores are 1e-6-quantized before
+  // the per-lang mean so the sum is merge-order-free.
+  private val chrf: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        regexp_replace(col("text"), " ", "").as("t"))
+      .persistShared()
+    val refIds = docs.groupBy(col("lang").as("rl_lang"))
+      .agg(min("doc_id").as("ref_id"))
+    val refs = docs.join(refIds, col("doc_id") === col("ref_id"))
+      .select(col("lang").as("r_lang"), col("t").as("rt"))
+    val hyps = docs.join(refIds, col("lang") === col("rl_lang"))
+      .filter(col("doc_id") =!= col("ref_id") && length(col("t")) >= 8)
+      .select(col("doc_id"), col("lang"), col("t"))
+      .persistShared()
+    // guarded char n-grams: sequence(1, len-n+1) would run DESCENDING for
+    // len < n (Spark fills [1, 0]), so short strings yield [] explicitly
+    def grams(t: Column, n: Int): Column =
+      when(length(t) >= n,
+        transform(sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n))))
+        .otherwise(array())
+    def gramStructs(t: Column) = concat(
+      transform(grams(t, 3), g => struct(lit(3).as("n"), g.as("g"))),
+      transform(grams(t, 6), g => struct(lit(6).as("n"), g.as("g"))))
+    val hg = hyps
+      .select(col("doc_id"), col("lang"), explode(gramStructs(col("t"))).as("s"))
+      .groupBy(col("doc_id"), col("lang"), col("s.n").as("n"), col("s.g").as("g"))
+      .agg(count(lit(1)).as("ch"))
+    val rg = refs
+      .select(col("r_lang"), explode(gramStructs(col("rt"))).as("s"))
+      .groupBy(col("r_lang"), col("s.n").as("rn"), col("s.g").as("rg"))
+      .agg(count(lit(1)).as("cr"))
+      .persistShared()
+    val rtot = rg.groupBy("r_lang")
+      .agg(sum(when(col("rn") === 3, col("cr"))).as("tr3"),
+        sum(when(col("rn") === 6, col("cr"))).as("tr6"))
+    val pc = hg.join(broadcast(rg),
+        col("lang") === col("r_lang") && col("n") === col("rn") &&
+          col("g") === col("rg"), "left_outer")
+      .withColumn("m", least(col("ch"), coalesce(col("cr"), lit(0L))))
+      .groupBy("doc_id", "lang")
+      .agg(sum(when(col("n") === 3, col("m"))).as("m3"),
+        sum(when(col("n") === 3, col("ch"))).as("t3"),
+        sum(when(col("n") === 6, col("m"))).as("m6"),
+        sum(when(col("n") === 6, col("ch"))).as("t6"))
+      .join(broadcast(rtot), col("lang") === col("r_lang"))
+    // F_β=2 per order (5PR / (4P + R)), orders averaged — ONE expression
+    // text shared verbatim with the oracle
+    val f = expr(
+      """((CASE WHEN m3 > 0 THEN
+            5.0 * (CAST(m3 AS DOUBLE) / t3) * (CAST(m3 AS DOUBLE) / tr3)
+            / (4.0 * (CAST(m3 AS DOUBLE) / t3) + (CAST(m3 AS DOUBLE) / tr3))
+          ELSE 0.0 END)
+        + (CASE WHEN m6 > 0 THEN
+            5.0 * (CAST(m6 AS DOUBLE) / t6) * (CAST(m6 AS DOUBLE) / tr6)
+            / (4.0 * (CAST(m6 AS DOUBLE) / t6) + (CAST(m6 AS DOUBLE) / tr6))
+          ELSE 0.0 END)) / 2.0""")
+    pc.withColumn("c6", floor(f * 1e6 + 0.5).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("c6")).cast("double") / 1e6 / count(lit(1)), 6)
+          .as("avg_chrf"),
+        sum(when(col("c6") === 0, 1L).otherwise(0L)).as("n_zero"))
+  }
+
+  private val chrfSql = {
+    def gramsSql(t: String, n: Int) =
+      s"""CASE WHEN length($t) >= $n
+          THEN list_transform(range(1, length($t) - ${n - 2}),
+                              i -> substring($t, CAST(i AS INT), $n))
+          ELSE [] END"""
+    s"""WITH docs AS (SELECT doc_id, lang, replace(text, ' ', '') AS t
+                      FROM documents),
+        refids AS (SELECT lang, min(doc_id) AS ref_id FROM docs GROUP BY 1),
+        refs AS (SELECT d.lang, d.t AS rt
+                 FROM docs d JOIN refids r ON d.doc_id = r.ref_id),
+        hyps AS (SELECT d.doc_id, d.lang, d.t
+                 FROM docs d JOIN refids r ON d.lang = r.lang
+                 WHERE d.doc_id <> r.ref_id AND length(d.t) >= 8),
+        hg AS (SELECT doc_id, lang, n, g, count(*) AS ch FROM (
+                 SELECT doc_id, lang, 3 AS n,
+                        unnest(${gramsSql("t", 3)}) AS g FROM hyps
+                 UNION ALL
+                 SELECT doc_id, lang, 6 AS n,
+                        unnest(${gramsSql("t", 6)}) AS g FROM hyps)
+               GROUP BY 1, 2, 3, 4),
+        rg AS (SELECT lang, n, g, count(*) AS cr FROM (
+                 SELECT lang, 3 AS n, unnest(${gramsSql("rt", 3)}) AS g FROM refs
+                 UNION ALL
+                 SELECT lang, 6 AS n, unnest(${gramsSql("rt", 6)}) AS g FROM refs)
+               GROUP BY 1, 2, 3),
+        rtot AS (SELECT lang,
+                        CAST(sum(CASE WHEN n = 3 THEN cr END) AS BIGINT) AS tr3,
+                        CAST(sum(CASE WHEN n = 6 THEN cr END) AS BIGINT) AS tr6
+                 FROM rg GROUP BY 1),
+        pc AS (SELECT doc_id, hg.lang AS lang,
+                      CAST(sum(CASE WHEN n = 3 THEN least(ch, COALESCE(cr, 0))
+                               END) AS BIGINT) AS m3,
+                      CAST(sum(CASE WHEN n = 3 THEN ch END) AS BIGINT) AS t3,
+                      CAST(sum(CASE WHEN n = 6 THEN least(ch, COALESCE(cr, 0))
+                               END) AS BIGINT) AS m6,
+                      CAST(sum(CASE WHEN n = 6 THEN ch END) AS BIGINT) AS t6
+               FROM hg LEFT JOIN rg USING (lang, n, g)
+               GROUP BY 1, 2),
+        sc AS (SELECT pc.lang,
+                      CAST(floor(
+                        ((CASE WHEN m3 > 0 THEN
+                            5.0 * (CAST(m3 AS DOUBLE) / t3) * (CAST(m3 AS DOUBLE) / tr3)
+                            / (4.0 * (CAST(m3 AS DOUBLE) / t3) + (CAST(m3 AS DOUBLE) / tr3))
+                          ELSE 0.0 END)
+                        + (CASE WHEN m6 > 0 THEN
+                            5.0 * (CAST(m6 AS DOUBLE) / t6) * (CAST(m6 AS DOUBLE) / tr6)
+                            / (4.0 * (CAST(m6 AS DOUBLE) / t6) + (CAST(m6 AS DOUBLE) / tr6))
+                          ELSE 0.0 END)) / 2.0 * 1e6 + 0.5) AS BIGINT) AS c6
+               FROM pc JOIN rtot ON rtot.lang = pc.lang)
+        SELECT lang, count(*) AS n_docs,
+               round(CAST(sum(c6) AS DOUBLE) / 1e6 / count(*), 6) AS avg_chrf,
+               CAST(sum(CASE WHEN c6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        FROM sc GROUP BY 1"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "m_chrf" -> chrf,
     "m_bleu" -> bleu,
     "x_minhash_est" -> minhashEst,
     "x_lang_confusion" -> langConfusion,
@@ -1548,6 +1680,7 @@ object QueriesText {
 
   val oracle: Map[String, String] = Map(
     "m_bleu" -> bleuSql,
+    "m_chrf" -> chrfSql,
     "x_bpe_merges" -> bpeMergesSql,
     "x_bpe_apply" -> bpeApplySql,
     "x_minhash_est" -> minhashEstSql,
