@@ -1526,18 +1526,6 @@ object QueriesText {
   // broadcast, no pair space. Per-doc scores are 1e-6-quantized before
   // the per-lang mean so the sum is merge-order-free.
   private val chrf: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        regexp_replace(col("text"), " ", "").as("t"))
-      .persistShared()
-    val refIds = docs.groupBy(col("lang").as("rl_lang"))
-      .agg(min("doc_id").as("ref_id"))
-    val refs = docs.join(refIds, col("doc_id") === col("ref_id"))
-      .select(col("lang").as("r_lang"), col("t").as("rt"))
-    val hyps = docs.join(refIds, col("lang") === col("rl_lang"))
-      .filter(col("doc_id") =!= col("ref_id") && length(col("t")) >= 8)
-      .select(col("doc_id"), col("lang"), col("t"))
-      .persistShared()
     // guarded char n-grams: sequence(1, len-n+1) would run DESCENDING for
     // len < n (Spark fills [1, 0]), so short strings yield [] explicitly
     def grams(t: Column, n: Int): Column =
@@ -1545,31 +1533,42 @@ object QueriesText {
         transform(sequence(lit(1), length(t) - (n - 1)),
           i => t.substr(i, lit(n))))
         .otherwise(array())
-    def gramStructs(t: Column) = concat(
-      transform(grams(t, 3), g => struct(lit(3).as("n"), g.as("g"))),
-      transform(grams(t, 6), g => struct(lit(6).as("n"), g.as("g"))))
-    val hg = hyps
-      .select(col("doc_id"), col("lang"), explode(gramStructs(col("t"))).as("s"))
-      .groupBy(col("doc_id"), col("lang"), col("s.n").as("n"), col("s.g").as("g"))
-      .agg(count(lit(1)).as("ch"))
-    val rg = refs
-      .select(col("r_lang"), explode(gramStructs(col("rt"))).as("s"))
-      .groupBy(col("r_lang"), col("s.n").as("rn"), col("s.g").as("rg"))
-      .agg(count(lit(1)).as("cr"))
+    // SORTED gram arrays stay IN-ROW: the matched-gram counts come from
+    // the native two-pointer kernel (text.MultisetIntersectSize) against
+    // the broadcast per-lang reference arrays — Σ min(count_h, count_r)
+    // exactly as the oracle's explode → least(ch, cr) → sum computes,
+    // with zero gram shuffle (measured 6.5 → ~1 s at sf0.1; the explode
+    // form shipped ~12M 6-char string keys through two hash aggregates)
+    // the cache holds the SORTED gram arrays: each doc's build+sort runs
+    // once and every consumer (ref branch, hyp branch, kernel + size
+    // uses) reads the materialized arrays. (The slim-text alternative —
+    // cache only (id, lang, text), build arrays after the joins — relies
+    // on codegen CSE to dedupe the inlined builds and measured 3×
+    // SLOWER at sf1: CollapseProject hands the kernel and size() each
+    // their own copy of the array_sort subtree.)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        regexp_replace(col("text"), " ", "").as("t"))
+      .select(col("doc_id"), col("lang"), length(col("t")).as("tl"),
+        array_sort(grams(col("t"), 3)).as("g3"),
+        array_sort(grams(col("t"), 6)).as("g6"))
       .persistShared()
-    val rtot = rg.groupBy("r_lang")
-      .agg(sum(when(col("rn") === 3, col("cr"))).as("tr3"),
-        sum(when(col("rn") === 6, col("cr"))).as("tr6"))
-    val pc = hg.join(broadcast(rg),
-        col("lang") === col("r_lang") && col("n") === col("rn") &&
-          col("g") === col("rg"), "left_outer")
-      .withColumn("m", least(col("ch"), coalesce(col("cr"), lit(0L))))
-      .groupBy("doc_id", "lang")
-      .agg(sum(when(col("n") === 3, col("m"))).as("m3"),
-        sum(when(col("n") === 3, col("ch"))).as("t3"),
-        sum(when(col("n") === 6, col("m"))).as("m6"),
-        sum(when(col("n") === 6, col("ch"))).as("t6"))
-      .join(broadcast(rtot), col("lang") === col("r_lang"))
+    val refIds = docs.groupBy(col("lang").as("rl_lang"))
+      .agg(min("doc_id").as("ref_id"))
+    val refs = docs.join(refIds, col("doc_id") === col("ref_id"))
+      .select(col("lang").as("r_lang"), col("g3").as("rg3"),
+        col("g6").as("rg6"))
+    val hyps = docs.join(refIds, col("lang") === col("rl_lang"))
+      .filter(col("doc_id") =!= col("ref_id") && col("tl") >= 8)
+      .select(col("doc_id"), col("lang"), col("g3"), col("g6"))
+    val pc = hyps.join(broadcast(refs), col("lang") === col("r_lang"))
+      .select(col("doc_id"), col("lang"),
+        graft.text.GramExprs.multisetIntersectSize(col("g3"), col("rg3")).as("m3"),
+        size(col("g3")).cast("long").as("t3"),
+        size(col("rg3")).cast("long").as("tr3"),
+        graft.text.GramExprs.multisetIntersectSize(col("g6"), col("rg6")).as("m6"),
+        size(col("g6")).cast("long").as("t6"),
+        size(col("rg6")).cast("long").as("tr6"))
     // F_β=2 per order (5PR / (4P + R)), orders averaged — ONE expression
     // text shared verbatim with the oracle
     val f = expr(
