@@ -45,8 +45,11 @@ object Gtx {
     val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
     val h = Header(b.getDouble(0), b.getDouble(8), b.getDouble(16),
       b.getDouble(24), b.getInt(32), b.getInt(36))
-    require(h.nRows > 0 && h.nCols > 0,
-      s"GTX grid dims ${h.nRows}x${h.nCols} not positive")
+    // upper bound BEFORE the size product: two ~2^31 dims overflow even
+    // 64-bit 4·nRows·nCols (real geoid grids are a few thousand a side)
+    require(h.nRows > 0 && h.nCols > 0 &&
+      h.nRows <= 1000000 && h.nCols <= 1000000,
+      s"GTX grid dims ${h.nRows}x${h.nCols} outside (0, 1e6]")
     require(h.dLat > 0 && h.dLon > 0,
       s"GTX node spacing ${h.dLat}/${h.dLon} not positive")
     require(h.llLat >= -90.0 && h.llLat <= 90.0,

@@ -265,7 +265,10 @@ object Las {
       val uid = new String(bytes, o + 2, 16, "US-ASCII").takeWhile(_ != '\u0000')
       val rid = b.getShort(o + 18) & 0xffff
       val len = b.getLong(o + 20)
-      require(len >= 0 && o + EVLR_HDR + len <= bytes.length,
+      // len is bounded by the file length FIRST: a u64 near Long.MAX
+      // would wrap o + EVLR_HDR + len negative and pass the range check
+      require(len >= 0 && len <= bytes.length &&
+        o + EVLR_HDR + len <= bytes.length,
         s"EVLR payload $len bytes runs past file end")
       val data = java.util.Arrays.copyOfRange(
         bytes, o + EVLR_HDR, o + EVLR_HDR + len.toInt)

@@ -48,6 +48,11 @@ class GtxSpec extends AnyFunSuite {
     val huge = good.clone()
     java.nio.ByteBuffer.wrap(huge).putInt(32, 1 << 30).putInt(36, 1 << 30)
     intercept[IllegalArgumentException](Gtx.decode(huge))
+    // two ~2^31 dims would overflow even the 64-bit size product — the
+    // dim bound fires first
+    val huger = good.clone()
+    java.nio.ByteBuffer.wrap(huger).putInt(32, Int.MaxValue).putInt(36, Int.MaxValue)
+    intercept[IllegalArgumentException](Gtx.decode(huger))
   }
 
   test("bilinear undulation matches hand values and corner nodes") {

@@ -133,6 +133,11 @@ class LasSpec extends SparkSuite {
     java.nio.ByteBuffer.wrap(badE).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putLong(withE.length - 61 + 20, 1000L)
     intercept[IllegalArgumentException] { Las.decode14(badE) }
+    // a u64 length near Long.MAX would wrap the Int+Long range check
+    val badE2 = withE.clone()
+    java.nio.ByteBuffer.wrap(badE2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putLong(withE.length - 61 + 20, Long.MaxValue - 30)
+    intercept[IllegalArgumentException] { Las.decode14(badE2) }
     // the 1.2 decoder still rejects fmt 6 (no silent misparse)
     intercept[IllegalArgumentException] { Las.decode(good) }
   }
