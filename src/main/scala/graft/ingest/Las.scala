@@ -101,6 +101,12 @@ object Las {
     val dataOff = b.getInt(96)
     val recLen = b.getShort(105) & 0xffff
     val n = b.getInt(107)
+    val minRec = if (fmt == 1) POINT_LEN + 8 else POINT_LEN
+    // same hostile-input discipline as decode14: every arithmetic input is
+    // range-checked in Long math before it sizes an allocation or an index
+    require(n >= 0 && dataOff >= HEADER_SIZE && recLen >= minRec &&
+      dataOff + n.toLong * recLen <= bytes.length,
+      s"$n points of $recLen bytes at $dataOff run past file end")
     val sx = b.getDouble(131); val sy = b.getDouble(139); val sz = b.getDouble(147)
     val ox = b.getDouble(155); val oy = b.getDouble(163); val oz = b.getDouble(171)
     Array.tabulate(n) { i =>

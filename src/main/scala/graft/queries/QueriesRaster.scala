@@ -18,6 +18,15 @@ import graft.zonal.Zonal
 object QueriesRaster {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Absolute path of a pinned oracle artifact under `tools/`, resolved
+    * from the working directory at query-construction time (Verify/sbt
+    * run from the repo root) instead of a hard-coded checkout path.
+    * NOTE: the pinned tables cover `c_custkey` 0..14999 — a superset of
+    * every driver-gated scale (sf ≤ 0.1) but NOT of ScaleGen sf1 keys
+    * (replica-offset ids up to ~9M); gate_sf.py documents the ceiling. */
+  private[queries] def pinnedArtifact(name: String): String =
+    new java.io.File(s"tools/$name.parquet").getAbsolutePath
+
   private def gA(s: SparkSession, d: String) = PixelGrid.grid(s, d, 0)
   private def gB(s: SparkSession, d: String) = PixelGrid.grid(s, d, 1)
   private val cteA = PixelGrid.gridSql(0)
@@ -336,7 +345,7 @@ object QueriesRaster {
         SELECT z.c_custkey, CAST((z.lon0 + 183.0) / 6.0 AS INT) AS zone,
                x.easting, x.northing, TRUE AS rt_ok
         FROM zoned z
-        JOIN read_parquet('/root/repo/tools/utm_expected.parquet') x
+        JOIN read_parquet('${QueriesRaster.pinnedArtifact("utm_expected")}') x
           ON z.c_custkey = x.c_custkey"""
   }
 
@@ -368,9 +377,9 @@ object QueriesRaster {
       (abs(bla - col("lat")) + abs(blo - col("lon")) < 1e-6).as("rt_ok"))
   }
   private val helmertDatumSql =
-    """SELECT c.c_custkey, x.lat_wgs, x.lon_wgs, x.h_wgs, TRUE AS rt_ok
+    s"""SELECT c.c_custkey, x.lat_wgs, x.lon_wgs, x.h_wgs, TRUE AS rt_ok
        FROM customer c
-       JOIN read_parquet('/root/repo/tools/helmert_expected.parquet') x
+       JOIN read_parquet('${QueriesRaster.pinnedArtifact("helmert_expected")}') x
          ON c.c_custkey = x.c_custkey"""
 
   // §2.2 horizontal GRID-SHIFT datum transform (the PROJ grid-shift

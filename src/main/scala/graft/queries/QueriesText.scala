@@ -1637,7 +1637,7 @@ object QueriesText {
                             5.0 * (CAST(m6 AS DOUBLE) / t6) * (CAST(m6 AS DOUBLE) / tr6)
                             / (4.0 * (CAST(m6 AS DOUBLE) / t6) + (CAST(m6 AS DOUBLE) / tr6))
                           ELSE 0.0 END)) / 2.0 * 1e6 + 0.5) AS BIGINT) AS c6
-               FROM pc JOIN rtot ON rtot.lang = pc.lang)
+               FROM pc LEFT JOIN rtot ON rtot.lang = pc.lang)
         SELECT lang, count(*) AS n_docs,
                round(CAST(sum(c6) AS DOUBLE) / 1e6 / count(*), 6) AS avg_chrf,
                CAST(sum(CASE WHEN c6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero

@@ -71,9 +71,11 @@ private[sources] class LasTable(path: String)
   * file read: each executor task encodes its rows into ONE complete
   * container (even task ids as LAS 1.2 fmt 1, odd as LAS 1.4 fmt 6, so
   * a written directory exercises both vintages deterministically).
-  * Tasks write `part_<pid>.las` directly (local/shared FS; a cluster
-  * deployment swaps the file write for its object store — the commit
-  * protocol hooks are where a temp-and-rename scheme would slot in). */
+  * Tasks stage bytes to a hidden `.part_<pid>.las.<taskId>.tmp` and
+  * ATOMICALLY rename into place at commit, deleting the temp on abort —
+  * so a failed or speculatively-retried task can never leave a torn
+  * `part_*.las` that a later read would decode (a cluster deployment
+  * swaps the rename for its object store's commit primitive). */
 private[sources] class LasBatchWrite(path: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new java.io.File(path).mkdirs()
@@ -91,16 +93,21 @@ private[sources] class LasWriterFactory(path: String) extends DataWriterFactory 
       override def write(r: InternalRow): Unit =
         buf += ((r.getDouble(0), r.getDouble(1), r.getDouble(2),
           r.getInt(3), r.getDouble(4)))
+      private val tmp = new java.io.File(path,
+        f".part_$partitionId%05d.las.$taskId%d.tmp").toPath
       override def commit(): WriterCommitMessage = {
         val bytes =
           if (partitionId % 2 == 0) graft.ingest.Las.encodeTimed(buf.toArray)
           else graft.ingest.Las.encode14(buf.toArray.map { case (x, y, z, c, t) =>
             graft.ingest.Las.P6(x, y, z, 0, 1, 1, 0, c, 0, 0, t) })
-        java.nio.file.Files.write(new java.io.File(path,
-          f"part_$partitionId%05d.las").toPath, bytes)
+        java.nio.file.Files.write(tmp, bytes)
+        java.nio.file.Files.move(tmp,
+          new java.io.File(path, f"part_$partitionId%05d.las").toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         new WriterCommitMessage {}
       }
-      override def abort(): Unit = ()
+      override def abort(): Unit = java.nio.file.Files.deleteIfExists(tmp)
       override def close(): Unit = ()
     }
 }
@@ -155,8 +162,12 @@ private[sources] class LasMicroBatchStream(path: String, fields: Array[String])
   }
   override def initialOffset(): Offset = LasOffset(0)
   override def latestOffset(): Offset = LasOffset(files.length)
-  override def deserializeOffset(json: String): Offset =
-    LasOffset(json.trim.toInt)
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    require(t.nonEmpty && t.length <= 9 && t.forall(_.isDigit),
+      s"malformed las offset '$json'")
+    LasOffset(t.toInt)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -2,7 +2,14 @@
 """Full-gate runner at an arbitrary SF: mirrors the driver's correctness
 gate (DuckDB oracle per query, canonicalized column/row sort, 9-dp
 rounding, dtype parity) and writes a CORRECTNESS-style JSON artifact.
-Usage: gate_sf.py <sfDir> <verifyOutDir> <outJson>"""
+Usage: gate_sf.py <sfDir> <verifyOutDir> <outJson>
+
+SF ceiling note: r_utm_project and r_helmert_datum join pinned
+longdouble artifacts (tools/*_expected.parquet) that cover c_custkey
+0..14999 — a superset of every driver-gated scale (sf <= 0.1). ScaleGen
+sf1 fixtures use replica-offset keys up to ~9M, so those two oracles
+would spuriously mismatch there; exclude them (or regenerate the
+artifacts over the ScaleGen key set) when gating sf > 0.1."""
 import sys, os, json, math, decimal
 import duckdb
 
