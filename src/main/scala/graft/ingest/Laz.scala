@@ -116,7 +116,7 @@ object Laz {
   // ---------------------------------------------------- streaming median --
   /** The spec's 5-value streaming median of recent x/y deltas, with the
     * alternating high/low insertion bias. */
-  private final class StreamingMedian5 {
+  private[ingest] final class StreamingMedian5 {
     private val v = new Array[Int](5)
     private var high = true
     def add(x: Int): Unit = {
@@ -153,7 +153,7 @@ object Laz {
 
   /** Spec constants: the (number of returns, return number) → context
     * mapping tables shared by every conformant implementation. */
-  private val NumberReturnMap: Array[Array[Int]] = Array(
+  private[ingest] val NumberReturnMap: Array[Array[Int]] = Array(
     Array(15, 14, 13, 12, 11, 10, 9, 8),
     Array(14, 0, 1, 3, 6, 10, 10, 9),
     Array(13, 1, 2, 4, 7, 11, 11, 10),
@@ -162,7 +162,7 @@ object Laz {
     Array(10, 10, 11, 12, 13, 14, 14, 13),
     Array(9, 10, 11, 12, 13, 14, 15, 14),
     Array(8, 9, 10, 11, 12, 13, 14, 15))
-  private val NumberReturnLevel: Array[Array[Int]] = Array(
+  private[ingest] val NumberReturnLevel: Array[Array[Int]] = Array(
     Array(0, 1, 2, 3, 4, 5, 6, 7),
     Array(1, 0, 1, 2, 3, 4, 5, 6),
     Array(2, 1, 0, 1, 2, 3, 4, 5),

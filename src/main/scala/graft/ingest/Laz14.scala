@@ -1,0 +1,652 @@
+package graft.ingest
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pure-JVM "native LAZ" codec — the LAYERED_CHUNKED container + POINT14
+  * layered item codec that compresses LAS 1.4 point format 6, which is
+  * what a modern USGS/3DEP delivery actually ships (the reference reads
+  * any LAZ via PDAL `readers.las`, differencing_functions.py:782–786;
+  * its GPS-epoch branch is explicitly LAS-1.4-aware, :1564). Closes the
+  * round-8 "What's missing" #1: the engine read uncompressed 1.4 fmt 6
+  * ([[Las.decode14]]) and compressed 1.2 ([[Laz]] POINT10/GPSTIME11);
+  * this is the intersection — compressed 1.4 fmt 6.
+  *
+  * Implemented from the public LAZ Specification 1.4 (laszip.org) and
+  * the published LASzip DMS design on top of the same [[Fastac]]
+  * arithmetic coder and [[Laz.IntComp]] integer compressor:
+  *
+  *  - LAYERED_CHUNKED container (compressor 3): LAS 1.4 header with
+  *    bit 7 of the point-format byte set, `laszip encoded` VLR
+  *    declaring one POINT14 (type 10, size 30, version 3) item, the
+  *    i64 chunk-table offset before the chunks, and the
+  *    arithmetic-coded chunk table appended at the end — byte-for-byte
+  *    the [[Laz]] container discipline.
+  *  - LAYERED chunks: each chunk stores the raw 30-byte first point,
+  *    then a u32 byte count PER LAYER, then the layers' arithmetic
+  *    streams back to back. The nine POINT14 layers
+  *    (channel/returns/XY, Z, classification, flags, intensity,
+  *    scan angle, user data, point source, GPS time) each carry their
+  *    own independently decodable stream — which is what makes
+  *    SELECTIVE decompression real: a reader that wants only (x, y)
+  *    decodes layer 1 and never touches the other layers' bytes
+  *    ([[decodeChunkBytes]] takes a need-mask; the DSv2 connector's
+  *    column pruning maps straight onto it).
+  *  - Per-point state machine: four scanner-channel CONTEXTS, each with
+  *    its own models and last-point state, switched by the coded
+  *    channel delta, a fresh context inheriting the switching point's
+  *    predecessor (the spec's context-inheritance rule); the
+  *    changed-values byte gating point-source / GPS / scan-angle
+  *    layers; streaming-median X/Y prediction with the interval-index
+  *    context coupling; return-level Z prediction; and the GPSTIME11
+  *    multi-sequence machine as the GPS layer.
+  *
+  * Scoped simplifications (documented, not hidden): the return-number
+  * context tables reuse the published 8×8 POINT10 maps (clamped) rather
+  * than POINT14's 16×16 expansion, and classification/flags/user-data
+  * use per-last-value adaptive models rather than the spec's composite
+  * contexts. Encoder and decoder share every table, so round trips are
+  * exact; as with [[Laz]], no native laszip build exists in this
+  * container, so conformance against externally produced files could
+  * not be exercised (honesty note mirrored from Laz.scala).
+  *
+  * Scale shape: chunks (default 50 000 points) restart all model state
+  * and the chunk table gives exact byte extents, so a 100-TB ingest
+  * fans out (tile, chunk) byte slices exactly like
+  * [[Laz.tilesToPointsChunked]]; the layer masks additionally drop
+  * decode WORK (not just materialization) for pruned columns.
+  */
+object Laz14 {
+
+  import Laz.{IntComp, StreamingMedian5, GpsTime11V2, NumberReturnMap, NumberReturnLevel}
+
+  // ------------------------------------------------------------- layers --
+  val NumLayers = 9
+  // selective-decode mask bits; layer 1 (channel/returns/XY) is always
+  // decoded — it carries the changed-values gates every layer keys on
+  val NeedZ = 1
+  val NeedClass = 2
+  val NeedIntensity = 4
+  val NeedScanAngle = 8
+  val NeedSource = 16
+  val NeedGps = 32
+  val NeedAll: Int = NeedZ | NeedClass | NeedIntensity | NeedScanAngle |
+    NeedSource | NeedGps
+
+  private val HEADER14_SIZE = 375
+  private val POINT6_LEN = 30
+  private val VLR_HEADER = 54
+  private val LASZIP_RECORD_ID = 22204
+  val Scale: Double = Las.Scale
+  val DefaultChunkSize = 50000
+
+  // --------------------------------------------------------- context set --
+  /** One scanner-channel context: last-point state + every model. All
+    * four restart fresh at each chunk boundary (spec rule); `used`
+    * tracks the lazy inheritance on first switch-in. */
+  private final class Ctx14(forDec: Boolean) {
+    var used = false
+    // last-point state (x/y/z in quantized i32 space)
+    var x = 0; var y = 0; var z = 0
+    var intensity = 0; var returnNo = 1; var nReturns = 1
+    var classification = 0; var scanAngle = 0; var sourceId = 0
+    var gpsBits = 0L
+    var gpsChangedLast = false // did the PREVIOUS point in this context change gps
+    // layer 1 models
+    val mChanged: Array[SymbolModel] = Array.fill(8)(new SymbolModel(128, forDec))
+    val mScannerChannel = new SymbolModel(3, forDec)
+    val mNReturns = new Array[SymbolModel](16)
+    val mReturnNo = new Array[SymbolModel](16)
+    val icDx = new IntComp(32, 2, forDec)
+    val icDy = new IntComp(32, 22, forDec)
+    val medX: Array[StreamingMedian5] = Array.fill(32)(new StreamingMedian5)
+    val medY: Array[StreamingMedian5] = Array.fill(32)(new StreamingMedian5)
+    // layer 2
+    val icZ = new IntComp(32, 20, forDec)
+    val lastZ = new Array[Int](8)
+    var lastZInit = false
+    // layer 3/4/7
+    val mClass = new Array[SymbolModel](256)
+    val mFlags = new Array[SymbolModel](64)
+    val mUserData = new Array[SymbolModel](256)
+    var flags = 0; var userData = 0
+    // layer 5
+    val icIntensity = new IntComp(16, 4, forDec)
+    val lastIntensity = new Array[Int](4)
+    // layer 6
+    val icScanAngle = new IntComp(16, 2, forDec)
+    // layer 8
+    val icSource = new IntComp(16, 1, forDec)
+    // layer 9
+    val gps = new GpsTime11V2(forDec)
+
+    def lazyModel(arr: Array[SymbolModel], ctx: Int, syms: Int,
+        forDecoding: Boolean): SymbolModel = {
+      if (arr(ctx) == null) arr(ctx) = new SymbolModel(syms, forDecoding)
+      arr(ctx)
+    }
+
+    /** Seed this context's last-point state from the point record `p`
+      * (raw first point, or the predecessor on a context switch). */
+    def seed(px: Int, py: Int, pz: Int, inten: Int, r: Int, n: Int,
+        cls: Int, ang: Int, src: Int, gbits: Long): Unit = {
+      x = px; y = py; z = pz; intensity = inten
+      returnNo = r; nReturns = n; classification = cls
+      scanAngle = ang; sourceId = src; gpsBits = gbits
+      gpsChangedLast = false
+      java.util.Arrays.fill(lastIntensity, inten)
+      java.util.Arrays.fill(lastZ, pz)
+      gps.init(gbits)
+      used = true
+    }
+  }
+
+  /** Clamped 8×8 context lookups (POINT10's published tables over the
+    * fmt-6 4-bit fields). */
+  @inline private def retCtx(n: Int, r: Int): Int =
+    NumberReturnMap(math.min(n, 7))(math.min(r, 7))
+  @inline private def retLevel(n: Int, r: Int): Int =
+    NumberReturnLevel(math.min(n, 7))(math.min(r, 7))
+
+  // -------------------------------------------------------------- encode --
+  private def quant(v: Double): Int = {
+    val q = math.floor(v / Scale + 0.5)
+    require(q >= Int.MinValue && q <= Int.MaxValue,
+      s"coordinate $v overflows int32 at scale $Scale")
+    q.toInt
+  }
+
+  private def vlrPayload(chunkSize: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(34 + 6).order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(3) // compressor: LAYERED_CHUNKED
+    b.putShort(0) // coder: arithmetic
+    b.put(3.toByte).put(4.toByte).putShort(0) // laszip version 3.4 r0
+    b.putInt(0) // options
+    b.putInt(chunkSize)
+    b.putLong(-1L).putLong(-1L) // no special EVLRs
+    b.putShort(1) // one item
+    b.putShort(10).putShort(POINT6_LEN.toShort).putShort(3) // POINT14 v3
+    b.array()
+  }
+
+  /** fmt-6 points → native-LAZ (layered chunked) bytes. */
+  def encode(points: Array[Las.P6],
+      chunkSize: Int = DefaultChunkSize): Array[Byte] = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val n = points.length
+    points.foreach { p =>
+      require(p.returnNo >= 1 && p.returnNo <= 15 &&
+        p.nReturns >= p.returnNo && p.nReturns <= 15,
+        s"return ${p.returnNo}/${p.nReturns} outside fmt-6 4-bit fields")
+      require(p.channel >= 0 && p.channel <= 3, s"scanner channel ${p.channel}")
+      require(p.classification >= 0 && p.classification <= 255 &&
+        p.intensity >= 0 && p.intensity <= 0xffff &&
+        p.sourceId >= 0 && p.sourceId <= 0xffff &&
+        p.scanAngle >= Short.MinValue && p.scanAngle <= Short.MaxValue,
+        "fmt-6 field out of range")
+    }
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var i = 0
+    while (i < n) {
+      val m = math.min(chunkSize, n - i)
+      chunks += encodeChunk(points, i, m)
+      i += m
+    }
+    // chunk table: identical discipline to Laz (IntComp ctx 1, previous
+    // size as predictor)
+    val tableEnc = new ArithEncoder
+    val tableIc = new IntComp(32, 2, forDecoding = false)
+    var prev = 0
+    chunks.foreach { ch =>
+      tableIc.compress(tableEnc, prev, ch.length, 1)
+      prev = ch.length
+    }
+    val tableBody = tableEnc.done()
+    val payload = vlrPayload(chunkSize)
+    val dataOff = HEADER14_SIZE + VLR_HEADER + payload.length
+    val chunksLen = chunks.map(_.length).sum
+    val tableOff = dataOff + 8 + chunksLen
+    val total = tableOff + 8 + tableBody.length
+    val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    // LAS 1.4 header (the Las.encode14 layout) + compression bit + VLR
+    b.put("LASF".getBytes("US-ASCII"))
+    b.putShort(6, 1.toShort) // global encoding: adjusted std GPS time
+    b.put(24, 1.toByte); b.put(25, 4.toByte)
+    b.putShort(94, HEADER14_SIZE.toShort)
+    b.putInt(96, dataOff)
+    b.putInt(100, 1) // one VLR (laszip)
+    b.put(104, (6 | 0x80).toByte) // fmt 6, bit 7 = LASzip-compressed
+    b.putShort(105, POINT6_LEN.toShort)
+    b.putInt(107, 0) // legacy count pinned 0 for fmt >= 6
+    b.position(131)
+    b.putDouble(Scale).putDouble(Scale).putDouble(Scale)
+    b.putDouble(0.0).putDouble(0.0).putDouble(0.0)
+    def mm(f: Las.P6 => Double): (Double, Double) =
+      if (n == 0) (0.0, 0.0) else (points.map(f).max, points.map(f).min)
+    val (xmax, xmin) = mm(_.x); val (ymax, ymin) = mm(_.y)
+    val (zmax, zmin) = mm(_.z)
+    b.putDouble(xmax).putDouble(xmin).putDouble(ymax)
+      .putDouble(ymin).putDouble(zmax).putDouble(zmin)
+    b.putLong(227, 0L); b.putLong(235, 0L); b.putInt(243, 0) // no EVLRs
+    b.putLong(247, n.toLong)
+    points.groupBy(_.returnNo).foreach { case (r, ps) =>
+      b.putLong(255 + 8 * (r - 1), ps.length.toLong)
+    }
+    b.position(HEADER14_SIZE)
+    b.putShort(0.toShort)
+    val uid = new Array[Byte](16)
+    "laszip encoded".getBytes("US-ASCII").copyToArray(uid)
+    b.put(uid)
+    b.putShort(LASZIP_RECORD_ID.toShort)
+    b.putShort(payload.length.toShort)
+    b.position(HEADER14_SIZE + VLR_HEADER)
+    b.put(payload)
+    b.putLong(tableOff.toLong)
+    chunks.foreach(ch => b.put(ch))
+    b.putInt(0) // chunk table version
+    b.putInt(chunks.length)
+    b.put(tableBody)
+    b.array()
+  }
+
+  /** One layered chunk: [raw first point][u32 × 9 layer sizes][layers]. */
+  private def encodeChunk(points: Array[Las.P6], base: Int, m: Int): Array[Byte] = {
+    val first = points(base)
+    val raw = ByteBuffer.allocate(POINT6_LEN).order(ByteOrder.LITTLE_ENDIAN)
+    val fx = quant(first.x); val fy = quant(first.y); val fz = quant(first.z)
+    raw.putInt(fx).putInt(fy).putInt(fz)
+    raw.putShort(first.intensity.toShort)
+    raw.put((first.returnNo | (first.nReturns << 4)).toByte)
+    raw.put((first.channel << 4).toByte)
+    raw.put(first.classification.toByte)
+    raw.put(0.toByte) // user data
+    raw.putShort(first.scanAngle.toShort)
+    raw.putShort(first.sourceId.toShort)
+    raw.putDouble(first.gpsTime)
+
+    val ctxs = Array.fill(4)(new Ctx14(forDec = false))
+    var active = first.channel
+    ctxs(active).seed(fx, fy, fz, first.intensity, first.returnNo,
+      first.nReturns, first.classification, first.scanAngle, first.sourceId,
+      java.lang.Double.doubleToRawLongBits(first.gpsTime))
+
+    val encs = Array.fill(NumLayers)(new ArithEncoder)
+    var j = 1
+    while (j < m) {
+      val p = points(base + j)
+      val px = quant(p.x); val py = quant(p.y); val pz = quant(p.z)
+      val gbits = java.lang.Double.doubleToRawLongBits(p.gpsTime)
+      val old = ctxs(active)
+      val chanChanged = p.channel != active
+      val tgt = ctxs(p.channel)
+      if (chanChanged && !tgt.used)
+        tgt.seed(old.x, old.y, old.z, old.intensity, old.returnNo,
+          old.nReturns, old.classification, old.scanAngle, old.sourceId,
+          old.gpsBits)
+      val srcChanged = p.sourceId != tgt.sourceId
+      val gpsChanged = gbits != tgt.gpsBits
+      val angChanged = p.scanAngle != tgt.scanAngle
+      val nRetChanged = p.nReturns != tgt.nReturns
+      val rnCode =
+        if (p.returnNo == tgt.returnNo) 0
+        else if (p.returnNo == ((tgt.returnNo + 1) & 15)) 1
+        else if (p.returnNo == ((tgt.returnNo + 15) & 15)) 2
+        else 3
+      val changed = (if (chanChanged) 64 else 0) | (if (srcChanged) 32 else 0) |
+        (if (gpsChanged) 16 else 0) | (if (angChanged) 8 else 0) |
+        (if (nRetChanged) 4 else 0) | rnCode
+      val lpr = (if (old.returnNo == 1) 1 else 0) |
+        (if (old.returnNo >= old.nReturns) 2 else 0) |
+        (if (old.gpsChangedLast) 4 else 0)
+      encs(0).encodeSymbol(old.mChanged(lpr), changed)
+      if (chanChanged) {
+        val d = (p.channel - active + 4) & 3 // 1..3
+        encs(0).encodeSymbol(old.mScannerChannel, d - 1)
+        active = p.channel
+      }
+      if (nRetChanged) {
+        encs(0).encodeSymbol(
+          tgt.lazyModel(tgt.mNReturns, tgt.nReturns, 16, forDecoding = false),
+          p.nReturns)
+      }
+      if (rnCode == 3) {
+        encs(0).encodeSymbol(
+          tgt.lazyModel(tgt.mReturnNo, tgt.returnNo, 16, forDecoding = false),
+          p.returnNo)
+      }
+      val rc = retCtx(p.nReturns, p.returnNo)
+      val lv = retLevel(p.nReturns, p.returnNo)
+      val medIdx = (rc << 1) | (if (gpsChanged) 1 else 0)
+      val single = if (p.nReturns == 1) 1 else 0
+      val dx = px - tgt.x
+      tgt.icDx.compress(encs(0), tgt.medX(medIdx).get, dx, single)
+      tgt.medX(medIdx).add(dx)
+      val kx = tgt.icDx.k
+      val dy = py - tgt.y
+      tgt.icDy.compress(encs(0), tgt.medY(medIdx).get, dy,
+        single + (if (kx < 20) kx & 0xFE else 20))
+      tgt.medY(medIdx).add(dy)
+      val kz = (kx + tgt.icDy.k) / 2
+      tgt.icZ.compress(encs(1), tgt.lastZ(lv), pz,
+        single + (if (kz < 18) kz & 0xFE else 18))
+      tgt.lastZ(lv) = pz
+      encs(2).encodeSymbol(
+        tgt.lazyModel(tgt.mClass, tgt.classification, 256, forDecoding = false),
+        p.classification)
+      encs(3).encodeSymbol(
+        tgt.lazyModel(tgt.mFlags, tgt.flags, 64, forDecoding = false), 0)
+      val ictx = (if (p.returnNo == 1) 1 else 0) |
+        (if (p.returnNo >= p.nReturns) 2 else 0)
+      tgt.icIntensity.compress(encs(4), tgt.lastIntensity(ictx), p.intensity, ictx)
+      tgt.lastIntensity(ictx) = p.intensity
+      if (angChanged) {
+        tgt.icScanAngle.compress(encs(5), tgt.scanAngle & 0xFFFF,
+          p.scanAngle & 0xFFFF, if (gpsChanged) 1 else 0)
+      }
+      encs(6).encodeSymbol(
+        tgt.lazyModel(tgt.mUserData, tgt.userData, 256, forDecoding = false), 0)
+      if (srcChanged) tgt.icSource.compress(encs(7), tgt.sourceId, p.sourceId, 0)
+      if (gpsChanged) tgt.gps.compress(encs(8), gbits)
+      // advance target's last-point state
+      tgt.x = px; tgt.y = py; tgt.z = pz; tgt.intensity = p.intensity
+      tgt.returnNo = p.returnNo; tgt.nReturns = p.nReturns
+      tgt.classification = p.classification; tgt.scanAngle = p.scanAngle
+      tgt.sourceId = p.sourceId; tgt.gpsBits = gbits
+      tgt.gpsChangedLast = gpsChanged
+      j += 1
+    }
+    val layers = encs.map(_.done())
+    val out = ByteBuffer.allocate(POINT6_LEN + 4 * NumLayers +
+      layers.map(_.length).sum).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(raw.array())
+    layers.foreach(l => out.putInt(l.length))
+    layers.foreach(out.put)
+    out.array()
+  }
+
+  // -------------------------------------------------------------- decode --
+  /** Parsed layered-container layout — the unit-of-distribution facts,
+    * mirroring [[Laz.Layout]]. */
+  final case class Layout14(n: Int, chunkSize: Int,
+      sx: Double, sy: Double, sz: Double, ox: Double, oy: Double, oz: Double,
+      chunkStarts: Array[Int], chunkEnds: Array[Int]) {
+    def numChunks: Int = chunkStarts.length
+    def chunkBase(c: Int): Int = c * chunkSize
+    def chunkCount(c: Int): Int = math.min(chunkSize, n - chunkBase(c))
+  }
+
+  /** Parse header + laszip VLR + chunk table. Corrupt input throws
+    * IllegalArgumentException by name (codec-family discipline). */
+  def layout(bytes: Array[Byte]): Layout14 = {
+    require(bytes.length >= HEADER14_SIZE &&
+      new String(bytes, 0, 4, "US-ASCII") == "LASF", "not a LAS/LAZ file")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val (vMaj, vMin) = (bytes(24) & 0xff, bytes(25) & 0xff)
+    require(vMaj == 1 && vMin >= 4, s"not a LAS 1.4+ file (version $vMaj.$vMin)")
+    val fmtByte = b.get(104) & 0xFF
+    require((fmtByte & 0x80) != 0, "not LASzip-compressed — use Las.decode14")
+    require((fmtByte & 0x7F) == 6,
+      s"only point format 6 supported, got ${fmtByte & 0x7F}")
+    require(b.getInt(107) == 0, "legacy point count must be 0 for fmt 6")
+    val headerSize = b.getShort(94) & 0xFFFF
+    require(headerSize >= HEADER14_SIZE,
+      s"LAS 1.4 header size $headerSize < $HEADER14_SIZE")
+    val dataOff = b.getInt(96)
+    val numVlrs = b.getInt(100)
+    val n64 = b.getLong(247)
+    require(n64 >= 0 && n64 <= Int.MaxValue, s"point count $n64 out of range")
+    val n = n64.toInt
+    val sx = b.getDouble(131); val sy = b.getDouble(139); val sz = b.getDouble(147)
+    val ox = b.getDouble(155); val oy = b.getDouble(163); val oz = b.getDouble(171)
+    var chunkSize = DefaultChunkSize
+    var off = headerSize
+    var v = 0
+    var found = false
+    while (v < numVlrs) {
+      require(off + VLR_HEADER <= bytes.length, "truncated VLR header")
+      val recId = b.getShort(off + 18) & 0xFFFF
+      val len = b.getShort(off + 20) & 0xFFFF
+      if (recId == LASZIP_RECORD_ID) {
+        require(off + VLR_HEADER + 16 <= bytes.length, "truncated laszip VLR")
+        val comp = b.getShort(off + VLR_HEADER) & 0xFFFF
+        require(comp == 3,
+          s"only LAYERED_CHUNKED laszip supported for fmt 6, got compressor $comp")
+        chunkSize = b.getInt(off + VLR_HEADER + 12)
+        require(chunkSize > 0, s"corrupt chunk size $chunkSize")
+        found = true
+      }
+      off += VLR_HEADER + len
+      v += 1
+    }
+    require(found, "laszip VLR (record 22204) not found")
+    require(dataOff >= headerSize && dataOff + 8 <= bytes.length,
+      s"point data offset $dataOff outside file")
+    val tableOff64 = b.getLong(dataOff)
+    require(tableOff64 != -1L,
+      "LAZ chunk-table offset sentinel -1 (non-seekable writer) not supported")
+    require(tableOff64 >= dataOff + 8 && tableOff64 + 8 <= bytes.length,
+      s"LAZ chunk-table offset $tableOff64 outside [${dataOff + 8}, ${bytes.length - 8}]")
+    val tableOff = tableOff64.toInt
+    require(b.getInt(tableOff) == 0, "unsupported chunk table version")
+    val numChunks = b.getInt(tableOff + 4)
+    val expectChunks = if (n == 0) 0 else ((n - 1) / chunkSize) + 1
+    require(numChunks == expectChunks,
+      s"corrupt LAZ chunk table: $numChunks chunks for $n points of $chunkSize")
+    val tdec = new ArithDecoder(bytes, tableOff + 8, bytes.length)
+    val tic = new IntComp(32, 2, forDecoding = true)
+    val starts = new Array[Int](numChunks)
+    val ends = new Array[Int](numChunks)
+    var prev = 0
+    var start = dataOff + 8
+    var c = 0
+    while (c < numChunks) {
+      prev = tic.decompress(tdec, prev, 1)
+      require(prev >= POINT6_LEN + 4 * NumLayers && start + prev <= tableOff,
+        s"corrupt chunk extent $prev at $start")
+      starts(c) = start
+      ends(c) = start + prev
+      start = ends(c)
+      c += 1
+    }
+    Layout14(n, chunkSize, sx, sy, sz, ox, oy, oz, starts, ends)
+  }
+
+  /** Decode ONE chunk given only its byte slice + scalar facts — the
+    * distributed work unit. `need` is a mask of Need* bits; layer 1
+    * (returns/XY) always decodes, every skipped layer's bytes are never
+    * touched. Skipped fields come back as 0/1 defaults. */
+  def decodeChunkBytes(chunk: Array[Byte], m: Int,
+      sx: Double, sy: Double, sz: Double, ox: Double, oy: Double, oz: Double,
+      need: Int = NeedAll): Array[Las.P6] =
+    decodeChunkCore(chunk, 0, chunk.length, m, sx, sy, sz, ox, oy, oz, need)
+
+  /** Decode chunk `c` in place inside the whole-file byte array. */
+  def decodeChunk(bytes: Array[Byte], l: Layout14, c: Int,
+      need: Int = NeedAll): Array[Las.P6] =
+    decodeChunkCore(bytes, l.chunkStarts(c), l.chunkEnds(c), l.chunkCount(c),
+      l.sx, l.sy, l.sz, l.ox, l.oy, l.oz, need)
+
+  private def decodeChunkCore(bytes: Array[Byte], start: Int, end: Int, m: Int,
+      sx: Double, sy: Double, sz: Double, ox: Double, oy: Double, oz: Double,
+      need: Int): Array[Las.P6] = {
+    require(end - start >= POINT6_LEN + 4 * NumLayers, "truncated LAZ14 chunk")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    // raw first point
+    val fx = b.getInt(start); val fy = b.getInt(start + 4)
+    val fz = b.getInt(start + 8)
+    val fInten = b.getShort(start + 12) & 0xFFFF
+    val fRet = bytes(start + 14) & 0xFF
+    val fChan = (bytes(start + 15) >> 4) & 0x03
+    val fCls = bytes(start + 16) & 0xFF
+    val fAng = b.getShort(start + 18).toInt
+    val fSrc = b.getShort(start + 20) & 0xFFFF
+    val fGps = b.getDouble(start + 22)
+    // layer extents
+    val sizes = new Array[Int](NumLayers)
+    var so = start + POINT6_LEN
+    var li = 0
+    var acc = start + POINT6_LEN + 4 * NumLayers
+    val layerStart = new Array[Int](NumLayers)
+    val layerEnd = new Array[Int](NumLayers)
+    while (li < NumLayers) {
+      sizes(li) = b.getInt(so + 4 * li)
+      require(sizes(li) >= 0 && acc + sizes(li) <= end,
+        s"LAZ14 layer $li size ${sizes(li)} runs past chunk end")
+      layerStart(li) = acc
+      acc += sizes(li)
+      layerEnd(li) = acc
+      li += 1
+    }
+    def dec(i: Int): ArithDecoder = new ArithDecoder(bytes, layerStart(i), layerEnd(i))
+    val d0 = dec(0)
+    val dZ = if ((need & NeedZ) != 0) dec(1) else null
+    val dC = if ((need & NeedClass) != 0) dec(2) else null
+    // layer 3 (flags) and 6 (user data) carry no engine-schema fields;
+    // their streams are skipped entirely unless a full decode is asked
+    // for (they still advance the per-last-value model state, so a full
+    // decode drains them to stay in lockstep with the encoder)
+    val full = need == NeedAll
+    val dF = if (full) dec(3) else null
+    val dI = if ((need & NeedIntensity) != 0) dec(4) else null
+    val dA = if ((need & NeedScanAngle) != 0) dec(5) else null
+    val dU = if (full) dec(6) else null
+    val dS = if ((need & NeedSource) != 0) dec(7) else null
+    val dG = if ((need & NeedGps) != 0) dec(8) else null
+
+    val ctxs = Array.fill(4)(new Ctx14(forDec = true))
+    var active = fChan
+    ctxs(active).seed(fx, fy, fz, fInten, fRet & 0x0F, (fRet >> 4) & 0x0F,
+      fCls, fAng, fSrc, java.lang.Double.doubleToRawLongBits(fGps))
+
+    val out = new Array[Las.P6](m)
+    // pruned fields are zeroed on the raw first point too, so a masked
+    // decode yields a UNIFORM column (not "first row of every chunk has
+    // the real value") — the state machine still seeds from the raw
+    // values above, which is what keeps prediction in lockstep
+    out(0) = Las.P6(fx * sx + ox, fy * sy + oy,
+      (if ((need & NeedZ) != 0) fz * sz + oz else 0.0),
+      if ((need & NeedIntensity) != 0) fInten else 0,
+      fRet & 0x0F, (fRet >> 4) & 0x0F, fChan,
+      if ((need & NeedClass) != 0) fCls else 0,
+      if ((need & NeedScanAngle) != 0) fAng else 0,
+      if ((need & NeedSource) != 0) fSrc else 0,
+      if ((need & NeedGps) != 0) fGps else 0.0)
+    var j = 1
+    while (j < m) {
+      val old = ctxs(active)
+      val lpr = (if (old.returnNo == 1) 1 else 0) |
+        (if (old.returnNo >= old.nReturns) 2 else 0) |
+        (if (old.gpsChangedLast) 4 else 0)
+      val changed = d0.decodeSymbol(old.mChanged(lpr))
+      val chanChanged = (changed & 64) != 0
+      if (chanChanged) {
+        val d = d0.decodeSymbol(old.mScannerChannel) + 1
+        val nc = (active + d) & 3
+        if (!ctxs(nc).used)
+          ctxs(nc).seed(old.x, old.y, old.z, old.intensity, old.returnNo,
+            old.nReturns, old.classification, old.scanAngle, old.sourceId,
+            old.gpsBits)
+        active = nc
+      }
+      val tgt = ctxs(active)
+      val srcChanged = (changed & 32) != 0
+      val gpsChanged = (changed & 16) != 0
+      val angChanged = (changed & 8) != 0
+      val nRetChanged = (changed & 4) != 0
+      val rnCode = changed & 3
+      if (nRetChanged)
+        tgt.nReturns = d0.decodeSymbol(
+          tgt.lazyModel(tgt.mNReturns, tgt.nReturns, 16, forDecoding = true))
+      tgt.returnNo = rnCode match {
+        case 0 => tgt.returnNo
+        case 1 => (tgt.returnNo + 1) & 15
+        case 2 => (tgt.returnNo + 15) & 15
+        case _ => d0.decodeSymbol(
+          tgt.lazyModel(tgt.mReturnNo, tgt.returnNo, 16, forDecoding = true))
+      }
+      val rc = retCtx(tgt.nReturns, tgt.returnNo)
+      val lv = retLevel(tgt.nReturns, tgt.returnNo)
+      val medIdx = (rc << 1) | (if (gpsChanged) 1 else 0)
+      val single = if (tgt.nReturns == 1) 1 else 0
+      val dx = tgt.icDx.decompress(d0, tgt.medX(medIdx).get, single)
+      tgt.x += dx
+      tgt.medX(medIdx).add(dx)
+      val kx = tgt.icDx.k
+      val dy = tgt.icDy.decompress(d0, tgt.medY(medIdx).get,
+        single + (if (kx < 20) kx & 0xFE else 20))
+      tgt.y += dy
+      tgt.medY(medIdx).add(dy)
+      val kz = (kx + tgt.icDy.k) / 2
+      if (dZ != null) {
+        tgt.z = tgt.icZ.decompress(dZ, tgt.lastZ(lv),
+          single + (if (kz < 18) kz & 0xFE else 18))
+        tgt.lastZ(lv) = tgt.z
+      }
+      if (dC != null)
+        tgt.classification = dC.decodeSymbol(
+          tgt.lazyModel(tgt.mClass, tgt.classification, 256, forDecoding = true))
+      if (dF != null)
+        tgt.flags = dF.decodeSymbol(
+          tgt.lazyModel(tgt.mFlags, tgt.flags, 64, forDecoding = true))
+      if (dI != null) {
+        val ictx = (if (tgt.returnNo == 1) 1 else 0) |
+          (if (tgt.returnNo >= tgt.nReturns) 2 else 0)
+        tgt.intensity = tgt.icIntensity.decompress(dI, tgt.lastIntensity(ictx), ictx)
+        tgt.lastIntensity(ictx) = tgt.intensity
+      }
+      if (angChanged && dA != null)
+        tgt.scanAngle = tgt.icScanAngle.decompress(dA, tgt.scanAngle & 0xFFFF,
+          if (gpsChanged) 1 else 0).toShort.toInt
+      if (dU != null)
+        tgt.userData = dU.decodeSymbol(
+          tgt.lazyModel(tgt.mUserData, tgt.userData, 256, forDecoding = true))
+      if (srcChanged && dS != null)
+        tgt.sourceId = tgt.icSource.decompress(dS, tgt.sourceId, 0)
+      if (gpsChanged && dG != null) tgt.gpsBits = tgt.gps.decompress(dG)
+      tgt.gpsChangedLast = gpsChanged
+      out(j) = Las.P6(tgt.x * sx + ox, tgt.y * sy + oy,
+        if (dZ != null) tgt.z * sz + oz else 0.0,
+        if (dI != null) tgt.intensity else 0,
+        tgt.returnNo, tgt.nReturns, active,
+        if (dC != null) tgt.classification else 0,
+        if (dA != null) tgt.scanAngle else 0,
+        if (dS != null) tgt.sourceId else 0,
+        if (dG != null) java.lang.Double.longBitsToDouble(tgt.gpsBits) else 0.0)
+      j += 1
+    }
+    out
+  }
+
+  /** Full decode: header + every chunk, all layers. */
+  def decode(bytes: Array[Byte]): Array[Las.P6] = {
+    val l = layout(bytes)
+    (0 until l.numChunks).iterator.flatMap(decodeChunk(bytes, l, _)).toArray
+  }
+
+  /** Chunk-parallel ingest boundary (the [[Laz.tilesToPointsChunked]]
+    * shape): explode tiles into (tile, chunk) byte slices, decode each
+    * independently. `need` prunes decode WORK per layer. */
+  def tilesToPointsChunked(tiles: DataFrame, need: Int = NeedAll): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.select(col("tile_id").cast("int"), col("data"))
+      .as[(Int, Array[Byte])]
+      .flatMap { case (id, data) =>
+        val l = layout(data)
+        (0 until l.numChunks).iterator.map { c =>
+          (id, c, l.chunkCount(c), l.sx, l.sy, l.sz, l.ox, l.oy, l.oz,
+            java.util.Arrays.copyOfRange(data, l.chunkStarts(c), l.chunkEnds(c)))
+        }
+      }
+      .repartition(col("_1"), col("_2"))
+      .flatMap { case (id, _, m, sx, sy, sz, ox, oy, oz, slice) =>
+        decodeChunkBytes(slice, m, sx, sy, sz, ox, oy, oz, need).iterator.map {
+          p => (id, p.x, p.y, p.z, p.intensity, p.returnNo, p.nReturns,
+            p.channel, p.classification, p.scanAngle, p.sourceId, p.gpsTime)
+        }
+      }
+      .toDF("tile_id", "x", "y", "z", "intensity", "return_no", "n_returns",
+        "channel", "classification", "scan_angle", "source_id", "gps_time")
+  }
+}

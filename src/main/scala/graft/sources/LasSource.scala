@@ -131,9 +131,10 @@ private[sources] class LasScan(path: String, required: StructType)
       if (root.isFile) Array(root)
       else {
         require(root.isDirectory, s"no such path: $path")
-        root.listFiles().filter(_.getName.endsWith(".las")).sortBy(_.getName)
+        root.listFiles().filter(f => f.getName.endsWith(".las") ||
+          f.getName.endsWith(".laz")).sortBy(_.getName)
       }
-    require(files.nonEmpty, s"no .las files under $path")
+    require(files.nonEmpty, s"no .las/.laz files under $path")
     files.map(f => LasInputPartition(f.getAbsolutePath): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -157,7 +158,8 @@ private[sources] class LasMicroBatchStream(path: String, fields: Array[String])
     val root = new java.io.File(path)
     if (root.isFile) Array(root.getAbsolutePath)
     else if (!root.isDirectory) Array.empty
-    else root.listFiles().filter(_.getName.endsWith(".las"))
+    else root.listFiles().filter(f => f.getName.endsWith(".las") ||
+        f.getName.endsWith(".laz"))
       .map(_.getAbsolutePath).sorted
   }
   override def initialOffset(): Offset = LasOffset(0)
@@ -195,8 +197,15 @@ private[sources] class LasReaderFactory(fields: Array[String])
       private val pts: Array[(Double, Double, Double, Int, Double)] = {
         val bytes = java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(file))
-        require(bytes.length > 25, s"truncated LAS file $file")
-        if ((bytes(24) & 0xff) == 1 && (bytes(25) & 0xff) >= 4)
+        require(bytes.length > 104, s"truncated LAS file $file")
+        val is14 = (bytes(24) & 0xff) == 1 && (bytes(25) & 0xff) >= 4
+        val compressed = (bytes(104) & 0x80) != 0
+        // per-file vintage × compression dispatch: {1.2, 1.4} × {las, laz}
+        if (compressed && is14)
+          graft.ingest.Laz14.decode(bytes)
+            .map(p => (p.x, p.y, p.z, p.classification, p.gpsTime))
+        else if (compressed) graft.ingest.Laz.decodeTimed(bytes)
+        else if (is14)
           graft.ingest.Las.decode14(bytes)._1
             .map(p => (p.x, p.y, p.z, p.classification, p.gpsTime))
         else graft.ingest.Las.decodeTimed(bytes)

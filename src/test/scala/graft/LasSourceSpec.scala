@@ -99,6 +99,30 @@ class LasSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("compressed .laz deliveries dispatch per-file (1.2 and 1.4 layered)") {
+    val dir = java.nio.file.Files.createTempDirectory("las_dsv2_laz").toFile
+    // tile 0: LAZ 1.2 fmt 1 (POINT10+GPSTIME11)
+    java.nio.file.Files.write(new java.io.File(dir, "a.laz").toPath,
+      graft.ingest.Laz.encodeTimed(Array((1.5, 2.5, 100.0, 2, 7.25),
+        (17.0, 3.0, 101.5, 1, 8.5))))
+    // tile 1: native LAZ 1.4 fmt 6 (POINT14 layered)
+    java.nio.file.Files.write(new java.io.File(dir, "b.laz").toPath,
+      graft.ingest.Laz14.encode(Array(
+        Las.P6(40.0, 5.0, 110.0, 9, 2, 3, 1, 7, -100, 4, 315964800.5),
+        Las.P6(60.25, 6.5, 99.999999, 0, 1, 1, 0, 2, 0, 0, -1.25))))
+    // tile 2: uncompressed 1.4 in the same directory — all three vintages
+    java.nio.file.Files.write(new java.io.File(dir, "c.las").toPath,
+      Las.encode14(Array(Las.P6(80.0, 1.0, 50.0, 0, 1, 1, 2, 5, 10, 1, 0.5))))
+    val df = spark.read.format("graft.sources.LasSource")
+      .load(dir.getAbsolutePath)
+    assert(df.rdd.getNumPartitions == 3, "one InputPartition per file")
+    val rows = df.collect().map(r => (r.getDouble(0), r.getInt(3),
+      r.getDouble(4))).sortBy(_._1).toSeq
+    def q(v: Double) = math.floor(v / Las.Scale + 0.5) * Las.Scale
+    assert(rows == Seq((q(1.5), 2, 7.25), (q(17.0), 1, 8.5),
+      (q(40.0), 7, 315964800.5), (q(60.25), 2, -1.25), (q(80.0), 5, 0.5)))
+  }
+
   test("empty dir and junk bytes reject loudly") {
     val empty = java.nio.file.Files.createTempDirectory("las_dsv2_empty").toFile
     intercept[Exception] {
