@@ -123,6 +123,88 @@ class LasSourceSpec extends SparkSuite {
       (q(40.0), 7, 315964800.5), (q(60.25), 2, -1.25), (q(80.0), 5, 0.5)))
   }
 
+  test("filter pushdown reaches the decode loop: class + bbox skip decode work") {
+    val dir = java.nio.file.Files.createTempDirectory("las_dsv2_push").toFile
+    val pts = Array.tabulate(1000) { i =>
+      (i.toDouble, (i % 100).toDouble, 100.0 + i, if (i % 10 == 0) 2 else 1,
+        i * 0.5)
+    }
+    java.nio.file.Files.write(new java.io.File(dir, "a.las").toPath,
+      Las.encodeTimed(pts))
+    val base = spark.read.format("graft.sources.LasSource")
+      .load(dir.getAbsolutePath)
+    // class-only filter: only the 100 matching points fully materialize
+    graft.sources.LasSource.decodedPoints.set(0L)
+    val cls2 = base.filter(org.apache.spark.sql.functions.col("classification") === 2)
+      .collect()
+    assert(cls2.length == 100)
+    assert(graft.sources.LasSource.decodedPoints.get() == 100,
+      s"decoded ${graft.sources.LasSource.decodedPoints.get()} points, expected 100")
+    // bbox crop composes with the class filter
+    graft.sources.LasSource.decodedPoints.set(0L)
+    val crop = base.filter("classification = 2 AND x >= 100.0 AND x < 300.0")
+      .collect()
+    assert(crop.length == 20)
+    // 21, not 20: the strict x < 300 is widened to an inclusive bound in
+    // the decode loop (x = 300 decodes), and Spark's residual drops it
+    assert(graft.sources.LasSource.decodedPoints.get() == 21)
+    // and Spark still re-applies the predicate (residual): values correct
+    assert(crop.forall(r => r.getInt(3) == 2 && r.getDouble(0) >= 100.0 &&
+      r.getDouble(0) < 300.0))
+    // the pushed filters are visible on the scan
+    val scanDesc = cls2 // re-plan to inspect
+    val df = base.filter("classification = 2")
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+    assert(leaves.exists(_.toString.contains("las(")), "scan leaf present")
+  }
+
+  test("projection prunes LAZ14 layer decode through the connector") {
+    val dir = java.nio.file.Files.createTempDirectory("las_dsv2_laz_prune").toFile
+    val pts = Array.tabulate(500)(i =>
+      Las.P6(i.toDouble, i * 2.0, 100.0 + i, i % 7, 1, 1, 0, i % 5, i % 30,
+        i % 3, i * 0.25))
+    java.nio.file.Files.write(new java.io.File(dir, "a.laz").toPath,
+      graft.ingest.Laz14.encode(pts, chunkSize = 128))
+    val xy = spark.read.format("graft.sources.LasSource")
+      .load(dir.getAbsolutePath).select("x", "y")
+    assert(xy.schema.fieldNames.toSeq == Seq("x", "y"), "pruned ReadSchema")
+    val rows = xy.collect().map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    assert(rows.length == 500)
+    for (i <- 0 until 500)
+      assert(rows(i) == (i.toDouble, i * 2.0), s"row $i")
+    // full projection still yields every channel through the same file
+    val full = spark.read.format("graft.sources.LasSource")
+      .load(dir.getAbsolutePath).orderBy("x").collect()
+    assert(full.map(_.getInt(3)).toSeq == pts.sortBy(_.x).map(_.classification).toSeq)
+  }
+
+  test("streaming write path back-patches headers (large partition, exact readback)") {
+    val dir = java.nio.file.Files.createTempDirectory("las_dsv2_stream_w").toFile
+    import spark.implicits._
+    val n = 50000
+    val df = spark.range(n.toLong).select(
+      ($"id" * 0.001).as("x"), ($"id" % 97).cast("double").as("y"),
+      (org.apache.spark.sql.functions.lit(100.0) + $"id" % 13).as("z"),
+      ($"id" % 5).cast("int").as("classification"),
+      ($"id" * 0.5).as("gps_time"))
+      .repartition(2)
+    df.write.format("graft.sources.LasSource").mode("append")
+      .save(dir.getAbsolutePath)
+    val files = dir.listFiles().filter(_.getName.endsWith(".las")).sortBy(_.getName)
+    assert(files.length == 2)
+    // no temp litter
+    assert(!dir.listFiles().exists(_.getName.endsWith(".tmp")))
+    val back = spark.read.format("graft.sources.LasSource")
+      .load(dir.getAbsolutePath)
+    assert(back.count() == n.toLong)
+    import org.apache.spark.sql.functions._
+    val s = back.agg(sum(floor($"x" / 1e-6 + 0.5)).cast("long"),
+      sum($"classification").cast("long")).head()
+    val e = df.agg(sum(floor($"x" / 1e-6 + 0.5)).cast("long"),
+      sum($"classification").cast("long")).head()
+    assert(s == e, s"readback aggregate $s vs $e")
+  }
+
   test("empty dir and junk bytes reject loudly") {
     val empty = java.nio.file.Files.createTempDirectory("las_dsv2_empty").toFile
     intercept[Exception] {
