@@ -43,6 +43,72 @@ object Datum {
   val Osgb36ToWgs84: Helmert =
     Helmert(446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
 
+  /** 14-parameter TIME-DEPENDENT Helmert (EPSG method 1053,
+    * "time-dependent position vector"): the 7 parameters at `refEpoch`
+    * plus their per-year rates. This is the reference's epoch-aware
+    * BOUNDCRS path (`+epoch=` decimal years / FRAME_EPOCH,
+    * differencing_functions.py:1901–1927, 2066–2093) — what ties two
+    * surveys observed in a dynamic frame (ITRF) to a plate-fixed datum
+    * at their own observation epochs. Rates: translations [m/yr],
+    * rotations [arc-sec/yr], scale [ppm/yr]. */
+  final case class Helmert14(tx: Double, ty: Double, tz: Double,
+                             rxSec: Double, rySec: Double, rzSec: Double,
+                             sPpm: Double,
+                             dtx: Double, dty: Double, dtz: Double,
+                             drxSec: Double, drySec: Double, drzSec: Double,
+                             dsPpm: Double, refEpoch: Double) {
+    def inverse: Helmert14 = Helmert14(-tx, -ty, -tz, -rxSec, -rySec, -rzSec,
+      -sPpm, -dtx, -dty, -dtz, -drxSec, -drySec, -drzSec, -dsPpm, refEpoch)
+    /** Materialize the 7 parameters at a SCALAR epoch (decimal years). */
+    def at(epoch: Double): Helmert = {
+      val dt = epoch - refEpoch
+      Helmert(tx + dtx * dt, ty + dty * dt, tz + dtz * dt,
+        rxSec + drxSec * dt, rySec + drySec * dt, rzSec + drzSec * dt,
+        sPpm + dsPpm * dt)
+    }
+  }
+
+  /** The EPSG-published ITRF2014 → GDA2020 time-dependent position-
+    * vector set (EPSG:8048; GDA2020 Technical Manual): all seven
+    * parameters zero at epoch 2020.0, rotation rates = the Australian
+    * plate motion. The canonical published example of method 1053. */
+  val Itrf2014ToGda2020: Helmert14 = Helmert14(
+    0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+    0.0, 0.0, 0.0, 1.50379e-3, 1.18346e-3, 1.20716e-3, 0.0, 2020.0)
+
+  /** Position-vector Helmert with COLUMN-valued parameters — the
+    * per-row-epoch path of [[transform14]]; same expression order as
+    * the scalar [[helmert]], all inside whole-stage codegen. */
+  def helmertCols(x: Column, y: Column, z: Column,
+                  tx: Column, ty: Column, tz: Column,
+                  rx: Column, ry: Column, rz: Column,
+                  s: Column): (Column, Column, Column) =
+    (tx + s * (x - rz * y + ry * z),
+      ty + s * (rz * x + y - rx * z),
+      tz + s * (-ry * x + rx * y + z))
+
+  /** Full time-dependent datum shift with a PER-ROW epoch column:
+    * geodetic on `src` → 14-parameter Helmert materialized at each
+    * row's epoch → geodetic on `dst`. The expression order of the
+    * parameter propagation (p0 + rate·Δt, Δt = epoch − refEpoch) is
+    * fixed and mirrored verbatim by the pinned-artifact generator. */
+  def transform14(lat: Column, lon: Column, h: Column, epoch: Column,
+                  src: Ellipsoid, p: Helmert14, dst: Ellipsoid)
+      : (Column, Column, Column) = {
+    val sec2rad = math.Pi / (180.0 * 3600.0)
+    val dt = epoch - lit(p.refEpoch)
+    val tx = lit(p.tx) + lit(p.dtx) * dt
+    val ty = lit(p.ty) + lit(p.dty) * dt
+    val tz = lit(p.tz) + lit(p.dtz) * dt
+    val rx = (lit(p.rxSec) + lit(p.drxSec) * dt) * lit(sec2rad)
+    val ry = (lit(p.rySec) + lit(p.drySec) * dt) * lit(sec2rad)
+    val rz = (lit(p.rzSec) + lit(p.drzSec) * dt) * lit(sec2rad)
+    val s = lit(1.0) + (lit(p.sPpm) + lit(p.dsPpm) * dt) * lit(1e-6)
+    val (x, y, z) = toGeocentric(lat, lon, h, src)
+    val (x2, y2, z2) = helmertCols(x, y, z, tx, ty, tz, rx, ry, rz, s)
+    toGeodetic(x2, y2, z2, dst)
+  }
+
   /** Geodetic (degrees, metres) → geocentric XYZ on `ell`. */
   def toGeocentric(lat: Column, lon: Column, h: Column,
                    ell: Ellipsoid): (Column, Column, Column) = {

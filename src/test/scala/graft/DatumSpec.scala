@@ -83,4 +83,68 @@ class DatumSpec extends SparkSuite {
         (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(got == exp)
   }
+
+  test("Helmert14: at refEpoch the zero-param set is the identity") {
+    val p = Datum.Itrf2014ToGda2020
+    val df = Seq((-27.5, 153.0, 40.0, 2020.0)).toDF("lat", "lon", "h", "epoch")
+    val (la, lo, hh) = Datum.transform14(col("lat"), col("lon"), col("h"),
+      col("epoch"), Datum.Grs80, p, Datum.Grs80)
+    val r = df.select(la.as("a"), lo.as("b"), hh.as("c")).head()
+    assert(math.abs(r.getDouble(0) - -27.5) < 1e-11)
+    assert(math.abs(r.getDouble(1) - 153.0) < 1e-11)
+    assert(math.abs(r.getDouble(2) - 40.0) < 1e-6)
+  }
+
+  test("Helmert14: epoch propagation magnitude and inverse round-trip") {
+    val p = Datum.Itrf2014ToGda2020
+    // 2015 -> 2020 is 5 years of ~1.5 mas/yr plate rotation: expect a
+    // horizontal shift of a few decimetres, doubling over double the span
+    def shiftAt(epoch: Double): Double = {
+      val df = Seq((-27.5, 153.0, 40.0, epoch)).toDF("lat", "lon", "h", "epoch")
+      val (la, lo, _) = Datum.transform14(col("lat"), col("lon"), col("h"),
+        col("epoch"), Datum.Grs80, p, Datum.Grs80)
+      val r = df.select(la.as("a"), lo.as("b")).head()
+      val dLat = (r.getDouble(0) + 27.5) * 111320.0
+      val dLon = (r.getDouble(1) - 153.0) * 111320.0 * math.cos(math.toRadians(27.5))
+      math.hypot(dLat, dLon)
+    }
+    val s5 = shiftAt(2015.0)
+    val s10 = shiftAt(2010.0)
+    assert(s5 > 0.2 && s5 < 0.6, s"5-year shift $s5 m")
+    assert(math.abs(s10 / s5 - 2.0) < 1e-3, s"linear in Δepoch: $s10 vs $s5")
+    // inverse at the same epoch round-trips
+    for (epoch <- Seq(2010.0, 2017.25, 2024.9375)) {
+      val df = Seq((-44.0, 112.0, 0.0, epoch), (-10.0, 154.0, 950.0, epoch))
+        .toDF("lat", "lon", "h", "epoch")
+      val (la, lo, hh) = Datum.transform14(col("lat"), col("lon"), col("h"),
+        col("epoch"), Datum.Grs80, p, Datum.Grs80)
+      val fwd = df.select(col("lat"), col("lon"), col("epoch"),
+        la.as("glat"), lo.as("glon"), hh.as("gh"))
+      val (bla, blo, _) = Datum.transform14(col("glat"), col("glon"), col("gh"),
+        col("epoch"), Datum.Grs80, p.inverse, Datum.Grs80)
+      fwd.select((abs(bla - col("lat")) + abs(blo - col("lon"))).as("err"))
+        .collect().foreach(r => assert(r.getDouble(0) < 1e-9, s"rt at $epoch"))
+    }
+  }
+
+  test("ITRF2014→GDA2020 matches the pinned longdouble artifact on spot keys") {
+    val exp = spark.read.parquet("tools/helmert14_expected.parquet")
+      .filter(col("c_custkey") < 50)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val pts = spark.range(50).select(col("id").as("k"),
+      (-(graft.rng.Rand.u01(col("id"), 71) * 34.0 + 10.0)).as("lat"),
+      (graft.rng.Rand.u01(col("id"), 72) * 42.0 + 112.0).as("lon"),
+      (graft.rng.Rand.u01(col("id"), 73) * 1000.0).as("h"),
+      (floor(graft.rng.Rand.u01(col("id"), 74) * 160.0) / 16.0 + 2015.0).as("epoch"))
+    val (la, lo, hh) = Datum.transform14(col("lat"), col("lon"), col("h"),
+      col("epoch"), Datum.Grs80, Datum.Itrf2014ToGda2020, Datum.Grs80)
+    val got = pts.select(col("k"), col("epoch"),
+        graft.functions.Canon.round(la, 8).as("la"),
+        graft.functions.Canon.round(lo, 8).as("lo"),
+        graft.functions.Canon.round(hh, 3).as("hh"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got == exp)
+  }
 }

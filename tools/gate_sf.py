@@ -4,7 +4,8 @@ gate (DuckDB oracle per query, canonicalized column/row sort, 9-dp
 rounding, dtype parity) and writes a CORRECTNESS-style JSON artifact.
 Usage: gate_sf.py <sfDir> <verifyOutDir> <outJson>
 
-SF ceiling note: r_utm_project and r_helmert_datum join pinned
+SF ceiling note: r_utm_project, r_helmert_datum and r_helmert14_datum
+join pinned
 longdouble artifacts (tools/*_expected.parquet) that cover c_custkey
 0..14999 — a superset of every driver-gated scale (sf <= 0.1). ScaleGen
 sf1 fixtures use replica-offset keys up to ~9M, so those two oracles
