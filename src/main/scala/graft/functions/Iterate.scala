@@ -31,12 +31,16 @@ object Iterate {
     * round was reached before maxRounds). */
   final case class Fixpoint(result: DataFrame, rounds: Int, lastDelta: Double)
 
-  /** Iterate `step` from `r0` until `sum(abs(value - prev))` over `keyCol`
-    * falls below `eps` at a checkpoint round, or `maxRounds` rounds ran.
-    * `eps = 0` never exits early (deltas are >= 0), which makes the
-    * fixed-round gate path and the convergence path ONE code path. */
+  /** Iterate `step` from `r0` until `sum(abs(value - prev))` over
+    * `keyCols` falls below `eps` at a checkpoint round, or `maxRounds`
+    * rounds ran. `eps = 0` never exits early (deltas are >= 0), which
+    * makes the fixed-round gate path and the convergence path ONE code
+    * path. Integer value columns (label propagation's labels) are cast
+    * to double for the delta only — any label move registers as a
+    * positive delta, zero means fixpoint. Composite keys (flow
+    * accumulation's (col, row) cells) join on all of `keyCols`. */
   def untilDelta(r0: DataFrame, maxRounds: Int, eps: Double,
-                 checkEvery: Int = 2, keyCol: String = "src",
+                 checkEvery: Int = 2, keyCols: Seq[String] = Seq("src"),
                  valCol: String = "r", tag: String = "iterate")
                 (step: DataFrame => DataFrame): Fixpoint = {
     require(maxRounds >= 1 && checkEvery >= 1 && eps >= 0, "bad iteration knobs")
@@ -50,8 +54,9 @@ object Iterate {
       r = if (i % checkEvery == 0 && i < maxRounds) {
         val chk = nxt.localCheckpoint(true)
         val delta = chk.join(
-            lastChk.select(col(keyCol), col(valCol).as("__prev")), keyCol)
-          .agg(sum(abs(col(valCol) - col("__prev"))).as("d"))
+            lastChk.select(keyCols.map(col) :+
+              col(valCol).cast("double").as("__prev"): _*), keyCols)
+          .agg(sum(abs(col(valCol).cast("double") - col("__prev"))).as("d"))
           .head.getDouble(0)
         System.err.println(f"[graft.$tag%s] iter=$i%d l1_delta=$delta%.6f")
         lastChk = chk
@@ -61,5 +66,29 @@ object Iterate {
       } else nxt
     }
     Fixpoint(r, i, lastDelta)
+  }
+
+  /** PEEL-style iteration (k-core, pruning passes): `step` returns the
+    * next state plus a DELTA frame (the elements removed/changed this
+    * round, already materialized by the caller's sharing discipline);
+    * the loop stops when the delta is EMPTY or after `maxRounds`. An
+    * empty delta IS the fixpoint, so — unlike [[untilDelta]] — the
+    * fixed-round gate path and the convergence path coincide with no
+    * eps knob: further rounds are provably no-ops. */
+  def untilEmptyDelta(s0: DataFrame, maxRounds: Int, tag: String = "peel")
+                     (step: DataFrame => (DataFrame, DataFrame)): Fixpoint = {
+    require(maxRounds >= 1, "bad iteration knobs")
+    var s = s0
+    var i = 0
+    while (i < maxRounds) {
+      i += 1
+      val (nxt, delta) = step(s)
+      if (delta.isEmpty) {
+        System.err.println(s"[graft.$tag] iter=$i converged (empty delta)")
+        return Fixpoint(s, i, 0.0)
+      }
+      s = nxt
+    }
+    Fixpoint(s, i, Double.NaN)
   }
 }

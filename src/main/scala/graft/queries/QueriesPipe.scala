@@ -617,11 +617,14 @@ object QueriesPipe {
   // shape; localCheckpoint every 2 rounds truncates lineage exactly as
   // iterateRanks does. Census per k: surviving nodes/edges, max degree.
   private val KCORE_ROUNDS = 6
-  private def kcoreSurvivors(edges0: DataFrame, k: Int): DataFrame = {
-    var edges = edges0
-    var i = 1
-    var converged = false
-    while (i <= KCORE_ROUNDS && !converged) {
+  private def kcoreSurvivors(edges0: DataFrame, k: Int): DataFrame =
+    // termination via the shared peel primitive (Iterate.untilEmptyDelta):
+    // the per-round delta IS the dropped-node set, and an empty delta is
+    // provably the fixpoint — so the fixed-round gate contract and the
+    // convergence mode coincide with no eps knob (round-9 adoption; the
+    // body below is byte-identical to the former inline loop)
+    graft.functions.Iterate.untilEmptyDelta(edges0, KCORE_ROUNDS,
+        tag = s"kcore$k") { edges =>
       // peel DELTA, not survivor set: the nodes dropping this round —
       // shrinking and (in real graphs) far below node count, so it
       // broadcasts and both edge filters run map-side with NO edge
@@ -637,17 +640,11 @@ object QueriesPipe {
       val bad = graft.functions.CacheRegistry.share(
         edges.groupBy("src").agg(count(lit(1)).as("deg"))
           .filter(col("deg") < k).select("src"))
-      if (bad.isEmpty) converged = true
-      else {
-        edges = edges
-          .join(broadcast(bad), Seq("src"), "left_anti")
-          .join(broadcast(bad.select(col("src").as("dst"))), Seq("dst"), "left_anti")
-          .select("src", "dst")
-      }
-      i += 1
-    }
-    edges
-  }
+      (edges
+        .join(broadcast(bad), Seq("src"), "left_anti")
+        .join(broadcast(bad.select(col("src").as("dst"))), Seq("dst"), "left_anti")
+        .select("src", "dst"), bad)
+    }.result
   private val kcore: Q = (s, d) => {
     val (contrib, _) = orderGraph(s, d)
     val edges0 = contrib.select("src", "dst")
@@ -843,19 +840,25 @@ object QueriesPipe {
   private val labelprop: Q = (s, d) => {
     val (contrib, deg) = orderGraph(s, d)
     val edges = contrib.select("src", "dst")
-    var lbl = deg.select(col("src"), col("src").as("lbl"))
-    for (_ <- 1 to LP_ITERS) {
-      // winner per node = max over (cnt, -lbl) structs: highest vote
-      // count, smallest label on ties — an ORDER-FREE aggregate (merge-
-      // safe under any partial-agg order), so the pick needs no per-node
-      // sort window and map-side partials prune the (dst, lbl) shuffle
-      lbl = edges.join(lbl, "src")
+    val lbl0 = deg.select(col("src"), col("src").as("lbl"))
+    // fixed-round gate path delegated to the shared termination
+    // primitive with eps = 0 (round-9 adoption, like the pagerank
+    // family): a real run sets eps > 0 and stops when no label moves —
+    // the L1 delta over the integer labels is 0 exactly at the LPA
+    // fixpoint. Step body unchanged:
+    // winner per node = max over (cnt, -lbl) structs: highest vote
+    // count, smallest label on ties — an ORDER-FREE aggregate (merge-
+    // safe under any partial-agg order), so the pick needs no per-node
+    // sort window and map-side partials prune the (dst, lbl) shuffle
+    val lbl = graft.functions.Iterate.untilDelta(lbl0, LP_ITERS, eps = 0.0,
+      valCol = "lbl", tag = "labelprop") { l =>
+      edges.join(l, "src")
         .groupBy(col("dst"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy("dst")
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("dst").as("src"), (-col("m.nl")).as("lbl"))
-    }
+    }.result
     lbl.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"),
         min("src").as("min_node"), max("src").as("max_node"),

@@ -161,17 +161,23 @@ object QueriesRaster {
       flow.filter(col("flow_dir") > 0).select(
         col("col").as("sc"), col("row").as("sr"),
         (col("col") + dcCase).as("tc"), (col("row") + drCase).as("tr")))
-    var acc = cells.withColumn("a", lit(1L))
-    for (_ <- 1 to FLOW_HOPS) {
+    val acc0 = cells.withColumn("a", lit(1L))
+    // fixed-hop gate path through the shared termination primitive with
+    // eps = 0 (round-9 adoption): at scale the loop runs until the
+    // accumulation stops changing (delta 0 when every path is shorter
+    // than the hop count) instead of a guessed hop budget. Composite
+    // (c, r) key; step body unchanged.
+    val acc = graft.functions.Iterate.untilDelta(acc0, FLOW_HOPS, eps = 0.0,
+      keyCols = Seq("c", "r"), valCol = "a", tag = "flow_accum") { acc =>
       val up = edges
         .join(acc.select(col("c").as("sc"), col("r").as("sr"), col("a")),
           Seq("sc", "sr"))
         .groupBy(col("tc").as("c"), col("tr").as("r"))
         .agg(sum("a").as("up"))
-      acc = cells.join(up, Seq("c", "r"), "left_outer")
+      cells.join(up, Seq("c", "r"), "left_outer")
         .select(col("c"), col("r"),
           (lit(1L) + coalesce(col("up"), lit(0L))).as("a"))
-    }
+    }.result
     acc.select(col("c").as("col"), col("r").as("row"), col("a").as("flow_acc"))
   }
 
