@@ -53,10 +53,14 @@ object Iterate {
       val nxt = step(r)
       r = if (i % checkEvery == 0 && i < maxRounds) {
         val chk = nxt.localCheckpoint(true)
+        // coalesce: sum() over an EMPTY join (degenerate input — e.g. a
+        // grid too small for the D8 stencil, or an empty graph) is NULL;
+        // a null delta over an empty iterate IS a fixpoint, not a crash.
         val delta = chk.join(
             lastChk.select(keyCols.map(col) :+
               col(valCol).cast("double").as("__prev"): _*), keyCols)
-          .agg(sum(abs(col(valCol).cast("double") - col("__prev"))).as("d"))
+          .agg(coalesce(sum(abs(col(valCol).cast("double") - col("__prev"))),
+            lit(0.0)).as("d"))
           .head.getDouble(0)
         System.err.println(f"[graft.$tag%s] iter=$i%d l1_delta=$delta%.6f")
         lastChk = chk

@@ -89,9 +89,14 @@ object Datum {
 
   /** Full time-dependent datum shift with a PER-ROW epoch column:
     * geodetic on `src` → 14-parameter Helmert materialized at each
-    * row's epoch → geodetic on `dst`. The expression order of the
-    * parameter propagation (p0 + rate·Δt, Δt = epoch − refEpoch) is
-    * fixed and mirrored verbatim by the pinned-artifact generator. */
+    * row's epoch → geodetic on `dst`. The parameter propagation is
+    * p0 + rate·Δt, Δt = epoch − refEpoch, with one fixed expression
+    * order. NOTE: the pinned-artifact generator multiplies
+    * (rate·sec2rad)·Δt where this chain computes (rate·Δt)·sec2rad —
+    * the match at the artifact's 8-dp rounding rests on the generator's
+    * longdouble headroom absorbing f64 reorder differences (the same
+    * tolerance argument as the helmert_expected pattern), not on
+    * verbatim op-order mirroring. */
   def transform14(lat: Column, lon: Column, h: Column, epoch: Column,
                   src: Ellipsoid, p: Helmert14, dst: Ellipsoid)
       : (Column, Column, Column) = {

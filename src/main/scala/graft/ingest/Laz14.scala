@@ -42,14 +42,32 @@ import org.apache.spark.sql.functions._
   *    context coupling; return-level Z prediction; and the GPSTIME11
   *    multi-sequence machine as the GPS layer.
   *
-  * Scoped simplifications (documented, not hidden): the return-number
-  * context tables reuse the published 8×8 POINT10 maps (clamped) rather
-  * than POINT14's 16×16 expansion, and classification/flags/user-data
-  * use per-last-value adaptive models rather than the spec's composite
-  * contexts. Encoder and decoder share every table, so round trips are
-  * exact; as with [[Laz]], no native laszip build exists in this
-  * container, so conformance against externally produced files could
-  * not be exercised (honesty note mirrored from Laz.scala).
+  * Scoped simplifications (documented, not hidden) — the precise
+  * deviations from the published POINT14 item codec, each of which
+  * would desynchronize this decoder on a stream written by native
+  * laszip (and vice versa):
+  *  1. return-number/median contexts use the published 8×8 POINT10
+  *     maps clamped over the fmt-6 4-bit fields, not POINT14's 16×16
+  *     `number_return_map_6ctx` / `number_return_level_8ctx` expansion;
+  *  2. classification, flags and user-data layers use per-last-value
+  *     adaptive models, not the spec's composite contexts (last value
+  *     ⊕ return-position bits);
+  *  3. the flags/user-data layers code a constant symbol stream (this
+  *     engine's schema carries neither field).
+  * These remain deviations rather than fixes as a matter of integrity,
+  * not effort: the 16×16 tables and composite-context definitions are
+  * ~512 published constants in the LAZ Specification 1.4 appendix, and
+  * neither that document nor any independent LAZ implementation exists
+  * in this offline build environment — transcribing them from memory
+  * would produce tables that CLAIM spec conformance but cannot be
+  * cross-checked, a strictly worse state than a documented deviation.
+  * Encoder and decoder share every table, so round trips are exact; as
+  * with [[Laz]], conformance against externally produced files could
+  * not be exercised (honesty note mirrored from Laz.scala). First
+  * contact with a native-laszip delivery needs the spec document in
+  * hand; the container format, layer framing, chunk table and selective
+  * decompression above are all spec-true, so the swap is localized to
+  * the context-table constants and the three model families.
   *
   * Scale shape: chunks (default 50 000 points) restart all model state
   * and the chunk table gives exact byte extents, so a 100-TB ingest
@@ -486,16 +504,18 @@ object Laz14 {
     val sizes = new Array[Int](NumLayers)
     var so = start + POINT6_LEN
     var li = 0
-    var acc = start + POINT6_LEN + 4 * NumLayers
+    // Long accumulation: a crafted layer size near Int.MaxValue must fail
+    // the bounds require, not wrap negative and index buf(negative) later
+    var acc: Long = (start + POINT6_LEN + 4 * NumLayers).toLong
     val layerStart = new Array[Int](NumLayers)
     val layerEnd = new Array[Int](NumLayers)
     while (li < NumLayers) {
       sizes(li) = b.getInt(so + 4 * li)
-      require(sizes(li) >= 0 && acc + sizes(li) <= end,
+      require(sizes(li) >= 0 && acc + sizes(li).toLong <= end.toLong,
         s"LAZ14 layer $li size ${sizes(li)} runs past chunk end")
-      layerStart(li) = acc
-      acc += sizes(li)
-      layerEnd(li) = acc
+      layerStart(li) = acc.toInt
+      acc += sizes(li).toLong
+      layerEnd(li) = acc.toInt
       li += 1
     }
     def dec(i: Int): ArithDecoder = new ArithDecoder(bytes, layerStart(i), layerEnd(i))

@@ -87,6 +87,28 @@ object Smrf {
         col("n_ground"), col("zmin"), col("opened_z"))
   }
 
+  /** Per-POINT ground selection — the composable form of [[reclassify]]
+    * for pipelines that need the surviving points themselves (LAS bytes →
+    * SMRF → DEM grid, the reference's differencing_functions.py:1672–1676
+    * keep-class-2 step): drop noise classes, build the same single-window
+    * opened min-surface, and return the (x, y, z) rows within Threshold
+    * of it. Same shapes and sharing discipline as [[reclassify]]. */
+  def groundPoints(pts: DataFrame): DataFrame = {
+    val tagged = graft.functions.CacheRegistry.share(
+      pts.filter(!col("classification").isin(7, 18))
+        .select(col("x"), col("y"), col("z"),
+          floor(col("x")).cast("int").as("c"),
+          floor(col("y")).cast("int").as("r")))
+    val cells = graft.functions.CacheRegistry.share(
+      tagged.groupBy("c", "r").agg(min("z").as("zmin")))
+    val eroded = graft.functions.CacheRegistry.share(
+      neighborAgg(cells, "zmin", doMin = true, "ez"))
+    val opened = neighborAgg(eroded, "ez", doMin = false, "oz")
+    tagged.join(opened.select("c", "r", "oz"), Seq("c", "r"))
+      .filter(col("z") - col("oz") <= Threshold)
+      .select("x", "y", "z")
+  }
+
   // ---- multi-window schedule (round 6) ---------------------------------
   // PDAL filters.smrf defaults (Pingel, Clarke & McBride 2013 §3): the
   // opening iterates over GROWING windows to `window` meters, the

@@ -18,14 +18,30 @@ import graft.zonal.Zonal
 object QueriesRaster {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Absolute path of a pinned oracle artifact under `tools/`, resolved
-    * from the working directory at query-construction time (Verify/sbt
-    * run from the repo root) instead of a hard-coded checkout path.
+  /** Absolute path of a pinned oracle artifact under `tools/`, anchored
+    * to the REPO ROOT: first the working directory (the sbt/Verify fast
+    * path), else walk up from this class's code-source location
+    * (`target/scala-2.13/classes` or a packaged jar under `target/`)
+    * until `tools/<name>.parquet` appears — so a JVM started anywhere
+    * (spark-shell with extraClassPath, a test runner with its own CWD)
+    * still resolves the artifact.
     * NOTE: the pinned tables cover `c_custkey` 0..14999 — a superset of
     * every driver-gated scale (sf ≤ 0.1) but NOT of ScaleGen sf1 keys
     * (replica-offset ids up to ~9M); gate_sf.py documents the ceiling. */
-  private[queries] def pinnedArtifact(name: String): String =
-    new java.io.File(s"tools/$name.parquet").getAbsolutePath
+  private[queries] def pinnedArtifact(name: String): String = {
+    val rel = s"tools/$name.parquet"
+    val cwd = new java.io.File(rel)
+    if (cwd.exists()) cwd.getAbsolutePath else pinnedFromClasspath(rel)
+  }
+
+  /** The classpath-anchored branch, separable for testing. */
+  private[graft] def pinnedFromClasspath(rel: String): String = {
+    var d = new java.io.File(
+      getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+    while (d != null && !new java.io.File(d, rel).exists()) d = d.getParentFile
+    require(d != null, s"pinned artifact $rel not found from CWD or classpath root")
+    new java.io.File(d, rel).getAbsolutePath
+  }
 
   private def gA(s: SparkSession, d: String) = PixelGrid.grid(s, d, 0)
   private def gB(s: SparkSession, d: String) = PixelGrid.grid(s, d, 1)

@@ -55,12 +55,14 @@ object LasSource {
 
   /** Total points fully materialized by readers in this JVM — a
     * test-observable measure that pushdown skips decode work (reset in
-    * specs; no production behavior depends on it). */
+    * specs; no production behavior depends on it). Readers count into a
+    * plain local and flush here once in close(), so the hot decode loop
+    * never touches a shared cache line. */
   val decodedPoints = new AtomicLong(0L)
 
   /** Compiled pushed-down predicate: classification membership + per-axis
     * closed-open bounds, evaluated inside the decode loop. */
-  private[sources] final case class Pushed(
+  private[graft] final case class Pushed(
       cls: Option[Set[Int]],
       xMin: Double, xMax: Double,
       yMin: Double, yMax: Double,
@@ -78,7 +80,7 @@ object LasSource {
     def filtersT: Boolean = tMin > Double.NegativeInfinity || tMax < Double.PositiveInfinity
   }
 
-  private[sources] val NoFilter = Pushed(None,
+  private[graft] val NoFilter = Pushed(None,
     Double.NegativeInfinity, Double.PositiveInfinity,
     Double.NegativeInfinity, Double.PositiveInfinity,
     Double.NegativeInfinity, Double.PositiveInfinity,
@@ -259,7 +261,7 @@ private[sources] class LasScan(path: String, required: StructType,
   * batch fan-out. Files are assumed to arrive with lexicographically
   * increasing names (the staged-delivery convention; `part_00001.las` …),
   * exactly like the built-in FileStreamSource's archive pattern. */
-private[sources] class LasMicroBatchStream(path: String, fields: Array[String],
+private[graft] class LasMicroBatchStream(path: String, fields: Array[String],
     pushed: LasSource.Pushed)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -271,29 +273,62 @@ private[sources] class LasMicroBatchStream(path: String, fields: Array[String],
         f.getName.endsWith(".laz"))
       .map(_.getAbsolutePath).sorted
   }
-  override def initialOffset(): Offset = LasOffset(0)
-  override def latestOffset(): Offset = LasOffset(files.length)
-  override def deserializeOffset(json: String): Offset = {
-    val t = json.trim
-    require(t.nonEmpty && t.length <= 9 && t.forall(_.isDigit),
-      s"malformed las offset '$json'")
-    LasOffset(t.toInt)
+  private def lastName(fs: Array[String], n: Int): String =
+    if (n <= 0 || n > fs.length) "" else new java.io.File(fs(n - 1)).getName
+  override def initialOffset(): Offset = LasOffset(0, "")
+  override def latestOffset(): Offset = {
+    val fs = files
+    LasOffset(fs.length, lastName(fs, fs.length))
   }
+  override def deserializeOffset(json: String): Offset = LasOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val fs = files
-    val s = start.asInstanceOf[LasOffset].n
+    val so = start.asInstanceOf[LasOffset]
+    val s = so.n
     val e = math.min(end.asInstanceOf[LasOffset].n, fs.length)
+    // append-only guard: the recovered offset carries the NAME of the
+    // last file counted, so a rename/delete of an already-processed
+    // delivery fails loudly here instead of silently reprocessing or
+    // skipping (the name-sorted count alone cannot tell the difference)
+    if (so.last.nonEmpty && s >= 1) {
+      val now = lastName(fs, math.min(s, fs.length))
+      require(s <= fs.length && now == so.last,
+        s"LAS stream directory mutated under the append-only convention: " +
+          s"offset $s expected last processed file '${so.last}' but " +
+          s"directory now has '${if (s > fs.length) "<missing>" else now}'")
+    }
     fs.slice(s, e).map(f => LasInputPartition(f): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new LasReaderFactory(fields, pushed)
 }
 
-private[sources] case class LasOffset(n: Int)
+private[graft] case class LasOffset(n: Int, last: String)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = n.toString
+  override def json(): String =
+    s"""{"n":$n,"last":"${LasOffset.esc(last)}"}"""
+}
+
+private[graft] object LasOffset {
+  private[sources] def esc(s: String): String =
+    s.flatMap { case '\\' => "\\\\"; case '"' => "\\\""; case c => c.toString }
+  /** Accepts both the current `{"n":N,"last":"..."}` form and the legacy
+    * bare-count form (checkpoints written before the filename guard). */
+  def parse(json: String): LasOffset = {
+    val t = json.trim
+    if (t.nonEmpty && t.length <= 9 && t.forall(_.isDigit)) LasOffset(t.toInt, "")
+    else {
+      val m = """\{"n":(\d{1,9}),"last":"(.*)"\}""".r
+      t match {
+        case m(n, raw) =>
+          val un = raw.replace("\\\"", "\"").replace("\\\\", "\\")
+          LasOffset(n.toInt, un)
+        case _ => throw new IllegalArgumentException(s"malformed las offset '$json'")
+      }
+    }
+  }
 }
 
 private[sources] case class LasInputPartition(file: String) extends InputPartition
@@ -313,6 +348,11 @@ private[sources] class LasReaderFactory(fields: Array[String],
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
     require(bytes.length > 104, s"truncated LAS file $file")
     val is14 = (bytes(24) & 0xff) == 1 && (bytes(25) & 0xff) >= 4
+    // full-header bound BEFORE any header-field read: both reader paths
+    // read scales/offsets at 131..178 and the 1.4 path reads the 64-bit
+    // point count at 247 — a 105..374-byte file must fail as "truncated
+    // LAS file", not with an IndexOutOfBoundsException mid-parse
+    require(bytes.length >= (if (is14) 375 else 227), s"truncated LAS file $file")
     val compressed = (bytes(104) & 0x80) != 0
     if (compressed) compressedReader(bytes, is14, file)
     else rawReader(bytes, is14, file)
@@ -359,6 +399,7 @@ private[sources] class LasReaderFactory(fields: Array[String],
       private var i = -1
       private var cx, cy, cz, ct = 0.0
       private var ccls = 0
+      private var decoded = 0L
       override def next(): Boolean = {
         while ({ i += 1; i < n }) {
           val p = dataOff + i.toLong * recLen
@@ -378,7 +419,7 @@ private[sources] class LasReaderFactory(fields: Array[String],
         if (needZ) { cz = b.getInt(pi + 8) * sz + oz; if (!pushed.passZ(cz)) return false }
         if (needT) { ct = if (hasT) b.getDouble(pi + tOff) else 0.0
           if (!pushed.passT(ct)) return false }
-        LasSource.decodedPoints.incrementAndGet()
+        decoded += 1
         true
       }
       override def get(): InternalRow = InternalRow.fromSeq(
@@ -389,7 +430,7 @@ private[sources] class LasReaderFactory(fields: Array[String],
           case "classification" => ccls
           case "gps_time" => ct
         })
-      override def close(): Unit = ()
+      override def close(): Unit = LasSource.decodedPoints.addAndGet(decoded)
     }
   }
 
@@ -410,12 +451,13 @@ private[sources] class LasReaderFactory(fields: Array[String],
       } else graft.ingest.Laz.decodeTimed(bytes)
     new PartitionReader[InternalRow] {
       private var i = -1
+      private var decoded = 0L
       override def next(): Boolean = {
         while ({ i += 1; i < pts.length }) {
           val p = pts(i)
           if (pushed.passCls(p._4) && pushed.passX(p._1) && pushed.passY(p._2) &&
             pushed.passZ(p._3) && pushed.passT(p._5)) {
-            LasSource.decodedPoints.incrementAndGet()
+            decoded += 1
             return true
           }
         }
@@ -431,7 +473,7 @@ private[sources] class LasReaderFactory(fields: Array[String],
           case "gps_time" => p._5
         })
       }
-      override def close(): Unit = ()
+      override def close(): Unit = LasSource.decodedPoints.addAndGet(decoded)
     }
   }
 }

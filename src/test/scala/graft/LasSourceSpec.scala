@@ -219,4 +219,40 @@ class LasSourceSpec extends SparkSuite {
         .load(junkDir.getAbsolutePath).collect()
     }
   }
+
+  test("stream offset JSON carries the last processed filename and accepts the legacy form") {
+    import graft.sources.LasOffset
+    val o = LasOffset(3, """part_0003 "v2"\final.las""")
+    assert(LasOffset.parse(o.json()) == o, "escape round trip")
+    assert(LasOffset.parse("7") == LasOffset(7, ""), "legacy bare-count offsets")
+    intercept[IllegalArgumentException] { LasOffset.parse("not an offset") }
+  }
+
+  test("mutating an already-processed delivery fails the stream loudly (append-only guard)") {
+    val dir = java.nio.file.Files.createTempDirectory("las_stream_mut").toFile
+    def deliver(name: String): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        Las.encodeTimed(Array((1.0, 2.0, 100.0, 2, 1.5))))
+    deliver("part_0001.las")
+    deliver("part_0002.las")
+    val stream = new graft.sources.LasMicroBatchStream(dir.getAbsolutePath,
+      Array("x"), graft.sources.LasSource.NoFilter)
+    val off1 = stream.latestOffset()
+    assert(off1.json().contains("part_0002.las"))
+    // rename a PROCESSED file: count-only offsets would silently reprocess
+    val f2 = new java.io.File(dir, "part_0002.las")
+    assert(f2.renameTo(new java.io.File(dir, "part_0000_renamed.las")))
+    deliver("part_0003.las")
+    val ex = intercept[IllegalArgumentException] {
+      stream.planInputPartitions(off1, stream.latestOffset())
+    }
+    assert(ex.getMessage.contains("append-only"))
+  }
+
+  test("pinned artifacts resolve from the classpath anchor, not just CWD") {
+    val p = graft.queries.QueriesRaster.pinnedFromClasspath(
+      "tools/utm_expected.parquet")
+    assert(new java.io.File(p).isFile)
+    assert(p == new java.io.File("tools/utm_expected.parquet").getAbsolutePath)
+  }
 }
