@@ -113,4 +113,24 @@ class SmrfSpec extends SparkSuite {
     allSquare.foreach { case (k, v) => assert(mixed(k) == v, s"cell $k") }
     graft.functions.CacheRegistry.releaseAll()
   }
+
+  test("groundPoints keeps flat-terrain returns, rejects canopy, prefilters class 7") {
+    import spark.implicits._
+    // flat ground at z=10 on an 8x8 grid, plus per-cell extras:
+    //  - canopy return 5 m up (class 1): must be REJECTED by the opening
+    //  - class-7 noise 6 m DOWN: must be prefiltered (otherwise it would
+    //    corrupt the min-surface and reject the true ground)
+    val rows = for {
+      c <- 0 until 8; r <- 0 until 8
+      p <- Seq((c + 0.5, r + 0.5, 10.0, 1),
+               (c + 0.3, r + 0.7, 15.0, 1),
+               (c + 0.7, r + 0.3, 4.0, 7))
+    } yield p
+    val pts = rows.toDF("x", "y", "z", "classification")
+    val g = Smrf.groundPoints(pts).collect().map(r =>
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(g.length == 64, s"expected 64 ground returns, got ${g.length}")
+    assert(g.forall(_._3 == 10.0), "only the z=10 surface returns are ground")
+    graft.functions.CacheRegistry.releaseAll()
+  }
 }

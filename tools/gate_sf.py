@@ -38,7 +38,12 @@ def main():
     sf, outdir, outjson = sys.argv[1], sys.argv[2], sys.argv[3]
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        # flat driver fixtures are single files; ScaleGen (sf1) writes
+        # Spark-style directories of part files — glob those
+        pat = f"{sf}/{t}.parquet"
+        if os.path.isdir(pat):
+            pat += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     report = {}
     n_ok = n_bad = 0
