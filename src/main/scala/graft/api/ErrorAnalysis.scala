@@ -45,11 +45,14 @@ class ErrorAnalysis(spark: SparkSession, meta: GridMeta = GridMeta()) {
     val verts = Geom.polyLit(Geom.wktToPoints(stableWkt))
     val stable = dz.filter(Geom.pointInPolygon(col("x"), col("y"), verts))
       .select(col("value")).persistShared()
+    // clear failure over a degenerate polygon: percentile of an empty
+    // relation is NULL and getDouble would throw ROW_VALUE_IS_NULL
+    val n = stable.count()
+    require(n > 0, s"stable polygon contains no pixels: $stableWkt")
     val bias = stable.agg(percentile(col("value"), lit(0.5))).head().getDouble(0)
     val idx = stable.withColumn("idx",
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("value"))))
-    val n = stable.count()
     val draws = spark.range(nBoot.toLong * subSize)
       .select((col("id") / subSize).cast("int").as("iter"),
         (graft.rng.Rand.mix(col("id"), seed) % n + 1).as("idx"))
@@ -73,6 +76,7 @@ class ErrorAnalysis(spark: SparkSession, meta: GridMeta = GridMeta()) {
     val in = dz.filter(Geom.pointInPolygon(col("x"), col("y"), verts))
       .select(col("value")).persistShared()
     try {
+      require(!in.isEmpty, s"polygon contains no pixels: $wkt")
       val med = in.agg(percentile(col("value"), lit(0.5))).head().getDouble(0)
       1.4826 * in.select(abs(col("value") - lit(med)).as("a"))
         .agg(percentile(col("a"), lit(0.5))).head().getDouble(0)

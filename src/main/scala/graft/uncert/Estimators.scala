@@ -32,6 +32,7 @@ object Estimators {
     * variography_uncertainty.py:1197). */
   def bruteForceSigma(spark: SparkSession, m: SphericalModel,
                       w: Int, h: Int): Double = {
+    require(w > 0 && h > 0, s"degenerate grid ${w}x$h")
     val cells = spark.range(w.toLong * h).select(
       (col("id") % w).cast("double").as("x"),
       (col("id") / w).cast("long").cast("double").as("y"))
