@@ -240,6 +240,41 @@ object QueriesCore {
     """SELECT o_orderkey, o_orderdate, round(o_totalprice, 6) AS price
        FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 100"""
 
+  // §2.6 / SURVEY §4: Z-order (Morton) locality key — the write-order
+  // key behind Layout.saveZOrdered (file extents become compact 2-D
+  // squares so bbox predicates prune parquet min-max stats on BOTH
+  // axes). Gated here as pure integer bit arithmetic: the engine runs
+  // the codegen column chain (Layout.zOrder), the oracle the identical
+  // shift/and/or rounds in SQL — exact by construction. Keys span past
+  // 2^16 so every spread round's mask is exercised.
+  private val zorderCurve: Q = (s, d) => {
+    val zc = col("c_custkey") % 100000
+    val zr = (col("c_custkey") * 2654435761L) % 100000
+    Tables.customer(s, d)
+      .select(col("c_custkey"), zc.cast("long").as("zc"),
+        zr.cast("long").as("zr"),
+        graft.raster.Layout.zOrder(zc, zr).as("zkey"))
+  }
+
+  /** One bit-spread round-chain as SQL text (DuckDB runs the same
+    * integer ops; text expands to 32 copies of the base — fine). */
+  private def spreadSql(e: String): String = {
+    var x = s"(CAST($e AS BIGINT) & 4294967295)"
+    for ((sh, m) <- Seq((16, "281470681808895"), (8, "71777214294589695"),
+        (4, "1085102592571150095"), (2, "3689348814741910323"),
+        (1, "6148914691236517205")))
+      x = s"((($x) | (($x) << $sh)) & $m)"
+    x
+  }
+  private val zorderCurveSql = {
+    val zc = "(c_custkey % 100000)"
+    val zr = "((c_custkey * 2654435761) % 100000)"
+    s"""SELECT c_custkey, CAST($zc AS BIGINT) AS zc,
+               CAST($zr AS BIGINT) AS zr,
+               (${spreadSql(zc)} | (${spreadSql(zr)} << 1)) AS zkey
+        FROM customer"""
+  }
+
   // §2.6 pick-by-index (`pick`, differencing_functions.py:516–574).
   // The largest requested index is a CONSTANT (1000), so take the global
   // top-1000 first (TakeOrderedAndProject: per-partition top-k, driver
@@ -537,6 +572,7 @@ object QueriesCore {
     "d_gps_epoch" -> gpsEpoch,
     "j_json_extract" -> jsonExtract,
     "o_sort_limit" -> sortLimit,
+    "o_zorder_curve" -> zorderCurve,
     "o_pick_index" -> pickIndex,
     "o_argmin_select" -> argminSelect,
     "set_except" -> setExcept,
@@ -568,6 +604,7 @@ object QueriesCore {
     "d_gps_epoch" -> gpsEpochSql,
     "j_json_extract" -> jsonExtractSql,
     "o_sort_limit" -> sortLimitSql,
+    "o_zorder_curve" -> zorderCurveSql,
     "o_pick_index" -> pickIndexSql,
     "o_argmin_select" -> argminSelectSql,
     "set_except" -> setExceptSql,
