@@ -628,29 +628,39 @@ object Laz {
     val fmt = fmtByte & 0x7F
     require(fmt == 0 || fmt == 1, s"only point formats 0/1 supported, got $fmt")
     val headerSize = b.getShort(94) & 0xFFFF
+    require(headerSize >= HEADER_SIZE, s"LAS header size $headerSize < $HEADER_SIZE")
     val dataOff = b.getInt(96)
     val numVlrs = b.getInt(100)
     val n = b.getInt(107)
+    require(n >= 0, s"corrupt point count $n")
     val sx = b.getDouble(131); val sy = b.getDouble(139); val sz = b.getDouble(147)
     val ox = b.getDouble(155); val oy = b.getDouble(163); val oz = b.getDouble(171)
-    // find the laszip VLR for the chunk size
+    // find the laszip VLR for the chunk size — every read bounds-checked
+    // BEFORE dereferencing (hostile-input discipline shared with Laz14:
+    // a truncated or bit-flipped file must die as IllegalArgumentException,
+    // never IndexOutOfBounds)
     var chunkSize = DefaultChunkSize
     var off = headerSize
     var v = 0
     var found = false
     while (v < numVlrs) {
+      require(off + VLR_HEADER <= bytes.length, "truncated VLR header")
       val recId = b.getShort(off + 18) & 0xFFFF
       val len = b.getShort(off + 20) & 0xFFFF
       if (recId == LASZIP_RECORD_ID) {
+        require(off + VLR_HEADER + 16 <= bytes.length, "truncated laszip VLR")
         val comp = b.getShort(off + VLR_HEADER) & 0xFFFF
         require(comp == 2, s"only POINTWISE_CHUNKED laszip supported, got compressor $comp")
         chunkSize = b.getInt(off + VLR_HEADER + 12)
+        require(chunkSize > 0, s"corrupt chunk size $chunkSize")
         found = true
       }
       off += VLR_HEADER + len
       v += 1
     }
     require(found, "laszip VLR (record 22204) not found")
+    require(dataOff >= headerSize && dataOff + 8 <= bytes.length,
+      s"point data offset $dataOff outside file")
     // chunk table → per-chunk byte extents. The offset is a signed i64 in
     // the stream; LASzip writes the sentinel -1 when the writer could not
     // seek back (table then lives at EOF preceded by a forward pointer) —
@@ -666,16 +676,25 @@ object Laz {
     val tableOff = tableOff64.toInt
     require(b.getInt(tableOff) == 0, "unsupported chunk table version")
     val numChunks = b.getInt(tableOff + 4)
-    require(numChunks >= 0, s"corrupt LAZ chunk table: $numChunks chunks")
+    // pin the chunk count to the header's point count BEFORE allocating:
+    // a flipped count would otherwise size two arrays from hostile input
+    val expectChunks = if (n == 0) 0 else ((n - 1) / chunkSize) + 1
+    require(numChunks == expectChunks,
+      s"corrupt LAZ chunk table: $numChunks chunks for $n points of $chunkSize")
     val tdec = new ArithDecoder(bytes, tableOff + 8, bytes.length)
     val tic = new IntComp(32, 2, forDecoding = true)
     val starts = new Array[Int](numChunks)
     val ends = new Array[Int](numChunks)
+    val rawLen = if (fmt == 1) POINT_LEN + 8 else POINT_LEN
     var prev = 0
     var start = dataOff + 8
     var c = 0
     while (c < numChunks) {
       prev = tic.decompress(tdec, prev, 1)
+      // a chunk must at least hold its raw first point and stay inside
+      // [data, table) — reject decoded extents that don't
+      require(prev >= rawLen && start.toLong + prev <= tableOff.toLong,
+        s"corrupt chunk extent $prev at $start")
       starts(c) = start
       ends(c) = start + prev
       start = ends(c)
@@ -706,6 +725,11 @@ object Laz {
       : Array[(Double, Double, Double, Int, Double)] = {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val recLen = if (fmt == 1) POINT_LEN + 8 else POINT_LEN
+    // guards for the public chunk-slice path (decodeChunkBytes): a
+    // negative count or a slice shorter than the raw first point is
+    // corrupt input, not an array-sizing request
+    require(m >= 1, s"corrupt chunk point count $m")
+    require(end - start >= recLen, "truncated LAZ chunk")
     val out = new Array[(Double, Double, Double, Int, Double)](m)
     val first = P10(b.getInt(start), b.getInt(start + 4), b.getInt(start + 8),
       b.getShort(start + 12) & 0xFFFF, bytes(start + 14) & 0xFF,
