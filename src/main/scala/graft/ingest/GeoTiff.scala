@@ -50,6 +50,7 @@ object GeoTiff {
     * (row-major, `height` arrays of `width` doubles, nodata left as the
     * sentinel value — normalize with [[DenseRaster.toPixels]]). */
   def decode(bytes: Array[Byte]): (GridMeta, Array[Array[Double]]) = {
+    require(bytes.length >= 16, "not a TIFF: too short")
     val b0 = ByteBuffer.wrap(bytes)
     val order = (bytes(0), bytes(1)) match {
       case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
@@ -73,6 +74,7 @@ object GeoTiff {
       v.toInt
     }
     val ifd = off(if (big) 8 else 4)
+    require(ifd + (if (big) 8 else 2) <= bytes.length, "truncated TIFF IFD")
     val nEntries64 =
       if (big) b.getLong(ifd) else (b.getShort(ifd) & 0xffff).toLong
     val entryLen = if (big) 20 else 12
@@ -110,6 +112,8 @@ object GeoTiff {
           case t => throw new IllegalArgumentException(s"tag $tag type $t")
         }
         val base = if (cnt * width <= inlineCap) p else off(p)
+        require(base.toLong + n.toLong * width <= bytes.length,
+          s"tag $tag value array runs past file end")
         Array.tabulate(n) { i =>
           width match {
             case 2 => (b.getShort(base + 2 * i) & 0xffff).toLong
@@ -122,18 +126,28 @@ object GeoTiff {
     def doubleArray(tag: Int): Array[Double] = tags.get(tag) match {
       case Some((12, cnt, p)) =>
         val base = if (cnt * 8 <= inlineCap) p else off(p)
+        require(cnt >= 0 && base.toLong + cnt.toLong * 8 <= bytes.length,
+          s"tag $tag DOUBLE array runs past file end")
         Array.tabulate(cnt)(i => b.getDouble(base + 8 * i))
       case _ => Array.empty
     }
     def ascii(tag: Int): String = tags.get(tag) match {
       case Some((2, cnt, p)) =>
         val base = if (cnt <= inlineCap) p else off(p)
+        require(cnt >= 0 && base.toLong + cnt <= bytes.length,
+          s"tag $tag ASCII value runs past file end")
         new String(bytes, base, cnt, "US-ASCII").takeWhile(c => c != '\u0000' && c != ' ')
       case _ => ""
     }
 
     val w = scalar(TAG_WIDTH).toInt
     val h = scalar(TAG_HEIGHT).toInt
+    // allocation bound from hostile headers: the dense decode allocates
+    // h x w doubles, so reject sizes this IN-MEMORY codec cannot hold
+    // (a 100-TB ingest range-reads chunks; it never routes a monster
+    // single image through here)
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 28),
+      s"implausible raster size ${w}x$h for the in-memory codec")
     val bits = scalar(TAG_BITS).toInt
     val compression = scalar(TAG_COMPRESSION, 1).toInt
     require(compression == 1 || compression == 5 || compression == 8 ||
@@ -167,23 +181,35 @@ object GeoTiff {
     // chunk scanline width: strips span the image, tiles span the tile
     val chunkRowPx =
       if (tags.contains(TAG_TILE_WIDTH)) scalar(TAG_TILE_WIDTH).toInt else w
+    require(chunkRowPx > 0, s"corrupt chunk scanline width $chunkRowPx")
     // per-chunk view: uncompressed chunks read in place; LZW
     // (Compression=5), zlib/Deflate (Compression=8, GDAL
     // "compress=DEFLATE") and PackBits (32773) chunks decompress into a
     // chunk-local buffer; Predictor=3 then integrates + deshuffles each
     // scanline in place (TIFF TechNote 3 / libtiff fpAcc)
-    def chunkBuf(off: Int, cnt: Int): (ByteBuffer, Int) =
-      if (compression == 1) (b, off)
-      else {
+    // `needed` = bytes the caller will actually index past `base` — the
+    // chunk (file extent AND decompressed size) must cover it, or a
+    // truncated/flipped container would read out of bounds
+    def chunkBuf(off: Int, cnt: Int, needed: Int): (ByteBuffer, Int) = {
+      require(off >= 0 && cnt >= 0 && off.toLong + cnt <= bytes.length,
+        s"TIFF chunk [$off, +$cnt) outside file")
+      if (compression == 1) {
+        require(off.toLong + needed <= bytes.length,
+          s"TIFF chunk at $off too short for $needed sample bytes")
+        (b, off)
+      } else {
         val raw = java.util.Arrays.copyOfRange(bytes, off, off + cnt)
         val out = compression match {
           case 5 => Lzw.decode(raw)
           case 8 => Zlib.inflate(raw)
           case _ => PackBits.decode(raw)
         }
+        require(out.length >= needed,
+          s"TIFF chunk decompressed to ${out.length} < $needed bytes")
         if (predictor == 3) FpPredictor.accumulate(out, chunkRowPx, px)
         (ByteBuffer.wrap(out).order(order), 0)
       }
+    }
     val rows =
       if (tags.contains(TAG_TILE_OFFSETS)) {
         // tile-organized layout (TIFF §15): tiles across then down,
@@ -192,21 +218,27 @@ object GeoTiff {
           "both strip and tile offsets present")
         val tw = scalar(TAG_TILE_WIDTH).toInt
         val th = scalar(TAG_TILE_LENGTH).toInt
+        require(tw > 0 && th > 0 && tw.toLong * th <= (1L << 28),
+          s"implausible tile size ${tw}x$th")
         val across = (w + tw - 1) / tw
         val down = (h + th - 1) / th
         val offsets = longArray(TAG_TILE_OFFSETS, across * down)
         val counts = longArray(TAG_TILE_COUNTS, across * down)
         val out = Array.fill(h)(new Array[Double](w))
         for (t <- 0 until across * down) {
-          val (cb, base) = chunkBuf(offsets(t).toInt, counts(t).toInt)
           val r0 = (t / across) * th
           val c0 = (t % across) * tw
-          for (r <- 0 until math.min(th, h - r0); c <- 0 until math.min(tw, w - c0))
+          val rMax = math.min(th, h - r0)
+          val cMax = math.min(tw, w - c0)
+          val needed = px * ((rMax - 1) * tw + cMax)
+          val (cb, base) = chunkBuf(offsets(t).toInt, counts(t).toInt, needed)
+          for (r <- 0 until rMax; c <- 0 until cMax)
             out(r0 + r)(c0 + c) = sample(cb, base + px * (r * tw + c))
         }
         out
       } else {
         val rowsPerStrip = scalar(TAG_ROWS_PER_STRIP, h).toInt
+        require(rowsPerStrip > 0, s"corrupt RowsPerStrip $rowsPerStrip")
         val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
         val offsets = longArray(TAG_STRIP_OFFSETS, nStrips)
         val countOf: Int => Int =
@@ -218,9 +250,10 @@ object GeoTiff {
           }
         val out = Array.fill(h)(new Array[Double](w))
         for (s <- 0 until nStrips) {
-          val (cb, base) = chunkBuf(offsets(s).toInt, countOf(s))
           val r0 = s * rowsPerStrip
-          for (r <- 0 until math.min(rowsPerStrip, h - r0); c <- 0 until w)
+          val rMax = math.min(rowsPerStrip, h - r0)
+          val (cb, base) = chunkBuf(offsets(s).toInt, countOf(s), px * rMax * w)
+          for (r <- 0 until rMax; c <- 0 until w)
             out(r0 + r)(c) = sample(cb, base + px * (r * w + c))
         }
         out

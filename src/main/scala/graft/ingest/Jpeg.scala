@@ -478,7 +478,9 @@ object Jpeg {
                 val pq = (bytes(p) & 0xff) >> 4
                 val tq = bytes(p) & 0x0f
                 require(pq == 0 || pq == 1, "bad DQT precision")
+                require(tq <= 3, s"bad DQT table id $tq")
                 val n = if (pq == 0) 64 else 128
+                require(p + 1 + n <= pos + len, "DQT table runs past its segment")
                 qtabs(tq) = Array.tabulate(64)(i =>
                   if (pq == 0) bytes(p + 1 + i) & 0xff else u16(p + 1 + 2 * i))
                 p += 1 + n
@@ -488,19 +490,24 @@ object Jpeg {
               while (p < pos + len) {
                 val cls = (bytes(p) & 0xff) >> 4
                 val id = bytes(p) & 0x0f
+                require(cls <= 1 && id <= 3, s"bad DHT class/id $cls/$id")
+                require(p + 17 <= pos + len, "DHT counts run past their segment")
                 val bits = new Array[Int](17)
                 var total = 0
                 for (l <- 1 to 16) { bits(l) = bytes(p + l) & 0xff; total += bits(l) }
+                require(p + 17 + total <= pos + len, "DHT values run past their segment")
                 val vals = Array.tabulate(total)(i => bytes(p + 17 + i) & 0xff)
                 val t = new HuffDec(bits, vals)
                 if (cls == 0) dcTabs(id) = t else acTabs(id) = t
                 p += 17 + total
               }
             case 0xc0 | 0xc1 => // SOF0/1 (baseline / extended sequential)
+              require(len >= 9, "SOF segment too short")
               require(bytes(pos + 2) == 8, "only 8-bit precision supported")
               height = u16(pos + 3); width = u16(pos + 5)
               nComp = bytes(pos + 7) & 0xff
               require(nComp == 1 || nComp == 3, s"$nComp components unsupported")
+              require(len >= 8 + 3 * nComp, "SOF component table runs past its segment")
               compId = new Array[Int](nComp); compH = new Array[Int](nComp)
               compV = new Array[Int](nComp); compQ = new Array[Int](nComp)
               for (c <- 0 until nComp) {
@@ -511,6 +518,7 @@ object Jpeg {
                   compV(c) >= 1 && compV(c) <= 2,
                   s"sampling ${compH(c)}x${compV(c)} unsupported")
                 compQ(c) = bytes(pos + 10 + 3 * c) & 0xff
+                require(compQ(c) <= 3, s"bad quant table id ${compQ(c)}")
               }
             case 0xc2 =>
               throw new IllegalArgumentException("progressive JPEG not supported")
@@ -519,6 +527,7 @@ object Jpeg {
             case 0xda => // SOS
               val ns = bytes(pos + 2) & 0xff
               require(ns == nComp, "scan component count mismatch")
+              require(len >= 3 + 2 * ns + 3, "SOS segment too short")
               compDc = new Array[Int](nComp); compAc = new Array[Int](nComp)
               for (c <- 0 until ns) {
                 val id = bytes(pos + 3 + 2 * c) & 0xff
@@ -526,6 +535,8 @@ object Jpeg {
                 require(idx >= 0, s"scan references unknown component $id")
                 val tt = bytes(pos + 4 + 2 * c) & 0xff
                 compDc(idx) = tt >> 4; compAc(idx) = tt & 0x0f
+                require(compDc(idx) <= 3 && compAc(idx) <= 3,
+                  s"bad Huffman table ids $tt")
               }
               scanStart = pos + len
             case 0xd9 =>

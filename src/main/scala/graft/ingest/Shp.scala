@@ -101,16 +101,19 @@ object Shp {
     while (off < bytes.length) {
       require(off + 8 <= bytes.length, "truncated record header")
       val recNo = be.getInt(off)
-      val clen = be.getInt(off + 4) * 2
-      require(clen >= 44 && off + 8 + clen <= bytes.length,
-        s"record $recNo: corrupt content length $clen")
+      val clen64 = be.getInt(off + 4).toLong * 2
+      require(clen64 >= 44 && off.toLong + 8 + clen64 <= bytes.length,
+        s"record $recNo: corrupt content length $clen64")
+      val clen = clen64.toInt
       val c = off + 8
       require(le.getInt(c) == PolygonType, s"record $recNo: not a polygon")
       val numParts = le.getInt(c + 36)
       val numPoints = le.getInt(c + 40)
-      require(numParts > 0 && numPoints >= numParts * 3,
+      // Long math: flipped counts near Int.MaxValue must fail here, not
+      // overflow into a colliding content length and index out of bounds
+      require(numParts > 0 && numPoints >= numParts.toLong * 3,
         s"record $recNo: corrupt part/point counts")
-      require(clen == 44 + 4 * numParts + 16 * numPoints,
+      require(clen.toLong == 44L + 4L * numParts + 16L * numPoints,
         s"record $recNo: content length does not match counts")
       val starts = Array.tabulate(numParts)(p => le.getInt(c + 44 + 4 * p))
       val ptBase = c + 44 + 4 * numParts

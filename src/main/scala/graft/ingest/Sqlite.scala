@@ -142,9 +142,13 @@ object Sqlite {
         case 9 => 1L
         case t if t >= 13 && t % 2 == 1 =>
           val n = ((t - 13) / 2).toInt
+          require(n >= 0 && vo.toLong + n <= bytes.length,
+            s"text value of $n bytes runs past file end")
           val s = new String(bytes, vo, n, UTF_8); vo += n; s
         case t if t >= 12 && t % 2 == 0 =>
           val n = ((t - 12) / 2).toInt
+          require(n >= 0 && vo.toLong + n <= bytes.length,
+            s"blob value of $n bytes runs past file end")
           val a = java.util.Arrays.copyOfRange(bytes, vo, vo + n); vo += n; a
         case t => throw new IllegalArgumentException(s"unsupported serial type $t")
       }
@@ -300,7 +304,14 @@ object Sqlite {
   }
 
   private def walkTable(bytes: Array[Byte],
-                        page: Int): Seq[(Long, Seq[Value])] = {
+                        page: Int, depth: Int = 0): Seq[(Long, Seq[Value])] = {
+    // hostile-input discipline: a page pointer (from sqlite_master or an
+    // interior cell) must land a WHOLE page inside the file, and a
+    // corrupt pointer cycle must die as corrupt input, not StackOverflow
+    // (fan-out >= 2 makes depth 64 unreachable for any real b-tree)
+    require(page >= 1 && page.toLong * PageSize <= bytes.length,
+      s"page $page outside file")
+    require(depth < 64, "b-tree deeper than any valid database (pointer cycle?)")
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val base = (page - 1) * PageSize
     val hdrOff = base + (if (page == 1) 100 else 0)
@@ -322,7 +333,7 @@ object Sqlite {
           val cellOff = base + (b.getShort(hdrOff + 12 + 2 * i) & 0xFFFF)
           b.getInt(cellOff)
         } :+ b.getInt(hdrOff + 8)
-        children.flatMap(walkTable(bytes, _))
+        children.flatMap(walkTable(bytes, _, depth + 1))
       case t => throw new IllegalArgumentException(
         f"unsupported page type 0x$t%02x on page $page (index b-trees out of scope)")
     }

@@ -40,7 +40,12 @@ object Zlib {
         if (expected >= 0) expected else math.max(64, comp.length * 3))
       val buf = new Array[Byte](8192)
       while (!inf.finished()) {
-        val n = inf.inflate(buf)
+        val n =
+          try inf.inflate(buf)
+          catch { // corrupt stream: the codec-family contract is IAE by name
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(s"corrupt zlib stream: ${e.getMessage}", e)
+          }
         if (n == 0) {
           require(!inf.needsInput() && !inf.needsDictionary(),
             "truncated or dictionary-requiring zlib stream")

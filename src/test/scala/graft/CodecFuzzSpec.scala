@@ -38,7 +38,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     try { decode(bytes); None }
     catch {
       case _: IllegalArgumentException => None // the documented contract
-      case e: Throwable => Some(s"${e.getClass.getName}: ${e.getMessage}")
+      case e: Throwable => Some(s"${e.getClass.getName}: ${e.getMessage} " +
+        s"@ ${e.getStackTrace.headOption.getOrElse("?")}")
     }
 
   private def fuzz(name: String, good: Array[Byte],
@@ -79,5 +80,66 @@ class CodecFuzzSpec extends AnyFunSuite {
   test("raw LAS 1.2 fmt 1: flips and truncations never escape the contract") {
     val pts = cloud(200).map(p => (p.x, p.y, p.z, p.classification, p.gpsTime))
     fuzz("las12", Las.encodeTimed(pts), bs => Las.decodeTimed(bs), iters = 300)
+  }
+
+  // ---- the raster/vector/media codec family under the same contract ----
+
+  private def grid(w: Int, h: Int): Array[Array[Double]] =
+    Array.tabulate(h, w)((r, c) =>
+      (graft.rng.Rand.mixLong((r * w + c).toLong, 31L) % 1000) / 16.0)
+
+  test("GeoTIFF (incl. LZW/Deflate/PackBits/BigTIFF): fuzz holds the contract") {
+    import graft.ingest.GeoTiff
+    import graft.raster.GridMeta
+    val m = GridMeta(width = 24, height = 16)
+    val g = grid(24, 16)
+    fuzz("tiff_f64", GeoTiff.encode(m, g), bs => GeoTiff.decode(bs), iters = 150)
+    fuzz("tiff_lzw", GeoTiff.encodeLzw(m, g, 32, None),
+      bs => GeoTiff.decode(bs), iters = 150)
+    fuzz("tiff_deflate", GeoTiff.encodeDeflatePred3(m, g, 32, Some((16, 16))),
+      bs => GeoTiff.decode(bs), iters = 150)
+    fuzz("tiff_packbits", GeoTiff.encodePackBits(m, g, 32, None),
+      bs => GeoTiff.decode(bs), iters = 150)
+    fuzz("tiff_big", GeoTiff.encodeBig(m, g, 64, Some((16, 16))),
+      bs => GeoTiff.decode(bs), iters = 150)
+  }
+
+  test("PNG: fuzz holds the contract") {
+    import graft.ingest.Png
+    val px = Array.tabulate(16, 24)((r, c) => (r * 24 + c) % 256)
+    fuzz("png", Png.encode(24, 16, 8, 1, px), bs => Png.decode(bs), iters = 200)
+  }
+
+  test("GTX geoid grids: fuzz holds the contract") {
+    import graft.ingest.Gtx
+    val h = Gtx.Header(-30.0, 140.0, 0.05, 0.05, 12, 18)
+    val rows = Array.tabulate(12, 18)((r, c) => (r * 18 + c) / 7.0f)
+    fuzz("gtx", Gtx.encode(h, rows), bs => Gtx.decode(bs), iters = 200)
+  }
+
+  test("SHP + DBF vector files: fuzz holds the contract") {
+    import graft.ingest.{Shp, Dbf}
+    val polys: Seq[Shp.Poly] = Seq(
+      (1L, Array(Array((0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (0.0, 0.0)))),
+      (2L, Array(Array((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 1.0)))))
+    fuzz("shp", Shp.encode(polys), bs => Shp.decode(bs), iters = 200)
+    val dbf = Dbf.encode(Seq(Dbf.Field("NAME", 'C', 10), Dbf.Field("VAL", 'N', 8)),
+      Seq(Seq("alpha", "12.5"), Seq("beta", "7")))
+    fuzz("dbf", dbf, bs => Dbf.decode(bs), iters = 200)
+  }
+
+  test("GPKG (SQLite container) features: fuzz holds the contract") {
+    import graft.ingest.Gpkg
+    val wkb = graft.geom.Wkb.encodePolygon(
+      Array(Array((0.0, 0.0), (3.0, 0.0), (3.0, 2.0), (0.0, 0.0))))
+    val bytes = Gpkg.encodeFeatures(Seq(
+      (1L, "zone_a", wkb), (2L, "zone_b", wkb)))
+    fuzz("gpkg", bytes, bs => Gpkg.decodeFeatures(bs), iters = 200)
+  }
+
+  test("JPEG: fuzz holds the contract") {
+    import graft.ingest.Jpeg
+    val px = Array.tabulate(16, 16)((r, c) => (r * 13 + c * 7) % 256)
+    fuzz("jpeg", Jpeg.encodeGray(16, 16, px), bs => Jpeg.decode(bs), iters = 200)
   }
 }
