@@ -142,4 +142,37 @@ class CodecFuzzSpec extends AnyFunSuite {
     val px = Array.tabulate(16, 16)((r, c) => (r * 13 + c * 7) % 256)
     fuzz("jpeg", Jpeg.encodeGray(16, 16, px), bs => Jpeg.decode(bs), iters = 200)
   }
+
+  test("multimodal containers (BMP/WAV/AVI/MJPEG-AVI): fuzz holds the contract") {
+    import graft.multimodal.Multimodal
+    fuzz("bmp", Multimodal.encodeBmp24(12, 9, 5L),
+      bs => Multimodal.bmpDims(bs), iters = 200)
+    val wav = Multimodal.encodeWavPcm16(8000,
+      Array.tabulate(400)(i => (i * 37 % 4096).toShort))
+    fuzz("wav_info", wav, bs => Multimodal.wavInfo(bs), iters = 150)
+    fuzz("wav_samples", wav, bs => Multimodal.wavSamples(bs), iters = 150)
+    val avi = Multimodal.encodeAvi(8, 6, 4, 9L)
+    fuzz("avi_info", avi, bs => Multimodal.aviInfo(bs), iters = 150)
+    fuzz("avi_frames", avi, bs => Multimodal.aviFrames(bs), iters = 150)
+    val jf = Array.tabulate(3) { k =>
+      graft.ingest.Jpeg.encodeGray(16, 16,
+        Array.tabulate(16, 16)((r, c) => (r * 11 + c * 5 + k * 17) % 256))
+    }
+    val mj = Multimodal.encodeAviMjpeg(16, 16, jf)
+    fuzz("mjpeg_frames", mj, bs => Multimodal.aviFrames(bs), iters = 150)
+  }
+
+  test("NPY matrices: fuzz holds the contract") {
+    import graft.ingest.Npy
+    val m = Array.tabulate(10, 6)((r, c) => (r * 6 + c) / 3.0f)
+    fuzz("npy", Npy.encodeF32(m), bs => Npy.decode(bs), iters = 200)
+  }
+
+  test("WKB geometry: fuzz holds the contract") {
+    import graft.geom.Wkb
+    val wkb = Wkb.encodeMultiPolygon(Array(
+      Array(Array((0.0, 0.0), (5.0, 0.0), (5.0, 4.0), (0.0, 0.0))),
+      Array(Array((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 1.0)))))
+    fuzz("wkb", wkb, bs => Wkb.decode(bs), iters = 200)
+  }
 }
