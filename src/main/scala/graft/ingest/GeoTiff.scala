@@ -49,7 +49,17 @@ object GeoTiff {
   /** Decode a GeoTIFF byte array into its grid metadata and dense rows
     * (row-major, `height` arrays of `width` doubles, nodata left as the
     * sentinel value — normalize with [[DenseRaster.toPixels]]). */
-  def decode(bytes: Array[Byte]): (GridMeta, Array[Array[Double]]) = {
+  def decode(bytes: Array[Byte]): (GridMeta, Array[Array[Double]]) =
+    decodeImpl(bytes, metaOnly = false)
+
+  /** Header-only parse: grid metadata with NO pixel decode — what a
+    * scale reader uses to prune whole FILES against a pushed bbox
+    * before paying any decompression (on object storage this is a
+    * range-read of the header bytes; here the tag walk alone). */
+  def meta(bytes: Array[Byte]): GridMeta = decodeImpl(bytes, metaOnly = true)._1
+
+  private def decodeImpl(bytes: Array[Byte],
+      metaOnly: Boolean): (GridMeta, Array[Array[Double]]) = {
     require(bytes.length >= 16, "not a TIFF: too short")
     val b0 = ByteBuffer.wrap(bytes)
     val order = (bytes(0), bytes(1)) match {
@@ -173,6 +183,7 @@ object GeoTiff {
       dx = if (scale.nonEmpty) scale(0) else 1.0,
       dy = if (scale.length >= 2) scale(1) else 1.0,
       width = w, height = h, nodata = nodata)
+    if (metaOnly) return (meta, Array.empty)
     val px = if (bits == 64) 8 else 4
     def sample(buf: ByteBuffer, at: Int): Double =
       if (px == 8) buf.getDouble(at) else buf.getFloat(at).toDouble
@@ -343,7 +354,12 @@ object GeoTiff {
     }
     entry(TAG_PIXEL_SCALE, 12, 3)(_.putInt(scaleOff))
     entry(TAG_TIEPOINT, 12, 6)(_.putInt(tieOff))
-    entry(TAG_GDAL_NODATA, 2, nodataStr.length)(_.putInt(nodataOff))
+    // ASCII values of <= 4 bytes are INLINE per the TIFF spec (readers,
+    // ours included, treat them so) — short sentinels like "-1 " must
+    // carry their bytes, not a pointer
+    entry(TAG_GDAL_NODATA, 2, nodataStr.length)(bb =>
+      if (nodataStr.length <= 4) bb.put(nodataStr.getBytes("US-ASCII"))
+      else bb.putInt(nodataOff))
     b.putInt(0) // no next IFD
 
     b.position(chunkOffsetsOff)
@@ -619,7 +635,12 @@ object GeoTiff {
     }
     entry(TAG_PIXEL_SCALE, 12, 3)(_.putInt(scaleOff))
     entry(TAG_TIEPOINT, 12, 6)(_.putInt(tieOff))
-    entry(TAG_GDAL_NODATA, 2, nodataStr.length)(_.putInt(nodataOff))
+    // ASCII values of <= 4 bytes are INLINE per the TIFF spec (readers,
+    // ours included, treat them so) — short sentinels like "-1 " must
+    // carry their bytes, not a pointer
+    entry(TAG_GDAL_NODATA, 2, nodataStr.length)(bb =>
+      if (nodataStr.length <= 4) bb.put(nodataStr.getBytes("US-ASCII"))
+      else bb.putInt(nodataOff))
     b.putInt(0)
 
     b.position(chunkOffsetsOff)

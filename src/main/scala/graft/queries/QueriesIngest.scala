@@ -923,6 +923,49 @@ object QueriesIngest {
         .select("x", "y", "z", "classification"))
   }
 
+  // GeoTIFF DataSource V2 connector gate, BOTH directions (the raster
+  // twin of i_las_dsv2): the pixel grid is STAGED through the write
+  // connector (one executor task buffers its tile and encodes one
+  // complete float64 .tif, atomic rename), then read back through the
+  // read connector (one InputPartition per file, header-only extent
+  // parse for file pruning, nodata dropped, world x/y derived) and
+  // censused. The census includes the derived x/y (quantized to cell
+  // tenths — exact: origin 0, dx 1, so x = col + 0.5) so a wrong
+  // GridMeta round trip cannot hash green. Oracle = the same census on
+  // the grid CTE directly: green only if connector write planning +
+  // f64 TIFF encode + read planning + decode is the identity.
+  private val tiffDsv2: Q = (s, d) => {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_tiff_dsv2_" + java.lang.Integer.toHexString(d.hashCode))
+    if (dir.isDirectory)
+      dir.listFiles().filter(_.getName.endsWith(".tif")).foreach(_.delete())
+    graft.raster.PixelGrid.grid(s, d, 0)
+      .coalesce(1)
+      .write.format("graft.sources.TiffSource")
+      .option("width", "128").option("height", "128")
+      .mode("append").save(dir.getAbsolutePath)
+    s.read.format("graft.sources.TiffSource").load(dir.getAbsolutePath)
+      .groupBy((col("col") % 8).cast("long").as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("v6_sum"),
+        sum(col("col").cast("long")).as("col_sum"),
+        sum(col("row").cast("long")).as("row_sum"),
+        sum(floor(col("x") * 10 + 0.5).cast("long")).as("x1_sum"),
+        sum(floor(col("y") * 10 + 0.5).cast("long")).as("y1_sum"),
+        sum(col("tile_id").cast("long")).as("tile_sum"))
+  }
+
+  private val tiffDsv2Sql =
+    s"""WITH g AS (${graft.raster.PixelGrid.gridSql(0)})
+        SELECT CAST(col % 8 AS BIGINT) AS grp, count(*) AS n,
+               CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS v6_sum,
+               CAST(sum(col) AS BIGINT) AS col_sum,
+               CAST(sum("row") AS BIGINT) AS row_sum,
+               CAST(sum(CAST(floor((col + 0.5) * 10 + 0.5) AS BIGINT)) AS BIGINT) AS x1_sum,
+               CAST(sum(CAST(floor(("row" + 0.5) * 10 + 0.5) AS BIGINT)) AS BIGINT) AS y1_sum,
+               CAST(0 AS BIGINT) AS tile_sum
+        FROM g GROUP BY 1"""
+
   // Native-LAZ (LAYERED_CHUNKED / POINT14) round trip — COMPRESSED
   // LAS 1.4 fmt 6, what a 2026 USGS/3DEP delivery actually ships and
   // the last point-cloud format gap (judge round-8 "What's missing"
@@ -1570,6 +1613,7 @@ object QueriesIngest {
     "i_las_roundtrip" -> lasRoundtrip,
     "i_las14_roundtrip" -> las14Roundtrip,
     "i_las_dsv2" -> lasDsv2,
+    "i_tiff_dsv2" -> tiffDsv2,
     "i_laz_roundtrip" -> lazRoundtrip,
     "i_laz14_roundtrip" -> laz14Roundtrip,
     "i_shp_roundtrip" -> shpRoundtrip,
@@ -1606,6 +1650,7 @@ object QueriesIngest {
     "i_las_roundtrip" -> lasRoundtripSql,
     "i_las14_roundtrip" -> las14RoundtripSql,
     "i_las_dsv2" -> lasRoundtripSql,
+    "i_tiff_dsv2" -> tiffDsv2Sql,
     "i_laz_roundtrip" -> lasRoundtripSql,
     "i_laz14_roundtrip" -> las14RoundtripSql,
     "i_shp_roundtrip" -> shpRoundtripSql,

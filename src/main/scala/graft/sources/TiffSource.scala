@@ -1,0 +1,312 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.ingest.GeoTiff
+import graft.raster.GridMeta
+
+/** DataSource V2 connector for GeoTIFF raster mosaics —
+  * `spark.read.format("graft.sources.TiffSource").load(dir)` — the
+  * raster twin of [[LasSource]] over the [[graft.ingest.GeoTiff]] byte
+  * codec (the reference opens rasters through rioxarray/GDAL,
+  * differencing_functions.py:69–79; here the mosaic IS a table).
+  *
+  * Table model: one row per VALID pixel (nodata dropped at decode, the
+  * engine's pixel-table convention) with
+  * `(tile_id, col, row, x, y, value)` — `tile_id` is the file's index
+  * in name-sorted order, `col`/`row` are file-local grid indices, and
+  * `x`/`y` are WORLD cell centers (`origin + (idx + 0.5) · d`) so a
+  * bbox predicate means the same thing across every tile of a mosaic.
+  *
+  * Scale shape: ONE InputPartition per file — an N-tile mosaic fans out
+  * to N independent decoders. Pushdown reaches two levels:
+  *  - FILE level: x/y range predicates are tested against the tile's
+  *    extent from a HEADER-ONLY parse ([[GeoTiff.meta]]) — a pruned
+  *    tile never decompresses a single chunk (on object storage this is
+  *    a range-read of the header bytes; the spec asserts pruned tiles
+  *    via [[TiffSource.decodedTiles]]);
+  *  - PIXEL level: x/y/col/row/value ranges filter inside the emit loop
+  *    before row materialization.
+  * All pushed filters stay in the residual — pushdown is a work
+  * optimization, never a correctness dependency.
+  *
+  * The write path stages each partition as one complete .tif (float64,
+  * Compression=1): cells buffer into the dense grid (`width`/`height`/
+  * `nodata`/`originX`/`originY`/`dx`/`dy` write options; absent cells
+  * become nodata), encode once, and ATOMICALLY rename into place — a
+  * failed task never leaves a torn tile. One tile per task is the
+  * mosaic contract, so the dense buffer is the tile size by design.
+  */
+object TiffSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("tile_id", IntegerType, nullable = false),
+    StructField("col", IntegerType, nullable = false),
+    StructField("row", IntegerType, nullable = false),
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  /** Tiles whose PIXELS were actually decoded in this JVM — the
+    * test-observable proof that header-extent pruning skips decode
+    * work (reset in specs; nothing in production reads it). */
+  val decodedTiles = new AtomicLong(0L)
+
+  private[graft] final case class Pushed(
+      xMin: Double, xMax: Double, yMin: Double, yMax: Double,
+      vMin: Double, vMax: Double,
+      colMin: Int, colMax: Int, rowMin: Int, rowMax: Int) {
+    def passX(v: Double): Boolean = v >= xMin && v <= xMax
+    def passY(v: Double): Boolean = v >= yMin && v <= yMax
+    def passV(v: Double): Boolean = v >= vMin && v <= vMax
+    def passCol(v: Int): Boolean = v >= colMin && v <= colMax
+    def passRow(v: Int): Boolean = v >= rowMin && v <= rowMax
+    /** Can any cell center of a `meta`-shaped tile pass the x/y and
+      * col/row ranges? dy may be negative (north-up rasters), so the
+      * extent takes min/max of the first and last cell centers. */
+    def intersects(meta: GridMeta): Boolean = {
+      val x0 = meta.originX + 0.5 * meta.dx
+      val x1 = meta.originX + (meta.width - 0.5) * meta.dx
+      val y0 = meta.originY + 0.5 * meta.dy
+      val y1 = meta.originY + (meta.height - 0.5) * meta.dy
+      math.max(math.min(x0, x1), xMin) <= math.min(math.max(x0, x1), xMax) &&
+      math.max(math.min(y0, y1), yMin) <= math.min(math.max(y0, y1), yMax) &&
+      math.max(0, colMin) <= math.min(meta.width - 1, colMax) &&
+      math.max(0, rowMin) <= math.min(meta.height - 1, rowMax)
+    }
+  }
+
+  private[graft] val NoFilter = Pushed(
+    Double.NegativeInfinity, Double.PositiveInfinity,
+    Double.NegativeInfinity, Double.PositiveInfinity,
+    Double.NegativeInfinity, Double.PositiveInfinity,
+    Int.MinValue, Int.MaxValue, Int.MinValue, Int.MaxValue)
+
+  /** Range filters on x/y/value (double) and col/row (int) compile into
+    * the decode loop; strict inequalities widen to inclusive bounds —
+    * legal because every pushed filter stays in the residual. */
+  private[sources] def compile(filters: Array[Filter]): (Pushed, Array[Filter]) = {
+    var p = NoFilter
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Filter]
+    def num(v: Any): Option[Double] = v match {
+      case d: Double => Some(d)
+      case f: Float => Some(f.toDouble)
+      case i: Int => Some(i.toDouble)
+      case l: Long => Some(l.toDouble)
+      case _ => None
+    }
+    def range(c: String, lo: Double, hi: Double): Boolean = c match {
+      case "x" => p = p.copy(xMin = math.max(p.xMin, lo), xMax = math.min(p.xMax, hi)); true
+      case "y" => p = p.copy(yMin = math.max(p.yMin, lo), yMax = math.min(p.yMax, hi)); true
+      case "value" => p = p.copy(vMin = math.max(p.vMin, lo), vMax = math.min(p.vMax, hi)); true
+      case "col" =>
+        p = p.copy(colMin = math.max(p.colMin, math.ceil(lo).toInt),
+          colMax = math.min(p.colMax, math.floor(hi).toInt)); true
+      case "row" =>
+        p = p.copy(rowMin = math.max(p.rowMin, math.ceil(lo).toInt),
+          rowMax = math.min(p.rowMax, math.floor(hi).toInt)); true
+      case _ => false
+    }
+    filters.foreach {
+      case f @ GreaterThan(c, v) if num(v).exists(d => range(c, d, Double.PositiveInfinity)) =>
+        accepted += f
+      case f @ GreaterThanOrEqual(c, v) if num(v).exists(d => range(c, d, Double.PositiveInfinity)) =>
+        accepted += f
+      case f @ LessThan(c, v) if num(v).exists(d => range(c, Double.NegativeInfinity, d)) =>
+        accepted += f
+      case f @ LessThanOrEqual(c, v) if num(v).exists(d => range(c, Double.NegativeInfinity, d)) =>
+        accepted += f
+      case _ => ()
+    }
+    (p, accepted.toArray)
+  }
+}
+
+class TiffSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TiffSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new TiffTable(properties.get("path"))
+}
+
+private[sources] class TiffTable(path: String)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"tiff($path)"
+  override def schema(): StructType = TiffSource.Schema
+  // ACCEPT_ANY_SCHEMA: the WRITE schema (col, row, value) is narrower
+  // than the read schema (tile_id/x/y are derived at read); the
+  // WriteBuilder validates it explicitly instead of Spark's by-name
+  // output resolution against the read schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TiffScanBuilder(Option(path).getOrElse(options.get("path")))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val p = Option(path).getOrElse(info.options.get("path"))
+    require(p != null, "tiff sink needs a save path")
+    require(info.schema().fieldNames.toSeq == Seq("col", "row", "value"),
+      s"tiff sink needs columns col, row, value, got ${info.schema().fieldNames.mkString(", ")}")
+    val opts = info.options
+    def d(k: String, dflt: Double) =
+      Option(opts.get(k)).map(_.toDouble).getOrElse(dflt)
+    val meta = GridMeta(
+      originX = d("originX", 0.0), originY = d("originY", 0.0),
+      dx = d("dx", 1.0), dy = d("dy", 1.0),
+      width = Option(opts.get("width")).map(_.toInt).getOrElse(
+        throw new IllegalArgumentException("tiff sink needs a width option")),
+      height = Option(opts.get("height")).map(_.toInt).getOrElse(
+        throw new IllegalArgumentException("tiff sink needs a height option")),
+      nodata = d("nodata", -9999.0))
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new TiffBatchWrite(p, meta)
+      }
+    }
+  }
+}
+
+private[sources] class TiffBatchWrite(path: String, meta: GridMeta)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    new java.io.File(path).mkdirs()
+    new TiffWriterFactory(path, meta)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class TiffWriterFactory(path: String, meta: GridMeta)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      import java.nio.file.{Files, StandardCopyOption}
+      // one tile per task by contract: the dense buffer IS the tile
+      private val rows = Array.fill(meta.height)(
+        Array.fill(meta.width)(meta.nodata))
+      override def write(r: InternalRow): Unit = {
+        val c = r.getInt(0); val rr = r.getInt(1)
+        require(c >= 0 && c < meta.width && rr >= 0 && rr < meta.height,
+          s"cell ($c, $rr) outside the ${meta.width}x${meta.height} tile")
+        rows(rr)(c) = r.getDouble(2)
+      }
+      override def commit(): WriterCommitMessage = {
+        val tmp = new java.io.File(path,
+          f".part_$partitionId%05d.tif.$taskId%d.tmp").toPath
+        Files.write(tmp, GeoTiff.encode(meta, rows))
+        Files.move(tmp,
+          new java.io.File(path, f"part_$partitionId%05d.tif").toPath,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        new WriterCommitMessage {}
+      }
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
+
+private[sources] class TiffScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = TiffSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+  private var compiled: TiffSource.Pushed = TiffSource.NoFilter
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (p, accepted) = TiffSource.compile(filters)
+    compiled = p
+    pushed = accepted
+    // every filter stays in the residual: the connector's evaluation is
+    // a decode-work optimization, Spark remains the source of truth
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new TiffScan(path, required, compiled)
+}
+
+private[sources] class TiffScan(path: String, required: StructType,
+    pushed: TiffSource.Pushed) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"graft tiff mosaic $path"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val root = new java.io.File(path)
+    val files =
+      if (root.isFile) Array(root)
+      else {
+        require(root.isDirectory, s"no such path: $path")
+        root.listFiles().filter(_.getName.endsWith(".tif")).sortBy(_.getName)
+      }
+    require(files.nonEmpty, s"no .tif files under $path")
+    files.zipWithIndex.map { case (f, i) =>
+      TiffInputPartition(f.getAbsolutePath, i): InputPartition
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TiffReaderFactory(required.fieldNames, pushed)
+}
+
+private[sources] case class TiffInputPartition(file: String, tileId: Int)
+    extends InputPartition
+
+private[sources] class TiffReaderFactory(fields: Array[String],
+    pushed: TiffSource.Pushed) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TiffInputPartition]
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p.file))
+    // header-only parse FIRST: a tile whose extent misses the pushed
+    // bbox is pruned without decompressing any pixel chunk
+    val meta = GeoTiff.meta(bytes)
+    if (!pushed.intersects(meta)) {
+      new PartitionReader[InternalRow] {
+        override def next(): Boolean = false
+        override def get(): InternalRow =
+          throw new IllegalStateException("empty pruned tile")
+        override def close(): Unit = ()
+      }
+    } else {
+      TiffSource.decodedTiles.incrementAndGet()
+      val (m, rows) = GeoTiff.decode(bytes)
+      new PartitionReader[InternalRow] {
+        private var r = 0
+        private var c = -1
+        private var cx, cy, cv = 0.0
+        override def next(): Boolean = {
+          while (r < m.height) {
+            c += 1
+            if (c >= m.width) { c = 0; r += 1 }
+            if (r < m.height) {
+              val v = rows(r)(c)
+              if (v != m.nodata && pushed.passV(v) &&
+                pushed.passCol(c) && pushed.passRow(r)) {
+                cx = m.originX + (c + 0.5) * m.dx
+                cy = m.originY + (r + 0.5) * m.dy
+                if (pushed.passX(cx) && pushed.passY(cy)) { cv = v; return true }
+              }
+            }
+          }
+          false
+        }
+        override def get(): InternalRow = InternalRow.fromSeq(
+          fields.toIndexedSeq.map {
+            case "tile_id" => p.tileId
+            case "col" => c
+            case "row" => r
+            case "x" => cx
+            case "y" => cy
+            case "value" => cv
+          })
+        override def close(): Unit = ()
+      }
+    }
+  }
+}
