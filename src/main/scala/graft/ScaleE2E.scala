@@ -169,9 +169,22 @@ object ScaleE2E {
           f"decoded=${graft.sources.LasSource.decodedPoints.get()}%d " +
           f"ground=$nGround%d (${100.0 * nGround / nBack}%.1f%%)")
       }
-      ground.groupBy(floor(col("x")).cast("int").as("col"),
+      val dem = ground.groupBy(floor(col("x")).cast("int").as("col"),
           floor(col("y")).cast("int").as("row"))
         .agg(avg(col("z")).as("value"))
+      // ...and the DEM itself crosses the RASTER byte boundary: staged
+      // as one float64 GeoTIFF tile through the TiffSource write
+      // connector, read back through its read connector (nodata cells
+      // absent by construction) — so the composed pipeline exercises
+      // BOTH connectors the way the reference's workflow does (PDAL
+      // writers.gdal → rioxarray open, differencing_functions.py:69–79)
+      val demDir = new java.io.File(dir, "dem")
+      dem.coalesce(1).write.format("graft.sources.TiffSource")
+        .option("width", W.toString).option("height", W.toString)
+        .mode("append").save(demDir.getAbsolutePath)
+      spark.read.format("graft.sources.TiffSource")
+        .load(demDir.getAbsolutePath)
+        .select("col", "row", "value")
     }
 
     val t0 = System.nanoTime()

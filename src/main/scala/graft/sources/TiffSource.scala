@@ -147,7 +147,8 @@ private[sources] class TiffTable(path: String)
   // output resolution against the read schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TiffScanBuilder(Option(path).getOrElse(options.get("path")))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -252,6 +253,56 @@ private[sources] class TiffScan(path: String, required: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new TiffReaderFactory(required.fieldNames, pushed)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TiffMicroBatchStream(path, required.fieldNames, pushed)
+}
+
+/** Streaming half over a GROWING directory of .tif tile deliveries —
+  * the [[LasMicroBatchStream]] discipline verbatim: name-sorted count
+  * offset carrying the LAST PROCESSED FILENAME, so a rename/delete of
+  * an already-processed tile fails loudly instead of silently
+  * reprocessing (append-only staged-delivery convention). Reuses
+  * [[LasOffset]] — the offset semantics are format-agnostic. */
+private[graft] class TiffMicroBatchStream(path: String, fields: Array[String],
+    pushed: TiffSource.Pushed)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  private def files: Array[String] = {
+    val root = new java.io.File(path)
+    if (root.isFile) Array(root.getAbsolutePath)
+    else if (!root.isDirectory) Array.empty
+    else root.listFiles().filter(_.getName.endsWith(".tif"))
+      .map(_.getAbsolutePath).sorted
+  }
+  private def lastName(fs: Array[String], n: Int): String =
+    if (n <= 0 || n > fs.length) "" else new java.io.File(fs(n - 1)).getName
+  override def initialOffset(): Offset = LasOffset(0, "")
+  override def latestOffset(): Offset = {
+    val fs = files
+    LasOffset(fs.length, lastName(fs, fs.length))
+  }
+  override def deserializeOffset(json: String): Offset = LasOffset.parse(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val fs = files
+    val so = start.asInstanceOf[LasOffset]
+    val s = so.n
+    val e = math.min(end.asInstanceOf[LasOffset].n, fs.length)
+    if (so.last.nonEmpty && s >= 1) {
+      val now = lastName(fs, math.min(s, fs.length))
+      require(s <= fs.length && now == so.last,
+        s"TIFF stream directory mutated under the append-only convention: " +
+          s"offset $s expected last processed file '${so.last}' but " +
+          s"directory now has '${if (s > fs.length) "<missing>" else now}'")
+    }
+    fs.slice(s, e).zipWithIndex.map { case (f, i) =>
+      TiffInputPartition(f, s + i): InputPartition
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TiffReaderFactory(fields, pushed)
 }
 
 private[sources] case class TiffInputPartition(file: String, tileId: Int)

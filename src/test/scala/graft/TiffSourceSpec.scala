@@ -101,6 +101,29 @@ class TiffSourceSpec extends SparkSuite {
     assert(df.agg(sum("value")).head().getDouble(0) > 0)
   }
 
+  test("streaming read picks up new .tif tile deliveries per micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("tiff_dsv2_s").toFile
+    def deliver(name: String, ox: Double, v: Double): Unit = {
+      val m = GridMeta(originX = ox, width = 2, height = 1, nodata = -9999.0)
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        GeoTiff.encode(m, Array(Array(v, v + 1))))
+    }
+    deliver("t_0001.tif", 0.0, 10.0)
+    val q = spark.readStream.format("graft.sources.TiffSource")
+      .load(dir.getAbsolutePath)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tiff_stream_test").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tiff_stream_test").count() == 2)
+      deliver("t_0002.tif", 100.0, 20.0)
+      q.processAllAvailable()
+      val vals = spark.table("tiff_stream_test").collect()
+        .map(_.getAs[Double]("value")).sorted.toSeq
+      assert(vals == Seq(10.0, 11.0, 20.0, 21.0))
+    } finally q.stop()
+  }
+
   test("junk bytes and empty dirs reject loudly") {
     val empty = java.nio.file.Files.createTempDirectory("tiff_dsv2_e").toFile
     intercept[Exception] {
