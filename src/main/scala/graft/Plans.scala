@@ -54,6 +54,8 @@ object Plans {
       "i_smrf_multiwindow" -> "windowed SMRF: checkpointed radius-k openings, single-consumption offset-explode stages, object-mask anti-filter",
       "i_laz_roundtrip" -> "LAZ codec boundary: executor-side arithmetic-coded chunk encode → chunk-parallel decode → DEM gridding",
       "g_pagerank6" -> "pre-partitioned contrib table (deg fused, hash(src) from cache): per iteration one rank join + one dst shuffle",
+      "o_zorder_curve" -> "Morton interleave as pure shift/and/or codegen columns (no UDF, no shuffle)",
+      "i_tiff_dsv2" -> "GeoTIFF DSv2 connector: write-stage one f64 tile per task, read back via header-pruned per-file partitions",
       "r_geoid_resample" -> "dual-geoid bilinear resample: 8 chained broadcast corner joins, fixed-order interpolation — zero exchanges",
       "x_ccnet_buckets" -> "CCNet terciles: per-lang thresholds from 4-scan grouped radix (no PARTITION BY lang funnel), bucket assignment via broadcast threshold join",
       "x_semdedup" -> "SemDeDup: cluster-scoped pair join (never O(N²) global), dominance semi-mark, one census aggregate",
