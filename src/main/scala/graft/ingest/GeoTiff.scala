@@ -153,10 +153,12 @@ object GeoTiff {
     val w = scalar(TAG_WIDTH).toInt
     val h = scalar(TAG_HEIGHT).toInt
     // allocation bound from hostile headers: the dense decode allocates
-    // h x w doubles, so reject sizes this IN-MEMORY codec cannot hold
-    // (a 100-TB ingest range-reads chunks; it never routes a monster
-    // single image through here)
-    require(w > 0 && h > 0 && w.toLong * h <= (1L << 28),
+    // h x w doubles BEFORE any chunk check, so reject sizes this
+    // IN-MEMORY codec cannot hold (2^26 cells = 512 MB of f64; a 100-TB
+    // ingest range-reads chunks and never routes a monster single image
+    // through here — deep-fuzz found a flipped height OOMing the JVM at
+    // the 2^28 cap)
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
       s"implausible raster size ${w}x$h for the in-memory codec")
     val bits = scalar(TAG_BITS).toInt
     val compression = scalar(TAG_COMPRESSION, 1).toInt
@@ -185,6 +187,11 @@ object GeoTiff {
       width = w, height = h, nodata = nodata)
     if (metaOnly) return (meta, Array.empty)
     val px = if (bits == 64) 8 else 4
+    // uncompressed samples must physically exist: a header cannot claim
+    // more pixel bytes than the file holds
+    require(metaOnly || compression != 1 ||
+      w.toLong * h * px <= bytes.length,
+      s"raster ${w}x$h of $px-byte samples exceeds the ${bytes.length}-byte file")
     def sample(buf: ByteBuffer, at: Int): Double =
       if (px == 8) buf.getDouble(at) else buf.getFloat(at).toDouble
     require(predictor == 1 || compression != 1,

@@ -53,11 +53,13 @@ object Sqlite {
     var v = 0L
     var i = 0
     while (i < 8) {
+      require(off + i >= 0 && off + i < bytes.length, "truncated varint")
       val x = bytes(off + i) & 0xff
       v = (v << 7) | (x & 0x7f)
       if ((x & 0x80) == 0) return (v, i + 1)
       i += 1
     }
+    require(off + 8 >= 0 && off + 8 < bytes.length, "truncated varint")
     ((v << 8) | (bytes(off + 8) & 0xff), 9)
   }
 
@@ -321,6 +323,10 @@ object Sqlite {
       case 0x0D =>
         (0 until nCells).map { i =>
           val cellOff = base + (b.getShort(hdrOff + 8 + 2 * i) & 0xFFFF)
+          // a cell pointer must land inside ITS page (a flipped pointer
+          // near page end otherwise reads past the last page's bytes)
+          require(cellOff >= base && cellOff < base + PageSize,
+            s"cell pointer $cellOff outside page $page")
           val (payloadLen, n1) = getVarint(bytes, cellOff)
           val (rowid, n2) = getVarint(bytes, cellOff + n1)
           // no-overflow bound: the whole payload must sit in this page
@@ -331,6 +337,8 @@ object Sqlite {
       case 0x05 =>
         val children = (0 until nCells).map { i =>
           val cellOff = base + (b.getShort(hdrOff + 12 + 2 * i) & 0xFFFF)
+          require(cellOff >= base && cellOff + 4 <= base + PageSize,
+            s"cell pointer $cellOff outside page $page")
           b.getInt(cellOff)
         } :+ b.getInt(hdrOff + 8)
         children.flatMap(walkTable(bytes, _, depth + 1))

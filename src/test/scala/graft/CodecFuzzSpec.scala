@@ -54,9 +54,15 @@ class CodecFuzzSpec extends AnyFunSuite {
         b(pos) = (b(pos) ^ (1 << rnd(i.toLong * 13 + j, 3000 + i, 8))).toByte
       }
       probe(decode, b).foreach(d => defects += s"$name flip iter=$i: $d")
-      // random truncation of the pristine container
+      // random truncation of the pristine container, PLUS a byte flip
+      // near the cut (deep-fuzz found defects only this combo reaches —
+      // e.g. a cell pointer surviving truncation but aimed past the cut)
       val cut = rnd(i.toLong, 4000 + i, good.length)
-      probe(decode, good.take(cut)).foreach(d => defects += s"$name cut=$cut: $d")
+      val t = good.take(cut)
+      if (t.length > 4)
+        t(rnd(i.toLong, 5000 + i, t.length)) =
+          (t(rnd(i.toLong, 5000 + i, t.length)) ^ 0xff).toByte
+      probe(decode, t).foreach(d => defects += s"$name cutflip=$cut: $d")
     }
     assert(defects.isEmpty,
       s"${defects.length} non-contractual failures; first: ${defects.headOption.getOrElse("")}")
