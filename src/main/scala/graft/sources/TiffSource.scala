@@ -154,8 +154,15 @@ private[sources] class TiffTable(path: String)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val p = Option(path).getOrElse(info.options.get("path"))
     require(p != null, "tiff sink needs a save path")
-    require(info.schema().fieldNames.toSeq == Seq("col", "row", "value"),
-      s"tiff sink needs columns col, row, value, got ${info.schema().fieldNames.mkString(", ")}")
+    // two write shapes: (col, row, value) places every tile at the
+    // option origin; (col, row, value, origin_x, origin_y) is the
+    // DISTRIBUTED MOSAIC form — each task stamps its own world
+    // placement (constant within the partition), so `repartition(tile)`
+    // writes N independently-placed tiles in one job
+    val names = info.schema().fieldNames.toSeq
+    require(names == Seq("col", "row", "value") ||
+      names == Seq("col", "row", "value", "origin_x", "origin_y"),
+      s"tiff sink needs columns col, row, value[, origin_x, origin_y], got ${names.mkString(", ")}")
     val opts = info.options
     def d(k: String, dflt: Double) =
       Option(opts.get(k)).map(_.toDouble).getOrElse(dflt)
@@ -167,42 +174,54 @@ private[sources] class TiffTable(path: String)
       height = Option(opts.get("height")).map(_.toInt).getOrElse(
         throw new IllegalArgumentException("tiff sink needs a height option")),
       nodata = d("nodata", -9999.0))
+    val perTileOrigin = names.length == 5
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new TiffBatchWrite(p, meta)
+        override def toBatch: BatchWrite = new TiffBatchWrite(p, meta, perTileOrigin)
       }
     }
   }
 }
 
-private[sources] class TiffBatchWrite(path: String, meta: GridMeta)
-    extends BatchWrite {
+private[sources] class TiffBatchWrite(path: String, meta: GridMeta,
+    perTileOrigin: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new java.io.File(path).mkdirs()
-    new TiffWriterFactory(path, meta)
+    new TiffWriterFactory(path, meta, perTileOrigin)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-private[sources] class TiffWriterFactory(path: String, meta: GridMeta)
-    extends DataWriterFactory {
+private[sources] class TiffWriterFactory(path: String, meta: GridMeta,
+    perTileOrigin: Boolean) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       import java.nio.file.{Files, StandardCopyOption}
       // one tile per task by contract: the dense buffer IS the tile
       private val rows = Array.fill(meta.height)(
         Array.fill(meta.width)(meta.nodata))
+      private var ox = meta.originX
+      private var oy = meta.originY
+      private var originSet = false
       override def write(r: InternalRow): Unit = {
         val c = r.getInt(0); val rr = r.getInt(1)
         require(c >= 0 && c < meta.width && rr >= 0 && rr < meta.height,
           s"cell ($c, $rr) outside the ${meta.width}x${meta.height} tile")
+        if (perTileOrigin) {
+          val rox = r.getDouble(3); val roy = r.getDouble(4)
+          if (!originSet) { ox = rox; oy = roy; originSet = true }
+          else require(rox == ox && roy == oy,
+            s"mosaic tile mixes origins ($ox, $oy) and ($rox, $roy) in one " +
+              "partition — repartition by tile before the mosaic write")
+        }
         rows(rr)(c) = r.getDouble(2)
       }
       override def commit(): WriterCommitMessage = {
         val tmp = new java.io.File(path,
           f".part_$partitionId%05d.tif.$taskId%d.tmp").toPath
-        Files.write(tmp, GeoTiff.encode(meta, rows))
+        Files.write(tmp,
+          GeoTiff.encode(meta.copy(originX = ox, originY = oy), rows))
         Files.move(tmp,
           new java.io.File(path, f"part_$partitionId%05d.tif").toPath,
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)

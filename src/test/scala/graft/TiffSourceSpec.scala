@@ -101,6 +101,36 @@ class TiffSourceSpec extends SparkSuite {
     assert(df.agg(sum("value")).head().getDouble(0) > 0)
   }
 
+  test("distributed mosaic write: per-tile origins via (col,row,value,origin_x,origin_y)") {
+    val dir = java.nio.file.Files.createTempDirectory("tiff_dsv2_mosaic").toFile
+    // two 4x3 tiles of one world mosaic, repartitioned by tile
+    val cells = (for {
+      t <- 0 until 2; r <- 0 until 3; c <- 0 until 4
+    } yield (c, r, (t * 100 + r * 4 + c).toDouble, t * 4.0, 0.0))
+      .toDF("col", "row", "value", "origin_x", "origin_y")
+    cells.repartition(2, col("origin_x"))
+      .write.format("graft.sources.TiffSource")
+      .option("width", "4").option("height", "3")
+      .mode("append").save(dir.getAbsolutePath)
+    val back = spark.read.format("graft.sources.TiffSource")
+      .load(dir.getAbsolutePath)
+    assert(back.count() == 24)
+    // world x is continuous across the mosaic: tile 0 covers [0.5, 3.5],
+    // tile 1 [4.5, 7.5]
+    val xs = back.select("x").collect().map(_.getDouble(0)).distinct.sorted
+    assert(xs.toSeq == (0 until 8).map(_ + 0.5))
+    // values land in the right world cells
+    val at65 = back.filter(col("x") === 6.5 && col("y") === 1.5)
+      .select("value").head().getDouble(0)
+    assert(at65 == 106.0, s"got $at65")
+    // mixing origins inside one partition rejects loudly
+    intercept[Exception] {
+      cells.coalesce(1).write.format("graft.sources.TiffSource")
+        .option("width", "4").option("height", "3")
+        .mode("append").save(dir.getAbsolutePath)
+    }
+  }
+
   test("streaming read picks up new .tif tile deliveries per micro-batch") {
     val dir = java.nio.file.Files.createTempDirectory("tiff_dsv2_s").toFile
     def deliver(name: String, ox: Double, v: Double): Unit = {
