@@ -198,33 +198,38 @@ private[sources] class TiffWriterFactory(path: String, meta: GridMeta,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       import java.nio.file.{Files, StandardCopyOption}
-      // one tile per task by contract: the dense buffer IS the tile
-      private val rows = Array.fill(meta.height)(
-        Array.fill(meta.width)(meta.nodata))
-      private var ox = meta.originX
-      private var oy = meta.originY
-      private var originSet = false
+      // one dense grid PER ORIGIN seen by this task — `repartition(key)`
+      // HASH-partitions, so distinct tiles legitimately collide into one
+      // task (the dynamic-partition-write shape); each tile still
+      // commits as its own atomic file. Task memory = tiles-this-task ×
+      // tile size, the same bound Spark's dynamic partition writers
+      // carry — co-partition cells by tile key to keep it small.
+      private val tiles =
+        scala.collection.mutable.LinkedHashMap.empty[(Double, Double), Array[Array[Double]]]
+      private def grid(ox: Double, oy: Double): Array[Array[Double]] =
+        tiles.getOrElseUpdate((ox, oy),
+          Array.fill(meta.height)(Array.fill(meta.width)(meta.nodata)))
       override def write(r: InternalRow): Unit = {
         val c = r.getInt(0); val rr = r.getInt(1)
         require(c >= 0 && c < meta.width && rr >= 0 && rr < meta.height,
           s"cell ($c, $rr) outside the ${meta.width}x${meta.height} tile")
-        if (perTileOrigin) {
-          val rox = r.getDouble(3); val roy = r.getDouble(4)
-          if (!originSet) { ox = rox; oy = roy; originSet = true }
-          else require(rox == ox && roy == oy,
-            s"mosaic tile mixes origins ($ox, $oy) and ($rox, $roy) in one " +
-              "partition — repartition by tile before the mosaic write")
-        }
-        rows(rr)(c) = r.getDouble(2)
+        val g =
+          if (perTileOrigin) grid(r.getDouble(3), r.getDouble(4))
+          else grid(meta.originX, meta.originY)
+        g(rr)(c) = r.getDouble(2)
       }
       override def commit(): WriterCommitMessage = {
-        val tmp = new java.io.File(path,
-          f".part_$partitionId%05d.tif.$taskId%d.tmp").toPath
-        Files.write(tmp,
-          GeoTiff.encode(meta.copy(originX = ox, originY = oy), rows))
-        Files.move(tmp,
-          new java.io.File(path, f"part_$partitionId%05d.tif").toPath,
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        var k = 0
+        tiles.foreach { case ((ox, oy), rows) =>
+          val tmp = new java.io.File(path,
+            f".part_$partitionId%05d_$k%04d.tif.$taskId%d.tmp").toPath
+          Files.write(tmp,
+            GeoTiff.encode(meta.copy(originX = ox, originY = oy), rows))
+          Files.move(tmp,
+            new java.io.File(path, f"part_$partitionId%05d_$k%04d.tif").toPath,
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+          k += 1
+        }
         new WriterCommitMessage {}
       }
       override def abort(): Unit = ()

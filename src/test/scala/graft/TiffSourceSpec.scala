@@ -123,12 +123,20 @@ class TiffSourceSpec extends SparkSuite {
     val at65 = back.filter(col("x") === 6.5 && col("y") === 1.5)
       .select("value").head().getDouble(0)
     assert(at65 == 106.0, s"got $at65")
-    // mixing origins inside one partition rejects loudly
-    intercept[Exception] {
-      cells.coalesce(1).write.format("graft.sources.TiffSource")
-        .option("width", "4").option("height", "3")
-        .mode("append").save(dir.getAbsolutePath)
-    }
+    // multiple origins inside ONE partition still write one atomic file
+    // per tile — hash repartitioning legitimately collides tiles into a
+    // task (the dynamic-partition-write shape)
+    val dir2 = java.nio.file.Files.createTempDirectory("tiff_dsv2_mosaic1").toFile
+    cells.coalesce(1).write.format("graft.sources.TiffSource")
+      .option("width", "4").option("height", "3")
+      .mode("append").save(dir2.getAbsolutePath)
+    val files2 = dir2.listFiles().count(_.getName.endsWith(".tif"))
+    assert(files2 == 2, s"expected one file per tile from one task, got $files2")
+    val back2 = spark.read.format("graft.sources.TiffSource")
+      .load(dir2.getAbsolutePath)
+    assert(back2.count() == 24)
+    assert(back2.select("x").collect().map(_.getDouble(0)).distinct.sorted.toSeq ==
+      (0 until 8).map(_ + 0.5))
   }
 
   test("streaming read picks up new .tif tile deliveries per micro-batch") {
