@@ -40,7 +40,7 @@ object Plans {
       "r_utm_project" -> "Krüger UTM forward+inverse as one codegen projection (no UDF, no shuffle)",
       "x_decontaminate" -> "eval grams broadcast; train side dedupes in-row (array_distinct) — no corpus-wide gram shuffle",
       "x_domain_cap" -> "per-source budget cap: grouped top-k (WindowGroupLimit rank pushdown, no global sort)",
-      "x_lsh_recall" -> "prefix-filtered exact truth: df-ordered in-row prefix cut, self-join on prefixes only, length-filtered array-intersect verify on candidates",
+      "x_lsh_recall" -> "prefix-filtered exact truth: df-ordered in-row prefix cut, self-join on prefixes only, length-filtered two-pointer kernel verify (MultisetIntersectSize over pre-sorted arrays) on candidates",
       "n_sq8_topk" -> "SQ8 ANN: broadcast 1-row quantizer stats, integer-dot code scan, exact rescore of top-10 only",
       "x_dsir_weights" -> "DSIR: vocab-level md5 buckets, B-row log-ratio broadcast onto per-doc word counts",
       "a_hll_est" -> "HLL registers: hash-agg to ≤sources×64 register rows, integer harmonic sums",

@@ -1094,9 +1094,10 @@ object QueriesText {
   private val lshRecall: Q = (s, d) => {
     val sh = shingleSet(s, d)
     // per-doc shingle ARRAYS + sizes — the verify unit (consumed four
-    // times: two size joins, two array joins)
+    // times: two size joins, two array joins). Sorted ONCE at build so
+    // the per-pair verify below is a pure two-pointer walk.
     val docArr = sh.groupBy("doc_id")
-      .agg(collect_list(col("sh")).as("arr"), count(lit(1)).as("sz"))
+      .agg(sort_array(collect_list(col("sh"))).as("arr"), count(lit(1)).as("sz"))
       .persistShared()
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     // per-doc prefix under the global (df asc, sh asc) order, cut
@@ -1121,10 +1122,15 @@ object QueriesText {
     // (1) the SSJoin length filter — J = I/(a+b−I) with I ≤ min gives
     //     J ≤ min/max, so min ≥ τ·max is necessary — prunes on the
     //     already-joined integer sizes before any array moves;
-    // (2) surviving pairs join the per-doc shingle ARRAYS and count the
-    //     intersection in-row (array_intersect of distinct arrays =
-    //     distinct common count, order-invariant). Same 2 560 truth
-    //     rows, 37 s → 5.6 s at sf1.
+    // (2) surviving pairs join the per-doc SORTED shingle arrays and
+    //     count the intersection in-row with the two-pointer
+    //     MultisetIntersectSize codegen kernel (distinct elements ⇒
+    //     multiset count = set count). The first array form used
+    //     array_intersect, which allocates a per-row hash set + result
+    //     array — the repertoire's dominant allocation hotspot at sf1
+    //     (58 s in-suite vs 12 s standalone-cold, and a_stats11 read
+    //     14.2 s vs 1.7 in its GC shadow). The kernel walk allocates
+    //     nothing per row.
     val szOnly = docArr.select(col("doc_id"), col("sz"))
     val truth = pairs
       .join(szOnly.toDF("a_id", "a_sz"), "a_id")
@@ -1134,7 +1140,7 @@ object QueriesText {
       .join(docArr.select(col("doc_id").as("a_id"), col("arr").as("a_arr")), "a_id")
       .join(docArr.select(col("doc_id").as("b_id"), col("arr").as("b_arr")), "b_id")
       .withColumn("inter",
-        size(array_intersect(col("a_arr"), col("b_arr"))).cast("long"))
+        graft.text.GramExprs.multisetIntersectSize(col("a_arr"), col("b_arr")))
       .filter(col("inter").cast("double") /
         (col("a_sz") + col("b_sz") - col("inter")).cast("double") >= LSH_TAU)
       .select("a_id", "b_id")
@@ -1184,7 +1190,7 @@ object QueriesText {
     def sampled(c: Column) = graft.rng.Rand.mix(c, LSH_SAMPLE_SALT) % 3 === 0
     val sh = shingleSet(s, d).filter(sampled(col("doc_id")))
     val docArr = sh.groupBy("doc_id")
-      .agg(collect_list(col("sh")).as("arr"), count(lit(1)).as("sz"))
+      .agg(sort_array(collect_list(col("sh"))).as("arr"), count(lit(1)).as("sz"))
       .persistShared()
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val prefixes = sh.join(dfreq, "sh")
@@ -1207,7 +1213,7 @@ object QueriesText {
       .join(docArr.select(col("doc_id").as("a_id"), col("arr").as("a_arr")), "a_id")
       .join(docArr.select(col("doc_id").as("b_id"), col("arr").as("b_arr")), "b_id")
       .withColumn("inter",
-        size(array_intersect(col("a_arr"), col("b_arr"))).cast("long"))
+        graft.text.GramExprs.multisetIntersectSize(col("a_arr"), col("b_arr")))
       .filter(col("inter").cast("double") /
         (col("a_sz") + col("b_sz") - col("inter")).cast("double") >= LSH_TAU)
       .select("a_id", "b_id")
