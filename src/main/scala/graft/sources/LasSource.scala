@@ -366,6 +366,18 @@ private[sources] class LasReaderFactory(fields: Array[String],
   private val needCls = fields.contains("classification") || pushed.cls.isDefined
   private val needT = fields.contains("gps_time") || pushed.filtersT
 
+  // column ordinals resolved ONCE per factory: both reader paths fill a
+  // reused GenericInternalRow through an int switch instead of a
+  // per-row IndexedSeq allocation + per-field string matches (Spark
+  // copies the row into its unsafe projection, so reuse is safe)
+  private val fieldCodes: Array[Int] = fields.map {
+    case "x" => 0
+    case "y" => 1
+    case "z" => 2
+    case "classification" => 3
+    case "gps_time" => 4
+  }
+
   /** Raw LAS 1.2 fmt 0/1 or 1.4 fmt 6: per-record offset reads. */
   private def rawReader(bytes: Array[Byte], is14: Boolean, file: String)
       : PartitionReader[InternalRow] = {
@@ -422,14 +434,22 @@ private[sources] class LasReaderFactory(fields: Array[String],
         decoded += 1
         true
       }
-      override def get(): InternalRow = InternalRow.fromSeq(
-        fields.toIndexedSeq.map {
-          case "x" => cx
-          case "y" => cy
-          case "z" => cz
-          case "classification" => ccls
-          case "gps_time" => ct
-        })
+      private val row =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fieldCodes.length)
+      override def get(): InternalRow = {
+        var j = 0
+        while (j < fieldCodes.length) {
+          fieldCodes(j) match {
+            case 0 => row.setDouble(j, cx)
+            case 1 => row.setDouble(j, cy)
+            case 2 => row.setDouble(j, cz)
+            case 3 => row.setInt(j, ccls)
+            case 4 => row.setDouble(j, ct)
+          }
+          j += 1
+        }
+        row
+      }
       override def close(): Unit = LasSource.decodedPoints.addAndGet(decoded)
     }
   }
@@ -463,15 +483,22 @@ private[sources] class LasReaderFactory(fields: Array[String],
         }
         false
       }
+      private val row =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(fieldCodes.length)
       override def get(): InternalRow = {
         val p = pts(i)
-        InternalRow.fromSeq(fields.toIndexedSeq.map {
-          case "x" => p._1
-          case "y" => p._2
-          case "z" => p._3
-          case "classification" => p._4
-          case "gps_time" => p._5
-        })
+        var j = 0
+        while (j < fieldCodes.length) {
+          fieldCodes(j) match {
+            case 0 => row.setDouble(j, p._1)
+            case 1 => row.setDouble(j, p._2)
+            case 2 => row.setDouble(j, p._3)
+            case 3 => row.setInt(j, p._4)
+            case 4 => row.setDouble(j, p._5)
+          }
+          j += 1
+        }
+        row
       }
       override def close(): Unit = LasSource.decodedPoints.addAndGet(decoded)
     }

@@ -38,12 +38,16 @@ import graft.raster.GridMeta
   * All pushed filters stay in the residual — pushdown is a work
   * optimization, never a correctness dependency.
   *
-  * The write path stages each partition as one complete .tif (float64,
-  * Compression=1): cells buffer into the dense grid (`width`/`height`/
+  * The write path stages every tile as one complete .tif (float64,
+  * Compression=1): cells buffer into a dense grid (`width`/`height`/
   * `nodata`/`originX`/`originY`/`dx`/`dy` write options; absent cells
-  * become nodata), encode once, and ATOMICALLY rename into place — a
-  * failed task never leaves a torn tile. One tile per task is the
-  * mosaic contract, so the dense buffer is the tile size by design.
+  * become nodata), encode to a staged tmp, and ATOMICALLY rename into
+  * place at task commit — a failed task leaves neither torn tiles nor
+  * tmp litter (abort deletes the staging). Filenames carry the write's
+  * queryId, so append jobs never clobber earlier jobs' tiles while
+  * task retries stay idempotent. With `sortedByOrigin=true` (rows
+  * clustered by origin upstream) task memory is ONE open tile no
+  * matter how many tiles hash into the task — see [[TiffWriterFactory]].
   */
 object TiffSource {
   val Schema: StructType = StructType(Seq(
@@ -175,64 +179,121 @@ private[sources] class TiffTable(path: String)
         throw new IllegalArgumentException("tiff sink needs a height option")),
       nodata = d("nodata", -9999.0))
     val perTileOrigin = names.length == 5
+    // Job-unique filename token (the write's queryId): a second
+    // mode("append") job into the same mosaic directory gets fresh
+    // part names instead of silently clobbering an earlier job's
+    // tiles, while task RETRIES within one job keep the same name and
+    // stay idempotent via REPLACE_EXISTING.
+    val token = Option(info.queryId()).getOrElse("")
+      .replaceAll("[^0-9a-zA-Z]", "").takeRight(12)
+    val sortedByOrigin =
+      Option(opts.get("sortedByOrigin")).exists(_.toBoolean)
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new TiffBatchWrite(p, meta, perTileOrigin)
+        override def toBatch: BatchWrite =
+          new TiffBatchWrite(p, meta, perTileOrigin, token, sortedByOrigin)
       }
     }
   }
 }
 
 private[sources] class TiffBatchWrite(path: String, meta: GridMeta,
-    perTileOrigin: Boolean) extends BatchWrite {
+    perTileOrigin: Boolean, token: String, sortedByOrigin: Boolean)
+    extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new java.io.File(path).mkdirs()
-    new TiffWriterFactory(path, meta, perTileOrigin)
+    new TiffWriterFactory(path, meta, perTileOrigin, token, sortedByOrigin)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
+/** Mosaic tile writer. Two memory regimes:
+  *  - `sortedByOrigin=true` (the 100-TB convention —
+  *    `repartition(origin).sortWithinPartitions(origin)` upstream):
+  *    rows arrive clustered by origin, so the task holds ONE open
+  *    dense grid and flushes it to a staged tmp file the moment the
+  *    origin changes — task memory is one tile regardless of how many
+  *    tiles hash into the task (the dynamic-partition-writer shape).
+  *    An origin revisited after its flush fails loudly: silent
+  *    nodata-merging would mask the broken clustering contract.
+  *  - default (unsorted fallback): one dense grid PER ORIGIN seen by
+  *    the task (`repartition(key)` HASH-partitions, so distinct tiles
+  *    legitimately collide); task memory = tiles-this-task × tile
+  *    size, acceptable at probe scale but NOT the shape to run at
+  *    fan-out.
+  * Either way every tile is staged as `.…tmp` during the task and only
+  * renamed (atomic, REPLACE_EXISTING for retry idempotence) at task
+  * commit — `abort()` deletes the staged tmps, so a failed task leaves
+  * neither torn tiles nor litter. */
 private[sources] class TiffWriterFactory(path: String, meta: GridMeta,
-    perTileOrigin: Boolean) extends DataWriterFactory {
+    perTileOrigin: Boolean, token: String, sortedByOrigin: Boolean)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      import java.nio.file.{Files, StandardCopyOption}
-      // one dense grid PER ORIGIN seen by this task — `repartition(key)`
-      // HASH-partitions, so distinct tiles legitimately collide into one
-      // task (the dynamic-partition-write shape); each tile still
-      // commits as its own atomic file. Task memory = tiles-this-task ×
-      // tile size, the same bound Spark's dynamic partition writers
-      // carry — co-partition cells by tile key to keep it small.
+      import java.nio.file.{Files, Path, StandardCopyOption}
       private val tiles =
         scala.collection.mutable.LinkedHashMap.empty[(Double, Double), Array[Array[Double]]]
-      private def grid(ox: Double, oy: Double): Array[Array[Double]] =
-        tiles.getOrElseUpdate((ox, oy),
-          Array.fill(meta.height)(Array.fill(meta.width)(meta.nodata)))
+      private var curKey: (Double, Double) = null
+      private var curGrid: Array[Array[Double]] = null
+      private val flushedKeys = scala.collection.mutable.HashSet.empty[(Double, Double)]
+      private val staged = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+      private var k = 0
+      private def newGrid(): Array[Array[Double]] =
+        Array.fill(meta.height)(Array.fill(meta.width)(meta.nodata))
+      /** Encode one tile into a staged tmp; the final rename happens at
+        * task commit. Deletes its own tmp if the encode throws. */
+      private def stage(ox: Double, oy: Double, rows: Array[Array[Double]]): Unit = {
+        val tmp = new java.io.File(path,
+          f".part_${token}_$partitionId%05d_$k%04d.tif.$taskId%d.tmp").toPath
+        val fin = new java.io.File(path,
+          f"part_${token}_$partitionId%05d_$k%04d.tif").toPath
+        try Files.write(tmp,
+          GeoTiff.encode(meta.copy(originX = ox, originY = oy), rows))
+        catch { case e: Throwable => Files.deleteIfExists(tmp); throw e }
+        staged += ((tmp, fin))
+        k += 1
+      }
       override def write(r: InternalRow): Unit = {
         val c = r.getInt(0); val rr = r.getInt(1)
         require(c >= 0 && c < meta.width && rr >= 0 && rr < meta.height,
           s"cell ($c, $rr) outside the ${meta.width}x${meta.height} tile")
-        val g =
-          if (perTileOrigin) grid(r.getDouble(3), r.getDouble(4))
-          else grid(meta.originX, meta.originY)
-        g(rr)(c) = r.getDouble(2)
+        val key =
+          if (perTileOrigin) (r.getDouble(3), r.getDouble(4))
+          else (meta.originX, meta.originY)
+        if (sortedByOrigin) {
+          if (curKey == null || key != curKey) {
+            if (curKey != null) {
+              stage(curKey._1, curKey._2, curGrid)
+              flushedKeys += curKey
+            }
+            require(!flushedKeys.contains(key),
+              s"origin $key revisited after its tile was flushed — " +
+                "sortedByOrigin requires rows clustered by origin " +
+                "(repartition + sortWithinPartitions on origin_x, origin_y)")
+            curKey = key
+            curGrid = newGrid()
+          }
+          curGrid(rr)(c) = r.getDouble(2)
+        } else {
+          tiles.getOrElseUpdate(key, newGrid())(rr)(c) = r.getDouble(2)
+        }
       }
       override def commit(): WriterCommitMessage = {
-        var k = 0
-        tiles.foreach { case ((ox, oy), rows) =>
-          val tmp = new java.io.File(path,
-            f".part_$partitionId%05d_$k%04d.tif.$taskId%d.tmp").toPath
-          Files.write(tmp,
-            GeoTiff.encode(meta.copy(originX = ox, originY = oy), rows))
-          Files.move(tmp,
-            new java.io.File(path, f"part_$partitionId%05d_$k%04d.tif").toPath,
+        if (curKey != null) { stage(curKey._1, curKey._2, curGrid); curKey = null; curGrid = null }
+        tiles.foreach { case ((ox, oy), rows) => stage(ox, oy, rows) }
+        tiles.clear()
+        staged.foreach { case (tmp, fin) =>
+          Files.move(tmp, fin,
             StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-          k += 1
         }
+        staged.clear()
         new WriterCommitMessage {}
       }
-      override def abort(): Unit = ()
+      override def abort(): Unit = {
+        staged.foreach { case (tmp, _) => Files.deleteIfExists(tmp) }
+        staged.clear()
+      }
       override def close(): Unit = ()
     }
 }
@@ -355,6 +416,21 @@ private[sources] class TiffReaderFactory(fields: Array[String],
         private var r = 0
         private var c = -1
         private var cx, cy, cv = 0.0
+        // column ordinals resolved ONCE: the emit loop fills a reused
+        // GenericInternalRow through an int switch instead of a
+        // per-row IndexedSeq allocation + per-field string matches
+        // (Spark copies the row into its unsafe projection, so reuse
+        // is safe — the standard DSv2 row-reader shape)
+        private val codes: Array[Int] = fields.map {
+          case "tile_id" => 0
+          case "col" => 1
+          case "row" => 2
+          case "x" => 3
+          case "y" => 4
+          case "value" => 5
+        }
+        private val row =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(codes.length)
         override def next(): Boolean = {
           while (r < m.height) {
             c += 1
@@ -371,15 +447,21 @@ private[sources] class TiffReaderFactory(fields: Array[String],
           }
           false
         }
-        override def get(): InternalRow = InternalRow.fromSeq(
-          fields.toIndexedSeq.map {
-            case "tile_id" => p.tileId
-            case "col" => c
-            case "row" => r
-            case "x" => cx
-            case "y" => cy
-            case "value" => cv
-          })
+        override def get(): InternalRow = {
+          var i = 0
+          while (i < codes.length) {
+            codes(i) match {
+              case 0 => row.setInt(i, p.tileId)
+              case 1 => row.setInt(i, c)
+              case 2 => row.setInt(i, r)
+              case 3 => row.setDouble(i, cx)
+              case 4 => row.setDouble(i, cy)
+              case 5 => row.setDouble(i, cv)
+            }
+            i += 1
+          }
+          row
+        }
         override def close(): Unit = ()
       }
     }

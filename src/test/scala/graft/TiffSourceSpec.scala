@@ -139,6 +139,72 @@ class TiffSourceSpec extends SparkSuite {
       (0 until 8).map(_ + 0.5))
   }
 
+  test("sortedByOrigin: origin-clustered rows flush one tile at a time") {
+    val dir = java.nio.file.Files.createTempDirectory("tiff_dsv2_sorted").toFile
+    val cells = (for {
+      t <- 0 until 3; r <- 0 until 3; c <- 0 until 4
+    } yield (c, r, (t * 100 + r * 4 + c).toDouble, t * 4.0, 0.0))
+      .toDF("col", "row", "value", "origin_x", "origin_y")
+    // the 100-TB convention: cells clustered by origin inside the task
+    cells.coalesce(1)
+      .sortWithinPartitions("origin_x", "origin_y")
+      .write.format("graft.sources.TiffSource")
+      .option("width", "4").option("height", "3")
+      .option("sortedByOrigin", "true")
+      .mode("append").save(dir.getAbsolutePath)
+    val files = dir.listFiles().count(_.getName.endsWith(".tif"))
+    assert(files == 3, s"expected one flushed file per origin, got $files")
+    val back = spark.read.format("graft.sources.TiffSource")
+      .load(dir.getAbsolutePath)
+    assert(back.count() == 36)
+    assert(back.select("x").collect().map(_.getDouble(0)).distinct.sorted.toSeq ==
+      (0 until 12).map(_ + 0.5))
+    val at95 = back.filter(col("x") === 9.5 && col("y") === 2.5)
+      .select("value").head().getDouble(0)
+    assert(at95 == 209.0, s"got $at95")
+  }
+
+  test("sortedByOrigin: an origin revisited after flush fails loudly and aborts cleanly") {
+    val dir = java.nio.file.Files.createTempDirectory("tiff_dsv2_revisit").toFile
+    // origin A, then B, then A again — the broken-clustering shape
+    val rows = Seq(
+      (0, 0, 1.0, 0.0, 0.0), (1, 0, 2.0, 0.0, 0.0),
+      (0, 0, 3.0, 4.0, 0.0),
+      (2, 0, 4.0, 0.0, 0.0))
+      .toDF("col", "row", "value", "origin_x", "origin_y")
+    val e = intercept[Exception] {
+      rows.coalesce(1).write.format("graft.sources.TiffSource")
+        .option("width", "4").option("height", "1")
+        .option("sortedByOrigin", "true")
+        .mode("append").save(dir.getAbsolutePath)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("revisited")),
+      s"expected the clustering-contract message, got: ${messages(e)}")
+    // the aborted task left neither committed tiles nor staged tmps
+    val leftover = dir.listFiles().map(_.getName).toSeq
+    assert(leftover.isEmpty, s"aborted write left $leftover")
+  }
+
+  test("append jobs get job-unique filenames: no cross-job tile clobber") {
+    val dir = java.nio.file.Files.createTempDirectory("tiff_dsv2_append").toFile
+    def job(bias: Double): Unit =
+      (for (c <- 0 until 3) yield (c, 0, bias + c))
+        .toDF("col", "row", "value")
+        .coalesce(1).write.format("graft.sources.TiffSource")
+        .option("width", "3").option("height", "1")
+        .mode("append").save(dir.getAbsolutePath)
+    job(10.0)
+    job(20.0)
+    val files = dir.listFiles().count(_.getName.endsWith(".tif"))
+    assert(files == 2, s"second append job must not clobber the first, got $files files")
+    val vals = spark.read.format("graft.sources.TiffSource")
+      .load(dir.getAbsolutePath)
+      .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(vals == Seq(10.0, 11.0, 12.0, 20.0, 21.0, 22.0))
+  }
+
   test("streaming read picks up new .tif tile deliveries per micro-batch") {
     val dir = java.nio.file.Files.createTempDirectory("tiff_dsv2_s").toFile
     def deliver(name: String, ox: Double, v: Double): Unit = {
