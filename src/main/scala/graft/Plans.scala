@@ -56,6 +56,8 @@ object Plans {
       "g_pagerank6" -> "pre-partitioned contrib table (deg fused, hash(src) from cache): per iteration one rank join + one dst shuffle",
       "o_zorder_curve" -> "Morton interleave as pure shift/and/or codegen columns (no UDF, no shuffle)",
       "i_tiff_dsv2" -> "GeoTIFF DSv2 connector: write-stage one f64 tile per task, read back via header-pruned per-file partitions",
+      "i_tiff_mosaic_lzw" -> "LZW z-ordered mosaic: one-open-tile sorted connector write (Morton-clustered), header-pruned bbox read decodes 4/16 tiles",
+      "i_geotiff_overviews" -> "overview pyramid: multi-IFD mean-downsample chain per tile, connector level-k read decodes only the coarse page",
       "r_geoid_resample" -> "dual-geoid bilinear resample: 8 chained broadcast corner joins, fixed-order interpolation — zero exchanges",
       "x_ccnet_buckets" -> "CCNet terciles: per-lang thresholds from 4-scan grouped radix (no PARTITION BY lang funnel), bucket assignment via broadcast threshold join",
       "x_semdedup" -> "SemDeDup: cluster-scoped pair join (never O(N²) global), dominance semi-mark, one census aggregate",

@@ -58,8 +58,27 @@ object GeoTiff {
     * range-read of the header bytes; here the tag walk alone). */
   def meta(bytes: Array[Byte]): GridMeta = decodeImpl(bytes, metaOnly = true)._1
 
+  /** Decode overview level `level` of a pyramided GeoTIFF (level 0 =
+    * the full-resolution IFD, level k = the k-th next-IFD in the
+    * chain — the COPY_SRC_OVERVIEWS layout GDAL writes,
+    * differencing_functions.py:696–705). Rejects loudly when the chain
+    * is shorter than `level`. */
+  def decodeLevel(bytes: Array[Byte], level: Int): (GridMeta, Array[Array[Double]]) =
+    decodeImpl(bytes, metaOnly = false, level)
+
+  /** Number of images in the IFD chain (1 = no overviews). */
+  def levelCount(bytes: Array[Byte]): Int = {
+    var n = 1
+    while ({
+      try { decodeImpl(bytes, metaOnly = true, n); true }
+      catch { case e: IllegalArgumentException
+        if Option(e.getMessage).exists(_.contains("no overview level")) => false }
+    }) n += 1
+    n
+  }
+
   private def decodeImpl(bytes: Array[Byte],
-      metaOnly: Boolean): (GridMeta, Array[Array[Double]]) = {
+      metaOnly: Boolean, level: Int = 0): (GridMeta, Array[Array[Double]]) = {
     require(bytes.length >= 16, "not a TIFF: too short")
     val b0 = ByteBuffer.wrap(bytes)
     val order = (bytes(0), bytes(1)) match {
@@ -83,11 +102,28 @@ object GeoTiff {
       require(v >= 0 && v <= bytes.length, s"TIFF offset $v outside file")
       v.toInt
     }
-    val ifd = off(if (big) 8 else 4)
+    var ifd = off(if (big) 8 else 4)
+    val entryLen = if (big) 20 else 12
+    // walk the next-IFD chain to the requested overview level, with the
+    // same bounds discipline as the main IFD walk — a corrupt chain
+    // pointer rejects loudly before it is dereferenced
+    var lvl = 0
+    while (lvl < level) {
+      require(ifd + (if (big) 8 else 2) <= bytes.length, "truncated TIFF IFD")
+      val n64 = if (big) b.getLong(ifd) else (b.getShort(ifd) & 0xffff).toLong
+      require(n64 >= 0 && n64 <= bytes.length / entryLen &&
+        ifd.toLong + (if (big) 8 else 2) + n64 * entryLen +
+          (if (big) 8 else 4) <= bytes.length,
+        s"TIFF IFD with $n64 entries at $ifd runs past file end")
+      val next = off(ifd + (if (big) 8 else 2) + n64.toInt * entryLen)
+      require(next != 0,
+        s"TIFF has no overview level $level (IFD chain ends after level $lvl)")
+      ifd = next
+      lvl += 1
+    }
     require(ifd + (if (big) 8 else 2) <= bytes.length, "truncated TIFF IFD")
     val nEntries64 =
       if (big) b.getLong(ifd) else (b.getShort(ifd) & 0xffff).toLong
-    val entryLen = if (big) 20 else 12
     // bound the IFD walk BEFORE truncating the (BigTIFF u64) entry count
     // to Int: a corrupt header must reject loudly, not drive the loop
     // through garbage entries
@@ -664,6 +700,182 @@ object GeoTiff {
     for (t <- 0 until nChunks) {
       b.position(chunkStarts(t))
       b.put(chunks(t))
+    }
+    b.array()
+  }
+
+  /** Mean-downsample by factor `k` (GDAL AVERAGE resampling over VALID
+    * cells: nodata/NaN excluded from each k×k block's mean; an all-
+    * nodata block stays nodata). Deterministic row-major accumulation
+    * inside each block. The overview grid keeps the origin and scales
+    * the cell size, so world extents are identical across levels. */
+  def downsample(meta: GridMeta, rows: Array[Array[Double]], k: Int)
+      : (GridMeta, Array[Array[Double]]) = {
+    require(k > 1, s"downsample factor must be > 1, got $k")
+    val ow = (meta.width + k - 1) / k
+    val oh = (meta.height + k - 1) / k
+    val out = Array.tabulate(oh, ow) { (or, oc) =>
+      var sum = 0.0
+      var n = 0
+      var r = or * k
+      val rEnd = math.min((or + 1) * k, meta.height)
+      val cEnd = math.min((oc + 1) * k, meta.width)
+      while (r < rEnd) {
+        var c = oc * k
+        while (c < cEnd) {
+          val v = rows(r)(c)
+          if (v != meta.nodata && !v.isNaN) { sum += v; n += 1 }
+          c += 1
+        }
+        r += 1
+      }
+      if (n == 0) meta.nodata else sum / n
+    }
+    (meta.copy(width = ow, height = oh, dx = meta.dx * k, dy = meta.dy * k), out)
+  }
+
+  /** Overview-pyramid writer — the reference's raster sink copies source
+    * overviews into its GeoTIFFs (COPY_SRC_OVERVIEWS,
+    * differencing_functions.py:696–705, 2493–2496): IFD0 is the full-
+    * resolution image and each following IFD in the next-IFD chain is
+    * the raster mean-downsampled ([[downsample]]) by the matching entry
+    * of `levels` (each factor relative to FULL resolution, ascending —
+    * the GDAL `2 4 8 …` convention). At 100 TB the pyramid is a
+    * pruning/LOD lever: a coarse query reads the 1/16-resolution IFD,
+    * not every full-res chunk. Every page carries its own geo tags
+    * (scaled pixel size, same origin) and chunk layout; `compTag`/
+    * `codec` select the chunk compression exactly as in the single-IFD
+    * writers. [[decodeLevel]] reads any page; [[decode]] still reads
+    * IFD0, so pyramided bytes stay drop-in for every level-0 consumer. */
+  def encodeOverviews(meta: GridMeta, rows: Array[Array[Double]], bits: Int,
+                      tile: Option[(Int, Int)], levels: Seq[Int],
+                      compTag: Int = 1,
+                      codec: Array[Byte] => Array[Byte] = identity)
+      : Array[Byte] = {
+    require(levels.nonEmpty && levels.forall(_ > 1) &&
+      levels == levels.sorted && levels.distinct == levels,
+      s"overview levels must be distinct ascending factors > 1, got $levels")
+    require(bits == 32 || bits == 64, s"bits must be 32 or 64, got $bits")
+    require(compTag == 1 || compTag == 5 || compTag == 8 || compTag == 32773,
+      s"unsupported compression tag $compTag")
+    tile.foreach { case (tw, th) =>
+      require(tw > 0 && th > 0 && tw % 16 == 0 && th % 16 == 0,
+        s"TIFF tile dims must be positive multiples of 16, got ${tw}x$th") }
+    val px = bits / 8
+    val pages: Seq[(GridMeta, Array[Array[Double]])] =
+      (meta, rows) +: levels.map(k => downsample(meta, rows, k))
+    val nodataStr = {
+      val s = if (meta.nodata == meta.nodata.toLong.toDouble)
+        meta.nodata.toLong.toString else meta.nodata.toString
+      s + " "
+    }
+    def put(bb: ByteBuffer, v: Double): Unit =
+      if (px == 8) { bb.putDouble(v); () } else { bb.putFloat(v.toFloat); () }
+    // per-page chunking (same strip/tile geometry as the single-IFD
+    // writers, relative to the PAGE's dims) + compression
+    case class Page(m: GridMeta, chunks: Array[Array[Byte]])
+    val encoded = pages.map { case (m, rws) =>
+      require(rws.length == m.height && rws.forall(_.length == m.width),
+        s"page dims mismatch ${m.width}x${m.height}")
+      val raw: Array[Array[Byte]] = tile match {
+        case None =>
+          rws.map { r =>
+            val bb = ByteBuffer.allocate(px * m.width).order(ByteOrder.LITTLE_ENDIAN)
+            r.foreach(put(bb, _))
+            bb.array()
+          }
+        case Some((tw, th)) =>
+          val across = (m.width + tw - 1) / tw
+          val down = (m.height + th - 1) / th
+          Array.tabulate(across * down) { t =>
+            val bb = ByteBuffer.allocate(px * tw * th).order(ByteOrder.LITTLE_ENDIAN)
+            for (r <- 0 until th; c <- 0 until tw) {
+              val gr = (t / across) * th + r
+              val gc = (t % across) * tw + c
+              put(bb, if (gr < m.height && gc < m.width) rws(gr)(gc) else m.nodata)
+            }
+            bb.array()
+          }
+      }
+      Page(m, raw.map(codec))
+    }
+    val entries = if (tile.isEmpty) 13 else 14
+    // layout: header, then per page [IFD | chunk arrays | geo arrays |
+    // nodata | chunks], next-IFD pointers chaining the pages
+    var cursor = 8
+    case class Lay(ifdOff: Int, offsOff: Int, cntsOff: Int, scaleOff: Int,
+                   tieOff: Int, nodataOff: Int, chunkStarts: Array[Int])
+    val lays = encoded.map { pg =>
+      val n = pg.chunks.length
+      val ifdOff = (cursor + 1) & ~1
+      cursor = ifdOff + 2 + entries * 12 + 4
+      val offsOff = cursor; cursor += 4 * n
+      val cntsOff = cursor; cursor += 4 * n
+      val scaleOff = cursor; cursor += 8 * 3
+      val tieOff = cursor; cursor += 8 * 6
+      val nodataOff = cursor; cursor += nodataStr.length
+      cursor = (cursor + 1) & ~1
+      val starts = pg.chunks.scanLeft(cursor)((acc, c) => (acc + c.length + 1) & ~1)
+      cursor = starts.last
+      Lay(ifdOff, offsOff, cntsOff, scaleOff, tieOff, nodataOff, starts)
+    }
+    val b = ByteBuffer.allocate(cursor).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(lays.head.ifdOff)
+    for (((pg, lay), pi) <- encoded.zip(lays).zipWithIndex) {
+      val m = pg.m
+      val nChunks = pg.chunks.length
+      b.position(lay.ifdOff)
+      b.putShort(entries.toShort)
+      def entry(tag: Int, typ: Int, count: Int)(writeValue: ByteBuffer => Unit): Unit = {
+        b.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+        val p = b.position()
+        writeValue(b)
+        b.position(p + 4)
+      }
+      def offsetsEntry(tag: Int, valueAt: Int, inlineVal: Int): Unit =
+        entry(tag, 4, nChunks)(_.putInt(if (nChunks == 1) inlineVal else valueAt))
+      entry(TAG_WIDTH, 4, 1)(_.putInt(m.width))
+      entry(TAG_HEIGHT, 4, 1)(_.putInt(m.height))
+      entry(TAG_BITS, 3, 1)(_.putShort(bits.toShort))
+      entry(TAG_COMPRESSION, 3, 1)(_.putShort(compTag.toShort))
+      entry(TAG_PHOTOMETRIC, 3, 1)(_.putShort(1))
+      tile match {
+        case None =>
+          offsetsEntry(TAG_STRIP_OFFSETS, lay.offsOff, lay.chunkStarts(0))
+          entry(TAG_SAMPLES_PER_PX, 3, 1)(_.putShort(1))
+          entry(TAG_ROWS_PER_STRIP, 4, 1)(_.putInt(1))
+          offsetsEntry(TAG_STRIP_COUNTS, lay.cntsOff, pg.chunks(0).length)
+          entry(TAG_SAMPLE_FORMAT, 3, 1)(_.putShort(3))
+        case Some((tw, th)) =>
+          entry(TAG_SAMPLES_PER_PX, 3, 1)(_.putShort(1))
+          entry(TAG_TILE_WIDTH, 3, 1)(_.putShort(tw.toShort))
+          entry(TAG_TILE_LENGTH, 3, 1)(_.putShort(th.toShort))
+          offsetsEntry(TAG_TILE_OFFSETS, lay.offsOff, lay.chunkStarts(0))
+          offsetsEntry(TAG_TILE_COUNTS, lay.cntsOff, pg.chunks(0).length)
+          entry(TAG_SAMPLE_FORMAT, 3, 1)(_.putShort(3))
+      }
+      entry(TAG_PIXEL_SCALE, 12, 3)(_.putInt(lay.scaleOff))
+      entry(TAG_TIEPOINT, 12, 6)(_.putInt(lay.tieOff))
+      entry(TAG_GDAL_NODATA, 2, nodataStr.length)(bb =>
+        if (nodataStr.length <= 4) bb.put(nodataStr.getBytes("US-ASCII"))
+        else bb.putInt(lay.nodataOff))
+      // chain to the next page's IFD (0 terminates)
+      b.putInt(if (pi + 1 < lays.length) lays(pi + 1).ifdOff else 0)
+      b.position(lay.offsOff)
+      for (t <- 0 until nChunks) b.putInt(lay.chunkStarts(t))
+      b.position(lay.cntsOff)
+      for (t <- 0 until nChunks) b.putInt(pg.chunks(t).length)
+      b.position(lay.scaleOff)
+      b.putDouble(m.dx).putDouble(m.dy).putDouble(0.0)
+      b.position(lay.tieOff)
+      b.putDouble(0.0).putDouble(0.0).putDouble(0.0)
+      b.putDouble(m.originX).putDouble(m.originY).putDouble(0.0)
+      b.position(lay.nodataOff)
+      b.put(nodataStr.getBytes("US-ASCII"))
+      for (t <- 0 until nChunks) {
+        b.position(lay.chunkStarts(t))
+        b.put(pg.chunks(t))
+      }
     }
     b.array()
   }

@@ -966,6 +966,126 @@ object QueriesIngest {
                CAST(0 AS BIGINT) AS tile_sum
         FROM g GROUP BY 1"""
 
+  // Compressed Z-ordered mosaic through the TIFF connector — the layout
+  // a real 100-TB raster delivery ships (LZW tiled blocks, GDAL opts at
+  // differencing_functions.py:696–705, tiles laid along the Morton
+  // curve so file extents are compact 2-D squares): the 128×128 grid is
+  // split into 16 32×32 tiles, each cell keyed by its tile's world
+  // origin, clustered along Layout.zOrder of the tile indices
+  // (sortWithinPartitions — exercising the writer's one-open-tile
+  // sortedByOrigin mode), written as LZW 16×16-block .tifs, then read
+  // back through a bbox covering the middle 2×2 tile square. Green only
+  // if tiling + world placement + LZW chunk codec + header pruning
+  // compose to the identity on exactly the bbox'd cells. (The spec
+  // asserts the 4-of-16 decodedTiles pruning count; the oracle hashes
+  // the censused values.)
+  private val tiffMosaicLzw: Q = (s, d) => {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_tiff_mosaic_" + java.lang.Integer.toHexString(d.hashCode))
+    if (dir.isDirectory)
+      dir.listFiles().filter(_.getName.endsWith(".tif")).foreach(_.delete())
+    val T = 32
+    val cells = graft.raster.PixelGrid.grid(s, d, 0).select(
+      (col("col") % T).cast("int").as("col"),
+      (col("row") % T).cast("int").as("row"),
+      col("value"),
+      (floor(col("col") / T) * T).cast("double").as("origin_x"),
+      (floor(col("row") / T) * T).cast("double").as("origin_y"))
+    val zTile = graft.raster.Layout.zOrder(
+      (col("origin_x") / T).cast("long"), (col("origin_y") / T).cast("long"))
+    cells.repartition(4, col("origin_x"), col("origin_y"))
+      .sortWithinPartitions(zTile)
+      .write.format("graft.sources.TiffSource")
+      .option("width", T.toString).option("height", T.toString)
+      .option("compression", "lzw").option("blockSize", "16")
+      .option("sortedByOrigin", "true")
+      .mode("append").save(dir.getAbsolutePath)
+    s.read.format("graft.sources.TiffSource").load(dir.getAbsolutePath)
+      .filter(col("x") > 32.0 && col("x") < 96.0 &&
+        col("y") > 32.0 && col("y") < 96.0)
+      .groupBy((col("col") % 8).cast("long").as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("v6_sum"),
+        sum(col("col").cast("long")).as("col_sum"),
+        sum(col("row").cast("long")).as("row_sum"),
+        sum(floor(col("x") * 10 + 0.5).cast("long")).as("x1_sum"),
+        sum(floor(col("y") * 10 + 0.5).cast("long")).as("y1_sum"))
+  }
+
+  private val tiffMosaicLzwSql =
+    s"""WITH g AS (${graft.raster.PixelGrid.gridSql(0)})
+        SELECT CAST((col % 32) % 8 AS BIGINT) AS grp, count(*) AS n,
+               CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS v6_sum,
+               CAST(sum(col % 32) AS BIGINT) AS col_sum,
+               CAST(sum("row" % 32) AS BIGINT) AS row_sum,
+               CAST(sum(CAST(floor((col + 0.5) * 10 + 0.5) AS BIGINT)) AS BIGINT) AS x1_sum,
+               CAST(sum(CAST(floor(("row" + 0.5) * 10 + 0.5) AS BIGINT)) AS BIGINT) AS y1_sum
+        FROM g
+        WHERE col BETWEEN 32 AND 95 AND "row" BETWEEN 32 AND 95
+        GROUP BY 1"""
+
+  // GeoTIFF overview pyramids through the connector — the reference's
+  // raster sink copies source overviews (COPY_SRC_OVERVIEWS,
+  // differencing_functions.py:696–705, 2493–2496): one 128×128 tile is
+  // written with a 2×/4× mean-downsample IFD chain
+  // (GeoTiff.encodeOverviews) and read back at every level via the
+  // connector's `level` option. Values are first quantized to exact
+  // binary fractions (k/1024) so each block mean is an exact IEEE sum
+  // in ANY accumulation order — the oracle's AVG then reproduces the
+  // stored f64 mean bit-for-bit (nodata-excluded means, all-nodata
+  // blocks stay nodata and drop at read). At 100 TB the pyramid is the
+  // LOD lever: a coarse query reads the 1/16-resolution IFD only.
+  private val tiffOverviews: Q = (s, d) => {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_tiff_ovr_" + java.lang.Integer.toHexString(d.hashCode))
+    if (dir.isDirectory)
+      dir.listFiles().filter(_.getName.endsWith(".tif")).foreach(_.delete())
+    graft.raster.PixelGrid.grid(s, d, 0)
+      .select(col("col"), col("row"),
+        (floor(col("value") * 1024.0 + 0.5) / 1024.0).as("value"))
+      .coalesce(1)
+      .write.format("graft.sources.TiffSource")
+      .option("width", "128").option("height", "128")
+      .option("overviews", "2,4")
+      .mode("append").save(dir.getAbsolutePath)
+    def lv(l: Int) = s.read.format("graft.sources.TiffSource")
+      .option("level", l.toString).load(dir.getAbsolutePath)
+      .select(lit(l.toLong).as("level"), col("col"), col("row"),
+        col("value"), col("x"), col("y"))
+    lv(0).union(lv(1)).union(lv(2))
+      .groupBy("level")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("v6_sum"),
+        sum(col("col").cast("long")).as("col_sum"),
+        sum(col("row").cast("long")).as("row_sum"),
+        sum(floor(col("x") * 10 + 0.5).cast("long")).as("x1_sum"),
+        sum(floor(col("y") * 10 + 0.5).cast("long")).as("y1_sum"))
+  }
+
+  private val tiffOverviewsSql =
+    s"""WITH g AS (${graft.raster.PixelGrid.gridSql(0)}),
+        q AS (SELECT col, "row",
+                     floor(value * 1024.0 + 0.5) / 1024.0 AS value FROM g),
+        o1 AS (SELECT col // 2 AS col, "row" // 2 AS "row", avg(value) AS value
+               FROM q GROUP BY 1, 2),
+        o2 AS (SELECT col // 4 AS col, "row" // 4 AS "row", avg(value) AS value
+               FROM q GROUP BY 1, 2),
+        u AS (SELECT CAST(0 AS BIGINT) AS level, col, "row", value,
+                     (col + 0.5) AS x, ("row" + 0.5) AS y FROM q
+              UNION ALL
+              SELECT CAST(1 AS BIGINT), col, "row", value,
+                     (col + 0.5) * 2, ("row" + 0.5) * 2 FROM o1
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), col, "row", value,
+                     (col + 0.5) * 4, ("row" + 0.5) * 4 FROM o2)
+        SELECT level, count(*) AS n,
+               CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS v6_sum,
+               CAST(sum(col) AS BIGINT) AS col_sum,
+               CAST(sum("row") AS BIGINT) AS row_sum,
+               CAST(sum(CAST(floor(x * 10 + 0.5) AS BIGINT)) AS BIGINT) AS x1_sum,
+               CAST(sum(CAST(floor(y * 10 + 0.5) AS BIGINT)) AS BIGINT) AS y1_sum
+        FROM u GROUP BY 1"""
+
   // Native-LAZ (LAYERED_CHUNKED / POINT14) round trip — COMPRESSED
   // LAS 1.4 fmt 6, what a 2026 USGS/3DEP delivery actually ships and
   // the last point-cloud format gap (judge round-8 "What's missing"
@@ -1614,6 +1734,8 @@ object QueriesIngest {
     "i_las14_roundtrip" -> las14Roundtrip,
     "i_las_dsv2" -> lasDsv2,
     "i_tiff_dsv2" -> tiffDsv2,
+    "i_tiff_mosaic_lzw" -> tiffMosaicLzw,
+    "i_geotiff_overviews" -> tiffOverviews,
     "i_laz_roundtrip" -> lazRoundtrip,
     "i_laz14_roundtrip" -> laz14Roundtrip,
     "i_shp_roundtrip" -> shpRoundtrip,
@@ -1651,6 +1773,8 @@ object QueriesIngest {
     "i_las14_roundtrip" -> las14RoundtripSql,
     "i_las_dsv2" -> lasRoundtripSql,
     "i_tiff_dsv2" -> tiffDsv2Sql,
+    "i_tiff_mosaic_lzw" -> tiffMosaicLzwSql,
+    "i_geotiff_overviews" -> tiffOverviewsSql,
     "i_laz_roundtrip" -> lasRoundtripSql,
     "i_laz14_roundtrip" -> las14RoundtripSql,
     "i_shp_roundtrip" -> shpRoundtripSql,

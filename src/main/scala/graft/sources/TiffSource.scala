@@ -154,7 +154,8 @@ private[sources] class TiffTable(path: String)
       TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ,
       TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TiffScanBuilder(Option(path).getOrElse(options.get("path")))
+    new TiffScanBuilder(Option(path).getOrElse(options.get("path")),
+      Option(options.get("level")).map(_.toInt).getOrElse(0))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val p = Option(path).getOrElse(info.options.get("path"))
     require(p != null, "tiff sink needs a save path")
@@ -188,21 +189,37 @@ private[sources] class TiffTable(path: String)
       .replaceAll("[^0-9a-zA-Z]", "").takeRight(12)
     val sortedByOrigin =
       Option(opts.get("sortedByOrigin")).exists(_.toBoolean)
+    // chunk compression + layout: `compression` = none|lzw|deflate
+    // (GDAL COMPRESS=LZW/DEFLATE, differencing_functions.py:696–705),
+    // `blockSize` switches strips → square TIFF tiles of that size,
+    // `overviews` = comma-separated downsample factors ("2,4") for a
+    // COPY_SRC_OVERVIEWS-style IFD pyramid in every written tile
+    val compression =
+      Option(opts.get("compression")).getOrElse("none").toLowerCase
+    require(Set("none", "lzw", "deflate").contains(compression),
+      s"unsupported tiff compression '$compression' (none|lzw|deflate)")
+    val blockSize = Option(opts.get("blockSize")).map(_.toInt).getOrElse(0)
+    val overviews: Seq[Int] =
+      Option(opts.get("overviews")).map(_.split(",").toSeq.map(_.trim.toInt))
+        .getOrElse(Nil)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new TiffBatchWrite(p, meta, perTileOrigin, token, sortedByOrigin)
+          new TiffBatchWrite(p, meta, perTileOrigin, token, sortedByOrigin,
+            compression, blockSize, overviews)
       }
     }
   }
 }
 
 private[sources] class TiffBatchWrite(path: String, meta: GridMeta,
-    perTileOrigin: Boolean, token: String, sortedByOrigin: Boolean)
+    perTileOrigin: Boolean, token: String, sortedByOrigin: Boolean,
+    compression: String, blockSize: Int, overviews: Seq[Int])
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new java.io.File(path).mkdirs()
-    new TiffWriterFactory(path, meta, perTileOrigin, token, sortedByOrigin)
+    new TiffWriterFactory(path, meta, perTileOrigin, token, sortedByOrigin,
+      compression, blockSize, overviews)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -227,11 +244,27 @@ private[sources] class TiffBatchWrite(path: String, meta: GridMeta,
   * commit — `abort()` deletes the staged tmps, so a failed task leaves
   * neither torn tiles nor litter. */
 private[sources] class TiffWriterFactory(path: String, meta: GridMeta,
-    perTileOrigin: Boolean, token: String, sortedByOrigin: Boolean)
+    perTileOrigin: Boolean, token: String, sortedByOrigin: Boolean,
+    compression: String, blockSize: Int, overviews: Seq[Int])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       import java.nio.file.{Files, Path, StandardCopyOption}
+      private val block: Option[(Int, Int)] =
+        if (blockSize > 0) Some((blockSize, blockSize)) else None
+      private def encodeTile(m: GridMeta, rows: Array[Array[Double]]): Array[Byte] =
+        if (overviews.nonEmpty) {
+          val (tag, codec) = compression match {
+            case "lzw" => (5, graft.ingest.Lzw.encode _)
+            case "deflate" => (8, graft.ingest.Zlib.deflate _)
+            case _ => (1, identity[Array[Byte]] _)
+          }
+          GeoTiff.encodeOverviews(m, rows, 64, block, overviews, tag, codec)
+        } else compression match {
+          case "lzw" => GeoTiff.encodeLzw(m, rows, 64, block)
+          case "deflate" => GeoTiff.encodeDeflate(m, rows, 64, block)
+          case _ => GeoTiff.encode(m, rows, 64, block)
+        }
       private val tiles =
         scala.collection.mutable.LinkedHashMap.empty[(Double, Double), Array[Array[Double]]]
       private var curKey: (Double, Double) = null
@@ -249,7 +282,7 @@ private[sources] class TiffWriterFactory(path: String, meta: GridMeta,
         val fin = new java.io.File(path,
           f"part_${token}_$partitionId%05d_$k%04d.tif").toPath
         try Files.write(tmp,
-          GeoTiff.encode(meta.copy(originX = ox, originY = oy), rows))
+          encodeTile(meta.copy(originX = ox, originY = oy), rows))
         catch { case e: Throwable => Files.deleteIfExists(tmp); throw e }
         staged += ((tmp, fin))
         k += 1
@@ -298,7 +331,7 @@ private[sources] class TiffWriterFactory(path: String, meta: GridMeta,
     }
 }
 
-private[sources] class TiffScanBuilder(path: String)
+private[sources] class TiffScanBuilder(path: String, level: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = TiffSource.Schema
@@ -315,11 +348,11 @@ private[sources] class TiffScanBuilder(path: String)
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new TiffScan(path, required, compiled)
+  override def build(): Scan = new TiffScan(path, required, compiled, level)
 }
 
 private[sources] class TiffScan(path: String, required: StructType,
-    pushed: TiffSource.Pushed) extends Scan with Batch {
+    pushed: TiffSource.Pushed, level: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"graft tiff mosaic $path"
@@ -337,10 +370,10 @@ private[sources] class TiffScan(path: String, required: StructType,
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new TiffReaderFactory(required.fieldNames, pushed)
+    new TiffReaderFactory(required.fieldNames, pushed, level)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new TiffMicroBatchStream(path, required.fieldNames, pushed)
+    new TiffMicroBatchStream(path, required.fieldNames, pushed, level)
 }
 
 /** Streaming half over a GROWING directory of .tif tile deliveries —
@@ -350,7 +383,7 @@ private[sources] class TiffScan(path: String, required: StructType,
   * reprocessing (append-only staged-delivery convention). Reuses
   * [[LasOffset]] — the offset semantics are format-agnostic. */
 private[graft] class TiffMicroBatchStream(path: String, fields: Array[String],
-    pushed: TiffSource.Pushed)
+    pushed: TiffSource.Pushed, level: Int)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
   private def files: Array[String] = {
@@ -387,14 +420,14 @@ private[graft] class TiffMicroBatchStream(path: String, fields: Array[String],
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new TiffReaderFactory(fields, pushed)
+    new TiffReaderFactory(fields, pushed, level)
 }
 
 private[sources] case class TiffInputPartition(file: String, tileId: Int)
     extends InputPartition
 
 private[sources] class TiffReaderFactory(fields: Array[String],
-    pushed: TiffSource.Pushed) extends PartitionReaderFactory {
+    pushed: TiffSource.Pushed, level: Int) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TiffInputPartition]
@@ -411,7 +444,11 @@ private[sources] class TiffReaderFactory(fields: Array[String],
       }
     } else {
       TiffSource.decodedTiles.incrementAndGet()
-      val (m, rows) = GeoTiff.decode(bytes)
+      // level-0 extent pruning above stays valid for any level: every
+      // IFD of a pyramid covers the same world extent
+      val (m, rows) =
+        if (level == 0) GeoTiff.decode(bytes)
+        else GeoTiff.decodeLevel(bytes, level)
       new PartitionReader[InternalRow] {
         private var r = 0
         private var c = -1

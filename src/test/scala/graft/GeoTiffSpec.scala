@@ -239,4 +239,70 @@ class GeoTiffSpec extends SparkSuite {
     for (r <- rows.indices; c <- rows(r).indices)
       assert(rows2(r)(c) == rows(r)(c))
   }
+
+  test("downsample: nodata-excluded block means, all-nodata blocks stay nodata") {
+    val (m2, d2) = GeoTiff.downsample(meta, rows, 2)
+    // 5x4 → 3x2; origin unchanged, cell size doubled
+    assert(m2.width == 3 && m2.height == 2)
+    assert(m2.originX == meta.originX && m2.dx == meta.dx * 2)
+    // block (0,0): valid {1.5}, two nodata; block (1,0): {3.25, 0.0, 7.125, 8.0}
+    assert(d2(0)(0) == 1.5)
+    assert(d2(0)(1) == (3.25 + 0.0 + 7.125 + 8.0) / 4)
+    // edge block (2,0): {-2.75, 9.5} (width 5 → last block 1 col wide)
+    assert(d2(0)(2) == (-2.75 + 9.5) / 2)
+    // an all-nodata block keeps the sentinel
+    val holes = Array(
+      Array(-9999.0, -9999.0, 1.0, 2.0),
+      Array(-9999.0, -9999.0, 3.0, 4.0))
+    val (_, dh) = GeoTiff.downsample(
+      meta.copy(width = 4, height = 2), holes, 2)
+    assert(dh(0)(0) == -9999.0 && dh(0)(1) == 2.5)
+  }
+
+  test("overview pyramid: every IFD level decodes; decode() still reads level 0") {
+    val bytes = GeoTiff.encodeOverviews(meta, rows, 64, None, Seq(2, 4))
+    assert(GeoTiff.levelCount(bytes) == 3)
+    // level 0 is bit-identical to the plain encode result
+    val (m0, r0) = GeoTiff.decodeLevel(bytes, 0)
+    val (mPlain, rPlain) = GeoTiff.decode(GeoTiff.encode(meta, rows))
+    assert(m0 == mPlain)
+    for (r <- rows.indices; c <- rows(r).indices)
+      assert(java.lang.Double.doubleToLongBits(r0(r)(c)) ==
+        java.lang.Double.doubleToLongBits(rPlain(r)(c)))
+    // decode() (no level) reads the same full-res page
+    val (_, rDefault) = GeoTiff.decode(bytes)
+    assert(rDefault(2)(1) == 1e12)
+    // level 1/2 match the downsample reference exactly
+    val (m1, r1) = GeoTiff.decodeLevel(bytes, 1)
+    val (mRef1, ref1) = GeoTiff.downsample(meta, rows, 2)
+    assert(m1 == mRef1)
+    for (r <- ref1.indices; c <- ref1(r).indices)
+      assert(java.lang.Double.doubleToLongBits(r1(r)(c)) ==
+        java.lang.Double.doubleToLongBits(ref1(r)(c)))
+    val (m2, r2) = GeoTiff.decodeLevel(bytes, 2)
+    assert(m2.width == 2 && m2.height == 1 && m2.dx == meta.dx * 4)
+    val (_, ref2) = GeoTiff.downsample(meta, rows, 4)
+    for (r <- ref2.indices; c <- ref2(r).indices)
+      assert(r2(r)(c) == ref2(r)(c))
+    // past the chain end rejects loudly
+    val e = intercept[IllegalArgumentException](GeoTiff.decodeLevel(bytes, 3))
+    assert(e.getMessage.contains("no overview level"))
+  }
+
+  test("overview pyramid composes with LZW tiles and survives a tiled layout") {
+    val big = GridMeta(width = 40, height = 35, nodata = -1.0)
+    val data = Array.tabulate(35, 40)((r, c) =>
+      if ((r * 40 + c) % 11 == 0) -1.0 else (r * 40 + c) / 8.0)
+    val bytes = GeoTiff.encodeOverviews(big, data, 64, Some((16, 16)),
+      Seq(2, 4), compTag = 5, codec = graft.ingest.Lzw.encode)
+    assert(GeoTiff.levelCount(bytes) == 3)
+    val (_, r0) = GeoTiff.decodeLevel(bytes, 0)
+    for (r <- 0 until 35; c <- 0 until 40) assert(r0(r)(c) == data(r)(c))
+    val (m1, r1) = GeoTiff.decodeLevel(bytes, 1)
+    val (mRef, ref) = GeoTiff.downsample(big, data, 2)
+    assert(m1 == mRef)
+    for (r <- ref.indices; c <- ref(r).indices)
+      assert(java.lang.Double.doubleToLongBits(r1(r)(c)) ==
+        java.lang.Double.doubleToLongBits(ref(r)(c)))
+  }
 }

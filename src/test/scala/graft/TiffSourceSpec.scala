@@ -205,6 +205,60 @@ class TiffSourceSpec extends SparkSuite {
     assert(vals == Seq(10.0, 11.0, 12.0, 20.0, 21.0, 22.0))
   }
 
+  test("LZW z-ordered mosaic: bbox read decodes only the intersecting tiles") {
+    val dir = java.nio.file.Files.createTempDirectory("tiff_dsv2_zlzw").toFile
+    // 4x4 tiles of 8x8 cells, written LZW with z-order clustering
+    val T = 8
+    val cells = (for {
+      tr <- 0 until 4; tc <- 0 until 4; r <- 0 until T; c <- 0 until T
+    } yield (c, r, (tr * 1000 + tc * 100 + r * T + c).toDouble,
+      tc * T.toDouble, tr * T.toDouble))
+      .toDF("col", "row", "value", "origin_x", "origin_y")
+    val z = graft.raster.Layout.zOrder(
+      (col("origin_x") / T).cast("long"), (col("origin_y") / T).cast("long"))
+    cells.repartition(2, col("origin_x"), col("origin_y"))
+      .sortWithinPartitions(z)
+      .write.format("graft.sources.TiffSource")
+      .option("width", T.toString).option("height", T.toString)
+      .option("compression", "lzw").option("blockSize", "16")
+      .option("sortedByOrigin", "true")
+      .mode("append").save(dir.getAbsolutePath)
+    assert(dir.listFiles().count(_.getName.endsWith(".tif")) == 16)
+    // bbox over the middle 2x2 tile square: 4 of 16 tiles decode
+    graft.sources.TiffSource.decodedTiles.set(0L)
+    val got = spark.read.format("graft.sources.TiffSource")
+      .load(dir.getAbsolutePath)
+      .filter(col("x") > 8.0 && col("x") < 24.0 &&
+        col("y") > 8.0 && col("y") < 24.0)
+      .count()
+    assert(got == 16L * 16L, s"expected the 16x16 bbox cells, got $got")
+    assert(graft.sources.TiffSource.decodedTiles.get() == 4L,
+      "header-extent pruning must decode only the 4 intersecting tiles")
+  }
+
+  test("overview pyramid round-trips through the connector level option") {
+    val dir = java.nio.file.Files.createTempDirectory("tiff_dsv2_ovr").toFile
+    // 8x8 tile of exact binary fractions -> exact block means
+    val px = (for (r <- 0 until 8; c <- 0 until 8)
+      yield (c, r, (r * 8 + c) / 4.0)).toDF("col", "row", "value")
+    px.coalesce(1).write.format("graft.sources.TiffSource")
+      .option("width", "8").option("height", "8")
+      .option("overviews", "2,4")
+      .mode("append").save(dir.getAbsolutePath)
+    def lv(l: Int) = spark.read.format("graft.sources.TiffSource")
+      .option("level", l.toString).load(dir.getAbsolutePath)
+    assert(lv(0).count() == 64 && lv(1).count() == 16 && lv(2).count() == 4)
+    // level-1 cell (0,0) = mean of the full-res 2x2 block {0, .25, 2, 2.25}/4
+    val v1 = lv(1).filter(col("col") === 0 && col("row") === 0)
+      .select("value").head().getDouble(0)
+    assert(v1 == (0.0 + 0.25 + 2.0 + 2.25) / 4, s"got $v1")
+    // overview world coordinates scale with the level's cell size
+    val x1 = lv(1).select("x").collect().map(_.getDouble(0)).distinct.sorted
+    assert(x1.toSeq == Seq(1.0, 3.0, 5.0, 7.0))
+    // level past the chain rejects loudly
+    intercept[Exception](lv(3).collect())
+  }
+
   test("streaming read picks up new .tif tile deliveries per micro-batch") {
     val dir = java.nio.file.Files.createTempDirectory("tiff_dsv2_s").toFile
     def deliver(name: String, ox: Double, v: Double): Unit = {
