@@ -174,17 +174,27 @@ object ScaleE2E {
         .agg(avg(col("z")).as("value"))
       // ...and the DEM itself crosses the RASTER byte boundary: staged
       // as one float64 GeoTIFF tile through the TiffSource write
-      // connector, read back through its read connector (nodata cells
-      // absent by construction) — so the composed pipeline exercises
-      // BOTH connectors the way the reference's workflow does (PDAL
-      // writers.gdal → rioxarray open, differencing_functions.py:69–79)
+      // connector, read back through its read connector — so the
+      // composed pipeline exercises BOTH connectors the way the
+      // reference's workflow does (PDAL writers.gdal → rioxarray open,
+      // differencing_functions.py:69–79). Cells with ZERO ground
+      // returns are EXPECTED holes (K returns per cell, each non-ground
+      // with ~27% probability → ~p^K of cells empty): they become
+      // nodata in the tile and are absent after read-back, so coverage
+      // is tracked explicitly instead of assumed dense.
       val demDir = new java.io.File(dir, "dem")
       dem.coalesce(1).write.format("graft.sources.TiffSource")
         .option("width", W.toString).option("height", W.toString)
         .mode("append").save(demDir.getAbsolutePath)
-      spark.read.format("graft.sources.TiffSource")
+      val demBack = spark.read.format("graft.sources.TiffSource")
         .load(demDir.getAbsolutePath)
         .select("col", "row", "value")
+      val nCells = demBack.count()
+      val cov = nCells.toDouble / (W.toLong * W)
+      println(f"  [$tag%s] dem_cells=$nCells%d coverage=${100 * cov}%.1f%%")
+      require(cov >= 0.80,
+        f"DEM read-back coverage ${100 * cov}%.1f%% below the 80%% floor")
+      demBack
     }
 
     val t0 = System.nanoTime()

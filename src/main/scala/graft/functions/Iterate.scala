@@ -53,15 +53,24 @@ object Iterate {
       val nxt = step(r)
       r = if (i % checkEvery == 0 && i < maxRounds) {
         val chk = nxt.localCheckpoint(true)
-        // coalesce: sum() over an EMPTY join (degenerate input — e.g. a
-        // grid too small for the D8 stencil, or an empty graph) is NULL;
-        // a null delta over an empty iterate IS a fixpoint, not a crash.
-        val delta = chk.join(
+        val dRow = chk.join(
             lastChk.select(keyCols.map(col) :+
               col(valCol).cast("double").as("__prev"): _*), keyCols)
-          .agg(coalesce(sum(abs(col(valCol).cast("double") - col("__prev"))),
-            lit(0.0)).as("d"))
-          .head.getDouble(0)
+          .agg(sum(abs(col(valCol).cast("double") - col("__prev"))).as("d"))
+          .head
+        // sum() over an EMPTY join is NULL. That is a fixpoint ONLY when
+        // the iterate itself is empty (degenerate input — a grid too
+        // small for the D8 stencil, an empty graph). A NON-empty iterate
+        // sharing no keys with the previous checkpoint means the key set
+        // churned between rounds — declaring convergence there would be
+        // silent garbage, so fail loudly instead.
+        val delta =
+          if (!dRow.isNullAt(0)) dRow.getDouble(0)
+          else if (chk.isEmpty) 0.0
+          else throw new IllegalStateException(
+            s"[graft.$tag] iter=$i: L1 delta undefined — the iterate is " +
+              "non-empty but shares no keys with the previous checkpoint " +
+              "(key churn between rounds); refusing to declare convergence")
         System.err.println(f"[graft.$tag%s] iter=$i%d l1_delta=$delta%.6f")
         lastChk = chk
         lastDelta = delta

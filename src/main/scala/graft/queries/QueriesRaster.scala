@@ -34,11 +34,20 @@ object QueriesRaster {
     if (cwd.exists()) cwd.getAbsolutePath else pinnedFromClasspath(rel)
   }
 
-  /** The classpath-anchored branch, separable for testing. */
+  /** The classpath-anchored branch, separable for testing. getCodeSource
+    * (or its location) can be null under some classloaders (bootstrap,
+    * shaded launchers) — fall through to the same loud require rather
+    * than an NPE. The upward walk only accepts a directory that looks
+    * like the repo root (carries build.sbt beside tools/), so a stray
+    * tools/<name>.parquet in an unrelated ancestor cannot win. */
   private[graft] def pinnedFromClasspath(rel: String): String = {
-    var d = new java.io.File(
-      getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
-    while (d != null && !new java.io.File(d, rel).exists()) d = d.getParentFile
+    var d: java.io.File =
+      Option(getClass.getProtectionDomain.getCodeSource)
+        .flatMap(cs => Option(cs.getLocation))
+        .map(loc => new java.io.File(loc.toURI))
+        .orNull
+    while (d != null && !(new java.io.File(d, rel).exists() &&
+      new java.io.File(d, "build.sbt").exists())) d = d.getParentFile
     require(d != null, s"pinned artifact $rel not found from CWD or classpath root")
     new java.io.File(d, rel).getAbsolutePath
   }

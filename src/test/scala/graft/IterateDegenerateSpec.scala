@@ -14,7 +14,9 @@ import graft.functions.Iterate
   * NULL, so `t_flow_accum` (whose `Terrain.flowD8` full 3x3 stencil
   * yields 0 cells on the sf0.001 grid of 1,843 pixels) crashed with
   * ROW_VALUE_IS_NULL at query-construction time. A NULL delta over an
-  * empty iterate IS a fixpoint (coalesced to 0.0 in Iterate.scala).
+  * empty iterate IS a fixpoint (the chk.isEmpty branch in
+  * Iterate.scala); over a NON-empty iterate it is key churn and fails
+  * loudly.
   */
 class IterateDegenerateSpec extends SparkSuite {
   import spark.implicits._
@@ -43,6 +45,20 @@ class IterateDegenerateSpec extends SparkSuite {
     val fp = Iterate.untilDelta(r0, maxRounds = 4, eps = 0.0,
       keyCols = Seq("c", "r"), valCol = "a", tag = "empty-cells")(identity)
     assert(fp.result.count() == 0L && fp.lastDelta == 0.0)
+  }
+
+  test("untilDelta fails LOUDLY when a non-empty iterate fully churns its keys") {
+    // a NULL delta with a NON-empty iterate is key churn between rounds,
+    // not convergence (ADVICE r10): declaring a fixpoint there would be
+    // silent garbage
+    val r0 = Seq((1L, 1.0)).toDF("src", "r")
+    val e = intercept[IllegalStateException] {
+      Iterate.untilDelta(r0, maxRounds = 4, eps = 0.0, checkEvery = 2,
+        tag = "churn-test") { df =>
+        df.select((col("src") + 1).as("src"), col("r"))
+      }
+    }
+    assert(e.getMessage.contains("key churn"))
   }
 
   test("untilEmptyDelta over an empty state converges at round 1") {
