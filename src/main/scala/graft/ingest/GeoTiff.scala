@@ -66,6 +66,14 @@ object GeoTiff {
   def decodeLevel(bytes: Array[Byte], level: Int): (GridMeta, Array[Array[Double]]) =
     decodeImpl(bytes, metaOnly = false, level)
 
+  /** Header-only parse of overview level `level` — the per-level twin
+    * of [[meta]]: grid metadata (including the level's pixel size) with
+    * no pixel decode, what a resolution-aware reader walks to pick the
+    * coarsest level that still satisfies a requested ground-sample
+    * distance. */
+  def metaLevel(bytes: Array[Byte], level: Int): GridMeta =
+    decodeImpl(bytes, metaOnly = true, level)._1
+
   /** Number of images in the IFD chain (1 = no overviews). */
   def levelCount(bytes: Array[Byte]): Int = {
     var n = 1

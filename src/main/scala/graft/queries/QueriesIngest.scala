@@ -1086,6 +1086,68 @@ object QueriesIngest {
                CAST(sum(CAST(floor(y * 10 + 0.5) AS BIGINT)) AS BIGINT) AS y1_sum
         FROM u GROUP BY 1"""
 
+  // Resolution-aware LOD selection through the connector — the scale
+  // behavior overview pyramids exist FOR (a coarse query must read the
+  // 1/16-resolution IFD, not every base pixel;
+  // differencing_functions.py:696–705 writes the pyramid precisely so
+  // GDAL-side readers can do this): the same pyramided tile as
+  // i_geotiff_overviews is read back with `resolution=R` and the
+  // connector picks, per file, the coarsest level whose pixel size
+  // satisfies R — R=4.5 lands on the 4× page, R=2.5 on the 2× page,
+  // R=0.5 (finer than base) degrades to level 0. Green only if the
+  // selection walk (header-only metas up the IFD chain) lands on
+  // exactly the page whose block means the oracle recomputes.
+  private val tiffLod: Q = (s, d) => {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_tiff_lod_" + java.lang.Integer.toHexString(d.hashCode))
+    if (dir.isDirectory)
+      dir.listFiles().filter(_.getName.endsWith(".tif")).foreach(_.delete())
+    graft.raster.PixelGrid.grid(s, d, 0)
+      .select(col("col"), col("row"),
+        (floor(col("value") * 1024.0 + 0.5) / 1024.0).as("value"))
+      .coalesce(1)
+      .write.format("graft.sources.TiffSource")
+      .option("width", "128").option("height", "128")
+      .option("overviews", "2,4")
+      .mode("append").save(dir.getAbsolutePath)
+    def rd(r: Double) = s.read.format("graft.sources.TiffSource")
+      .option("resolution", r.toString).load(dir.getAbsolutePath)
+      .select(floor(lit(r) * 10.0).cast("long").as("res10"), col("col"),
+        col("row"), col("value"), col("x"), col("y"))
+    rd(0.5).union(rd(2.5)).union(rd(4.5))
+      .groupBy("res10")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("v6_sum"),
+        sum(col("col").cast("long")).as("col_sum"),
+        sum(col("row").cast("long")).as("row_sum"),
+        sum(floor(col("x") * 10 + 0.5).cast("long")).as("x1_sum"),
+        sum(floor(col("y") * 10 + 0.5).cast("long")).as("y1_sum"))
+  }
+
+  private val tiffLodSql =
+    s"""WITH g AS (${graft.raster.PixelGrid.gridSql(0)}),
+        q AS (SELECT col, "row",
+                     floor(value * 1024.0 + 0.5) / 1024.0 AS value FROM g),
+        o1 AS (SELECT col // 2 AS col, "row" // 2 AS "row", avg(value) AS value
+               FROM q GROUP BY 1, 2),
+        o2 AS (SELECT col // 4 AS col, "row" // 4 AS "row", avg(value) AS value
+               FROM q GROUP BY 1, 2),
+        u AS (SELECT CAST(5 AS BIGINT) AS res10, col, "row", value,
+                     (col + 0.5) AS x, ("row" + 0.5) AS y FROM q
+              UNION ALL
+              SELECT CAST(25 AS BIGINT), col, "row", value,
+                     (col + 0.5) * 2, ("row" + 0.5) * 2 FROM o1
+              UNION ALL
+              SELECT CAST(45 AS BIGINT), col, "row", value,
+                     (col + 0.5) * 4, ("row" + 0.5) * 4 FROM o2)
+        SELECT res10, count(*) AS n,
+               CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS v6_sum,
+               CAST(sum(col) AS BIGINT) AS col_sum,
+               CAST(sum("row") AS BIGINT) AS row_sum,
+               CAST(sum(CAST(floor(x * 10 + 0.5) AS BIGINT)) AS BIGINT) AS x1_sum,
+               CAST(sum(CAST(floor(y * 10 + 0.5) AS BIGINT)) AS BIGINT) AS y1_sum
+        FROM u GROUP BY 1"""
+
   // Native-LAZ (LAYERED_CHUNKED / POINT14) round trip — COMPRESSED
   // LAS 1.4 fmt 6, what a 2026 USGS/3DEP delivery actually ships and
   // the last point-cloud format gap (judge round-8 "What's missing"
@@ -1736,6 +1798,7 @@ object QueriesIngest {
     "i_tiff_dsv2" -> tiffDsv2,
     "i_tiff_mosaic_lzw" -> tiffMosaicLzw,
     "i_geotiff_overviews" -> tiffOverviews,
+    "i_tiff_lod" -> tiffLod,
     "i_laz_roundtrip" -> lazRoundtrip,
     "i_laz14_roundtrip" -> laz14Roundtrip,
     "i_shp_roundtrip" -> shpRoundtrip,
@@ -1775,6 +1838,7 @@ object QueriesIngest {
     "i_tiff_dsv2" -> tiffDsv2Sql,
     "i_tiff_mosaic_lzw" -> tiffMosaicLzwSql,
     "i_geotiff_overviews" -> tiffOverviewsSql,
+    "i_tiff_lod" -> tiffLodSql,
     "i_laz_roundtrip" -> lasRoundtripSql,
     "i_laz14_roundtrip" -> las14RoundtripSql,
     "i_shp_roundtrip" -> shpRoundtripSql,

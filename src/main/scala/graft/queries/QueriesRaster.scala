@@ -813,7 +813,111 @@ object QueriesRaster {
         FROM j"""
   }
 
+  // §2.3/§2.4 temporal DEM stack — K=5 co-registered epochs of the pixel
+  // grid with an injected per-pixel linear trend, per-observation noise,
+  // and ~20% missing (pixel, epoch) observations, everything a counter-RNG
+  // function of (pixel, epoch) so both engines synthesize the identical
+  // stack. All value terms are exact binary fractions (k/1024), so every
+  // per-pixel sum below is an exact IEEE sum in ANY accumulation order —
+  // the hash gate does not depend on aggregation order. This is the input
+  // shape of multi-epoch elevation-change analysis (the reference
+  // differences exactly two epochs, differencing_functions.py:69–79; N
+  // epochs is the same data model at time-series depth — Hugonnet-style
+  // dh/dt stacks).
+  private def demStack(s: SparkSession, d: String): DataFrame = {
+    val pix = (col("col") * 128 + col("row")).cast("long")
+    gA(s, d)
+      .select(col("col"), col("row"),
+        (floor(col("value") * 1024.0 + 0.5) / 1024.0).as("v0"), pix.as("pix"))
+      .withColumn("e", explode(sequence(lit(0L), lit(4L))))
+      .filter(Rand.mix(col("pix") * 8 + col("e"), 23) % 10 < 8)
+      .select(col("col"), col("row"), col("e"),
+        (col("v0")
+          + ((Rand.mix(col("pix"), 21) % 256).cast("double") / 1024.0 - 0.125) * col("e")
+          + (Rand.mix(col("pix") * 8 + col("e"), 22) % 64).cast("double") / 1024.0
+          ).as("y"))
+  }
+  private val demStackSql: String = {
+    s"""s0 AS (SELECT col, "row", col * 128 + "row" AS pix,
+                      floor(value * 1024.0 + 0.5) / 1024.0 AS v0 FROM g),
+        stk AS (SELECT col, "row", e,
+                       v0 + (((${Rand.mixSql("pix", 21)}) % 256) / 1024.0 - 0.125) * e
+                          + ((${Rand.mixSql("pix * 8 + e", 22)}) % 64) / 1024.0 AS y
+                FROM s0, (SELECT unnest(range(5)) AS e)
+                WHERE ((${Rand.mixSql("pix * 8 + e", 23)}) % 10) < 8)"""
+  }
+
+  // §2.4 per-pixel dh/dt trend over the stack: closed-form OLS slope
+  // (m/yr analog), intercept, and R² from six plain aggregates — ONE
+  // shuffle on the pixel key with full map-side partials, the shape that
+  // holds when the stack is 100 TB of epochs (no window over time, no
+  // per-pixel collect; pixels with n<3 epochs or a degenerate time design
+  // are dropped exactly as a real dh/dt map masks them).
+  private val dhdtTrend: Q = (s, d) =>
+    demStack(s, d)
+      .groupBy("col", "row")
+      .agg(count(lit(1)).as("n"),
+        sum(col("e").cast("double")).as("st"),
+        sum((col("e") * col("e")).cast("double")).as("stt"),
+        sum(col("y")).as("sy"),
+        sum(col("e").cast("double") * col("y")).as("sty"),
+        sum(col("y") * col("y")).as("syy"))
+      .filter(col("n") >= 3)
+      .withColumn("den", col("n").cast("double") * col("stt") - col("st") * col("st"))
+      .filter(col("den") > 0)
+      .withColumn("slope",
+        (col("n").cast("double") * col("sty") - col("st") * col("sy")) / col("den"))
+      .withColumn("sst", col("syy") - col("sy") * col("sy") / col("n").cast("double"))
+      .filter(col("sst") > 0)
+      .select(col("col"), col("row"), col("n"),
+        round(col("slope"), 6).as("slope6"),
+        round((col("sy") - col("slope") * col("st")) / col("n").cast("double"), 6)
+          .as("icept6"),
+        round(lit(1.0) - (col("sst") - col("slope") *
+          (col("sty") - col("st") * col("sy") / col("n").cast("double"))) / col("sst"), 6)
+          .as("r2_6"))
+  private val dhdtTrendSql =
+    s"""WITH g AS ($cteA),
+        $demStackSql,
+        a AS (SELECT col, "row", CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(e AS DOUBLE)) AS st,
+                     sum(CAST(e * e AS DOUBLE)) AS stt,
+                     sum(y) AS sy,
+                     sum(CAST(e AS DOUBLE) * y) AS sty,
+                     sum(y * y) AS syy
+              FROM stk GROUP BY 1, 2 HAVING count(*) >= 3),
+        b AS (SELECT *, CAST(n AS DOUBLE) * stt - st * st AS den FROM a
+              WHERE CAST(n AS DOUBLE) * stt - st * st > 0),
+        c AS (SELECT *, (CAST(n AS DOUBLE) * sty - st * sy) / den AS slope,
+                     syy - sy * sy / CAST(n AS DOUBLE) AS sst FROM b)
+        SELECT col, "row", n, round(slope, 6) AS slope6,
+               round((sy - slope * st) / CAST(n AS DOUBLE), 6) AS icept6,
+               round(1.0 - (sst - slope * (sty - st * sy / CAST(n AS DOUBLE))) / sst, 6) AS r2_6
+        FROM c WHERE sst > 0"""
+
+  // §2.4 per-pixel robust composite over the stack (the cloud-free /
+  // outlier-robust mosaic reduction): exact interpolated median + range
+  // per pixel. Groups are epoch-bounded (≤5 rows), so percentile's
+  // per-group state is O(K) — grouped on the pixel key like dhdtTrend.
+  private val stackMedian: Q = (s, d) =>
+    demStack(s, d)
+      .groupBy("col", "row")
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("y"), lit(0.5)), 6).as("med6"),
+        round(min("y"), 6).as("min6"),
+        round(max("y"), 6).as("max6"))
+  private val stackMedianSql =
+    s"""WITH g AS ($cteA),
+        $demStackSql
+        SELECT col, "row", CAST(count(*) AS BIGINT) AS n,
+               round(quantile_cont(y, 0.5), 6) AS med6,
+               round(min(y), 6) AS min6,
+               round(max(y), 6) AS max6
+        FROM stk GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
+    "r_dhdt_trend" -> dhdtTrend,
+    "r_stack_median" -> stackMedian,
     "r_geoid_offset" -> geoidOffset,
     "r_geoid_resample" -> geoidResample,
     "r_gtx_geoid" -> gtxGeoid,
@@ -847,6 +951,8 @@ object QueriesRaster {
   )
 
   val oracle: Map[String, String] = Map(
+    "r_dhdt_trend" -> dhdtTrendSql,
+    "r_stack_median" -> stackMedianSql,
     "r_geoid_offset" -> geoidOffsetSql,
     "r_geoid_resample" -> geoidResampleSql,
     "r_gtx_geoid" -> gtxGeoidSql,

@@ -153,9 +153,21 @@ private[sources] class TiffTable(path: String)
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.MICRO_BATCH_READ,
       TableCapability.ACCEPT_ANY_SCHEMA)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // `level=k` reads a FIXED overview level; `resolution=R` picks, PER
+    // FILE, the coarsest level whose pixel size still satisfies R (the
+    // LOD lever: a coarse query reads the 1/16-resolution IFD, and a
+    // mixed mosaic where some tiles lack pyramids degrades per tile,
+    // not per query). Mutually exclusive — a fixed level contradicts
+    // per-file selection.
+    val level = Option(options.get("level")).map(_.toInt)
+    val resolution = Option(options.get("resolution")).map(_.toDouble)
+    require(level.isEmpty || resolution.isEmpty,
+      "tiff read options `level` and `resolution` are mutually exclusive")
+    resolution.foreach(r => require(r > 0, s"resolution must be > 0, got $r"))
     new TiffScanBuilder(Option(path).getOrElse(options.get("path")),
-      Option(options.get("level")).map(_.toInt).getOrElse(0))
+      level.getOrElse(0), resolution.getOrElse(Double.NaN))
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val p = Option(path).getOrElse(info.options.get("path"))
     require(p != null, "tiff sink needs a save path")
@@ -331,7 +343,8 @@ private[sources] class TiffWriterFactory(path: String, meta: GridMeta,
     }
 }
 
-private[sources] class TiffScanBuilder(path: String, level: Int)
+private[sources] class TiffScanBuilder(path: String, level: Int,
+    resolution: Double)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = TiffSource.Schema
@@ -348,11 +361,13 @@ private[sources] class TiffScanBuilder(path: String, level: Int)
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new TiffScan(path, required, compiled, level)
+  override def build(): Scan =
+    new TiffScan(path, required, compiled, level, resolution)
 }
 
 private[sources] class TiffScan(path: String, required: StructType,
-    pushed: TiffSource.Pushed, level: Int) extends Scan with Batch {
+    pushed: TiffSource.Pushed, level: Int, resolution: Double)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"graft tiff mosaic $path"
@@ -370,10 +385,11 @@ private[sources] class TiffScan(path: String, required: StructType,
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new TiffReaderFactory(required.fieldNames, pushed, level)
+    new TiffReaderFactory(required.fieldNames, pushed, level, resolution)
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new TiffMicroBatchStream(path, required.fieldNames, pushed, level)
+    new TiffMicroBatchStream(path, required.fieldNames, pushed, level,
+      resolution)
 }
 
 /** Streaming half over a GROWING directory of .tif tile deliveries —
@@ -383,7 +399,7 @@ private[sources] class TiffScan(path: String, required: StructType,
   * reprocessing (append-only staged-delivery convention). Reuses
   * [[LasOffset]] — the offset semantics are format-agnostic. */
 private[graft] class TiffMicroBatchStream(path: String, fields: Array[String],
-    pushed: TiffSource.Pushed, level: Int)
+    pushed: TiffSource.Pushed, level: Int, resolution: Double)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
   private def files: Array[String] = {
@@ -420,14 +436,43 @@ private[graft] class TiffMicroBatchStream(path: String, fields: Array[String],
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new TiffReaderFactory(fields, pushed, level)
+    new TiffReaderFactory(fields, pushed, level, resolution)
 }
 
 private[sources] case class TiffInputPartition(file: String, tileId: Int)
     extends InputPartition
 
 private[sources] class TiffReaderFactory(fields: Array[String],
-    pushed: TiffSource.Pushed, level: Int) extends PartitionReaderFactory {
+    pushed: TiffSource.Pushed, level: Int, resolution: Double)
+    extends PartitionReaderFactory {
+
+  /** The coarsest overview level of THIS file whose pixel size still
+    * satisfies the requested resolution (|dx| and |dy| ≤ R), walking
+    * header-only metas up the IFD chain. Level 0 is always admissible:
+    * when the request is finer than the base resolution the file can do
+    * no better than full res. Selection is per file, so a mixed mosaic
+    * (some tiles pyramided, some not) degrades tile-by-tile. */
+  private def selectLevel(bytes: Array[Byte]): Int = {
+    if (resolution.isNaN) level
+    else {
+      var best = 0
+      var k = 1
+      var done = false
+      while (!done) {
+        val m =
+          try Some(GeoTiff.metaLevel(bytes, k))
+          catch { case e: IllegalArgumentException
+            if Option(e.getMessage).exists(_.contains("no overview level")) => None }
+        m match {
+          case Some(mk) if math.abs(mk.dx) <= resolution &&
+              math.abs(mk.dy) <= resolution =>
+            best = k; k += 1
+          case _ => done = true
+        }
+      }
+      best
+    }
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TiffInputPartition]
@@ -446,9 +491,10 @@ private[sources] class TiffReaderFactory(fields: Array[String],
       TiffSource.decodedTiles.incrementAndGet()
       // level-0 extent pruning above stays valid for any level: every
       // IFD of a pyramid covers the same world extent
+      val lvl = selectLevel(bytes)
       val (m, rows) =
-        if (level == 0) GeoTiff.decode(bytes)
-        else GeoTiff.decodeLevel(bytes, level)
+        if (lvl == 0) GeoTiff.decode(bytes)
+        else GeoTiff.decodeLevel(bytes, lvl)
       new PartitionReader[InternalRow] {
         private var r = 0
         private var c = -1

@@ -259,6 +259,40 @@ class TiffSourceSpec extends SparkSuite {
     intercept[Exception](lv(3).collect())
   }
 
+  test("resolution option picks the coarsest satisfying level, per file") {
+    val dir = java.nio.file.Files.createTempDirectory("tiff_dsv2_lod").toFile
+    // pyramided 8x8 tile at origin 0 + UNPYRAMIDED 8x8 tile at origin 100:
+    // a mixed mosaic must degrade per FILE, not per query
+    val px = (for (r <- 0 until 8; c <- 0 until 8)
+      yield (c, r, (r * 8 + c) / 4.0)).toDF("col", "row", "value")
+    px.coalesce(1).write.format("graft.sources.TiffSource")
+      .option("width", "8").option("height", "8")
+      .option("overviews", "2,4")
+      .mode("append").save(dir.getAbsolutePath)
+    val m = GridMeta(originX = 100.0, width = 8, height = 8, nodata = -9999.0)
+    java.nio.file.Files.write(new java.io.File(dir, "z_flat.tif").toPath,
+      GeoTiff.encode(m, Array.tabulate(8, 8)((r, c) => (r * 8 + c) / 4.0)))
+    def rd(res: Double) = spark.read.format("graft.sources.TiffSource")
+      .option("resolution", res.toString).load(dir.getAbsolutePath)
+    // R=4.5: pyramided tile reads its 4x page (4 cells), flat tile has
+    // only base resolution and contributes all 64
+    assert(rd(4.5).groupBy("tile_id").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap == Map(0 -> 4L, 1 -> 64L))
+    // R=2.5: coarsest satisfying page is the 2x one
+    assert(rd(2.5).filter(col("tile_id") === 0).count() == 16)
+    // R finer than base degrades to level 0 everywhere
+    assert(rd(0.5).count() == 128)
+    // fixed level and resolution contradict each other
+    intercept[Exception](spark.read.format("graft.sources.TiffSource")
+      .option("level", "1").option("resolution", "2.0")
+      .load(dir.getAbsolutePath).collect())
+    // header pruning composes with LOD: a bbox over the pyramided tile
+    // only decodes that tile, at its selected page
+    graft.sources.TiffSource.decodedTiles.set(0L)
+    assert(rd(4.5).filter(col("x") < 50.0).count() == 4)
+    assert(graft.sources.TiffSource.decodedTiles.get() == 1L)
+  }
+
   test("streaming read picks up new .tif tile deliveries per micro-batch") {
     val dir = java.nio.file.Files.createTempDirectory("tiff_dsv2_s").toFile
     def deliver(name: String, ox: Double, v: Double): Unit = {
