@@ -824,7 +824,7 @@ object QueriesRaster {
   // differences exactly two epochs, differencing_functions.py:69–79; N
   // epochs is the same data model at time-series depth — Hugonnet-style
   // dh/dt stacks).
-  private def demStack(s: SparkSession, d: String): DataFrame = {
+  private[graft] def demStack(s: SparkSession, d: String): DataFrame = {
     val pix = (col("col") * 128 + col("row")).cast("long")
     gA(s, d)
       .select(col("col"), col("row"),
@@ -853,29 +853,42 @@ object QueriesRaster {
   // holds when the stack is 100 TB of epochs (no window over time, no
   // per-pixel collect; pixels with n<3 epochs or a degenerate time design
   // are dropped exactly as a real dh/dt map masks them).
+  /** Stateless estimate derivation from the six OLS sufficient
+    * statistics `(col, row, n, st, stt, sy, sty, syy)` — shared with the
+    * streaming twin (streaming.StreamTrend carries the sums in
+    * GroupState; StreamTrendSpec asserts the two forms agree
+    * hash-exactly after the last epoch). */
+  private[graft] def dhdtEstimate(sums: DataFrame): DataFrame =
+    dhdtEstimateOn(sums.withColumn("tot", col("n").cast("double")))
+
+  /** The generalized normal-equation solve: `tot` is n for OLS and Σw
+    * for WLS — the equations are identical with every sum weighted. */
+  private[graft] def dhdtEstimateOn(sums: DataFrame): DataFrame =
+    sums
+      .filter(col("n") >= 3)
+      .withColumn("den", col("tot") * col("stt") - col("st") * col("st"))
+      .filter(col("den") > 0)
+      .withColumn("slope",
+        (col("tot") * col("sty") - col("st") * col("sy")) / col("den"))
+      .withColumn("sst", col("syy") - col("sy") * col("sy") / col("tot"))
+      .filter(col("sst") > 0)
+      .select(col("col"), col("row"), col("n"),
+        round(col("slope"), 6).as("slope6"),
+        round((col("sy") - col("slope") * col("st")) / col("tot"), 6)
+          .as("icept6"),
+        round(lit(1.0) - (col("sst") - col("slope") *
+          (col("sty") - col("st") * col("sy") / col("tot"))) / col("sst"), 6)
+          .as("r2_6"))
+
   private val dhdtTrend: Q = (s, d) =>
-    demStack(s, d)
+    dhdtEstimate(demStack(s, d)
       .groupBy("col", "row")
       .agg(count(lit(1)).as("n"),
         sum(col("e").cast("double")).as("st"),
         sum((col("e") * col("e")).cast("double")).as("stt"),
         sum(col("y")).as("sy"),
         sum(col("e").cast("double") * col("y")).as("sty"),
-        sum(col("y") * col("y")).as("syy"))
-      .filter(col("n") >= 3)
-      .withColumn("den", col("n").cast("double") * col("stt") - col("st") * col("st"))
-      .filter(col("den") > 0)
-      .withColumn("slope",
-        (col("n").cast("double") * col("sty") - col("st") * col("sy")) / col("den"))
-      .withColumn("sst", col("syy") - col("sy") * col("sy") / col("n").cast("double"))
-      .filter(col("sst") > 0)
-      .select(col("col"), col("row"), col("n"),
-        round(col("slope"), 6).as("slope6"),
-        round((col("sy") - col("slope") * col("st")) / col("n").cast("double"), 6)
-          .as("icept6"),
-        round(lit(1.0) - (col("sst") - col("slope") *
-          (col("sty") - col("st") * col("sy") / col("n").cast("double"))) / col("sst"), 6)
-          .as("r2_6"))
+        sum(col("y") * col("y")).as("syy")))
   private val dhdtTrendSql =
     s"""WITH g AS ($cteA),
         $demStackSql,
@@ -893,6 +906,58 @@ object QueriesRaster {
         SELECT col, "row", n, round(slope, 6) AS slope6,
                round((sy - slope * st) / CAST(n AS DOUBLE), 6) AS icept6,
                round(1.0 - (sst - slope * (sty - st * sy / CAST(n AS DOUBLE))) / sst, 6) AS r2_6
+        FROM c WHERE sst > 0"""
+
+  // §2.4 weighted dh/dt (WLS) — the composition the reference's error
+  // analysis exists to enable: each observation carries a per-epoch
+  // uncertainty σ (here a counter-RNG function of (pixel, epoch), exact
+  // k/16 so the weight w = 1/σ² stays an exact binary fraction), and the
+  // trend is the weighted least-squares slope from SEVEN aggregates —
+  // same one-shuffle shape as the OLS form, σ just scales the terms.
+  // Real pipelines put the variogram-derived DEM uncertainty here
+  // (variography_uncertainty.py's σ feeds exactly this weighting).
+  private val dhdtWls: Q = (s, d) => {
+    // σ² ∈ {1, 1.25, 1.5, ..., 4.75}/1 → w = 1/σ² not binary; instead
+    // draw w DIRECTLY as an exact fraction k/16, k ∈ 4..19 (w ∈ [0.25,
+    // 1.1875]) — the weight IS the modeled 1/σ², exact by construction
+    val obs = demStack(s, d)
+      .withColumn("w",
+        (Rand.mix((col("col") * 128 + col("row")).cast("long") * 8 + col("e"), 24) % 16
+          + 4).cast("double") / 16.0)
+    // the WLS normal equations are the OLS ones with Σw playing n and
+    // every sum weighted — reuse the shared derivation verbatim on the
+    // weighted sums (n kept separately for the ≥3-epoch mask)
+    dhdtEstimateOn(obs
+      .groupBy("col", "row")
+      .agg(count(lit(1)).as("n"),
+        sum(col("w")).as("tot"),
+        sum(col("w") * col("e")).as("st"),
+        sum(col("w") * col("e") * col("e")).as("stt"),
+        sum(col("w") * col("y")).as("sy"),
+        sum(col("w") * col("e") * col("y")).as("sty"),
+        sum(col("w") * col("y") * col("y")).as("syy")))
+  }
+  private val dhdtWlsSql =
+    s"""WITH g AS ($cteA),
+        $demStackSql,
+        wo AS (SELECT col, "row", e, y,
+                      (((${Rand.mixSql("(col * 128 + \"row\") * 8 + e", 24)}) % 16) + 4) / 16.0 AS w
+               FROM stk),
+        a AS (SELECT col, "row", CAST(count(*) AS BIGINT) AS n,
+                     sum(w) AS sw,
+                     sum(w * e) AS st,
+                     sum(w * e * e) AS stt,
+                     sum(w * y) AS sy,
+                     sum(w * e * y) AS sty,
+                     sum(w * y * y) AS syy
+              FROM wo GROUP BY 1, 2 HAVING count(*) >= 3),
+        b AS (SELECT *, sw * stt - st * st AS den FROM a
+              WHERE sw * stt - st * st > 0),
+        c AS (SELECT *, (sw * sty - st * sy) / den AS slope,
+                     syy - sy * sy / sw AS sst FROM b)
+        SELECT col, "row", n, round(slope, 6) AS slope6,
+               round((sy - slope * st) / sw, 6) AS icept6,
+               round(1.0 - (sst - slope * (sty - st * sy / sw)) / sst, 6) AS r2_6
         FROM c WHERE sst > 0"""
 
   // §2.4 per-pixel robust composite over the stack (the cloud-free /
@@ -917,6 +982,7 @@ object QueriesRaster {
 
   val queries: Map[String, Q] = Map(
     "r_dhdt_trend" -> dhdtTrend,
+    "r_dhdt_wls" -> dhdtWls,
     "r_stack_median" -> stackMedian,
     "r_geoid_offset" -> geoidOffset,
     "r_geoid_resample" -> geoidResample,
@@ -952,6 +1018,7 @@ object QueriesRaster {
 
   val oracle: Map[String, String] = Map(
     "r_dhdt_trend" -> dhdtTrendSql,
+    "r_dhdt_wls" -> dhdtWlsSql,
     "r_stack_median" -> stackMedianSql,
     "r_geoid_offset" -> geoidOffsetSql,
     "r_geoid_resample" -> geoidResampleSql,
