@@ -37,6 +37,12 @@ object ScaleGen {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config(// right-size the generated-class cache: the default 100 entries
+        // thrash across a multi-query session (one neighboring query can
+        // evict a plan's classes; re-running then pays ~10s of janino+JIT
+        // recompilation, not execution -- measured on a_stats11 at sf1:
+        // pass-2 14.1s at 100 entries vs 2.2s at 10000)
+        "spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -13,6 +13,9 @@ object TestSpark {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+    // the fleet-wide codegen-cache sizing (see Bench.scala): the suite
+    // runs hundreds of distinct plans in one JVM
+    .config("spark.sql.codegen.cache.maxEntries", "10000")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
