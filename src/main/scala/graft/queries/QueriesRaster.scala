@@ -960,6 +960,99 @@ object QueriesRaster {
                round(1.0 - (sst - slope * (sty - st * sy / sw)) / sst, 6) AS r2_6
         FROM c WHERE sst > 0"""
 
+  // DEM co-registration (Nuth & Kääb 2011) — THE domain's canonical
+  // misregistration estimator (xdem/demcoreg run it before any
+  // differencing; the reference assumes pre-co-registered inputs,
+  // differencing_functions.py:69–79, so this is the upstream step a
+  // complete engine must own): a horizontal shift (dx, dy) + vertical
+  // bias dz between two DEMs leaves the signature
+  //   dh ≈ dx·∂z/∂x + dy·∂z/∂y + dz
+  // (first-order Taylor; the classic tan(slope)·cos/sin(aspect) form IS
+  // (gx, gy) in gradient components — no trig needed). The fit is plain
+  // least squares over three basis columns: NINE power sums in one
+  // aggregation (no iteration inside the query; real N-K iterates this
+  // whole step, which is a driver loop over an already-gated kernel),
+  // then a driver-free 3×3 Cramer solve on the 1-row aggregate.
+  //
+  // Determinism: gradients and dh are quantized to exact binary
+  // fractions (k/1024) before the sums, so every aggregate is an exact
+  // IEEE sum in any order and the Cramer arithmetic sees bit-identical
+  // inputs in both engines. The synthetic dh injects (0.75, -0.5, 0.25)
+  // plus zero-mean hash noise; CoregSpec proves the estimator recovers
+  // a TRUE sub-pixel shift of an analytically shifted surface.
+  private val coregNuthKaab: Q = (s, d) => {
+    def q10(c: org.apache.spark.sql.Column) = floor(c * 1024.0 + 0.5) / 1024.0
+    val nb = Terrain.neighborhood(gA(s, d))
+    val pix = (col("col") * 128 + col("row")).cast("long")
+    val grads = nb.select(col("col"), col("row"),
+      q10(Terrain.gx(1.0)).as("gx"), q10(Terrain.gy(1.0)).as("gy"),
+      ((Rand.mix(pix, 31) % 64).cast("double") - 32.0).as("nz"))
+      .withColumn("dh",
+        col("gx") * 0.75 + col("gy") * -0.5 + 0.25 + col("nz") / 1024.0)
+    val sums = grads.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("gx")).as("sgx"), sum(col("gy")).as("sgy"),
+      sum(col("gx") * col("gx")).as("sxx"),
+      sum(col("gx") * col("gy")).as("sxy"),
+      sum(col("gy") * col("gy")).as("syy"),
+      sum(col("dh")).as("sdh"),
+      sum(col("gx") * col("dh")).as("sxd"),
+      sum(col("gy") * col("dh")).as("syd"),
+      sum(col("dh") * col("dh")).as("sdd"))
+    val det = col("sxx") * (col("syy") * col("n") - col("sgy") * col("sgy")) -
+      col("sxy") * (col("sxy") * col("n") - col("sgy") * col("sgx")) +
+      col("sgx") * (col("sxy") * col("sgy") - col("syy") * col("sgx"))
+    val dx = (col("sxd") * (col("syy") * col("n") - col("sgy") * col("sgy")) -
+      col("sxy") * (col("syd") * col("n") - col("sgy") * col("sdh")) +
+      col("sgx") * (col("syd") * col("sgy") - col("syy") * col("sdh"))) / det
+    val dy = (col("sxx") * (col("syd") * col("n") - col("sgy") * col("sdh")) -
+      col("sxd") * (col("sxy") * col("n") - col("sgy") * col("sgx")) +
+      col("sgx") * (col("sxy") * col("sdh") - col("syd") * col("sgx"))) / det
+    val dz = (col("sxx") * (col("syy") * col("sdh") - col("syd") * col("sgy")) -
+      col("sxy") * (col("sxy") * col("sdh") - col("syd") * col("sgx")) +
+      col("sxd") * (col("sxy") * col("sgy") - col("syy") * col("sgx"))) / det
+    sums.select(col("n").cast("long").as("n"),
+      round(dx, 6).as("dx6"), round(dy, 6).as("dy6"), round(dz, 6).as("dz6"),
+      round(sqrt(greatest(
+        (col("sdd") - dx * col("sxd") - dy * col("syd") - dz * col("sdh")) / col("n"),
+        lit(0.0))), 6).as("rms6"))
+  }
+  private val coregNuthKaabSql = {
+    val mix = Rand.mixSql("col * 128 + \"row\"", 31)
+    s"""WITH g AS ($cteA),
+        nb AS (${Terrain.neighborhoodSql}),
+        gr AS (SELECT col, "row",
+                      floor((${Terrain.gxSql(1.0)}) * 1024.0 + 0.5) / 1024.0 AS gx,
+                      floor((${Terrain.gySql(1.0)}) * 1024.0 + 0.5) / 1024.0 AS gy,
+                      (($mix) % 64) - 32.0 AS nz
+               FROM nb),
+        gd AS (SELECT gx, gy, gx * 0.75 + gy * -0.5 + 0.25 + nz / 1024.0 AS dh
+               FROM gr),
+        s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     sum(gx) AS sgx, sum(gy) AS sgy,
+                     sum(gx * gx) AS sxx, sum(gx * gy) AS sxy,
+                     sum(gy * gy) AS syy, sum(dh) AS sdh,
+                     sum(gx * dh) AS sxd, sum(gy * dh) AS syd,
+                     sum(dh * dh) AS sdd
+              FROM gd),
+        c AS (SELECT *,
+                     sxx * (syy * n - sgy * sgy) - sxy * (sxy * n - sgy * sgx)
+                       + sgx * (sxy * sgy - syy * sgx) AS det
+              FROM s),
+        e AS (SELECT *,
+                     (sxd * (syy * n - sgy * sgy) - sxy * (syd * n - sgy * sdh)
+                       + sgx * (syd * sgy - syy * sdh)) / det AS dx,
+                     (sxx * (syd * n - sgy * sdh) - sxd * (sxy * n - sgy * sgx)
+                       + sgx * (sxy * sdh - syd * sgx)) / det AS dy,
+                     (sxx * (syy * sdh - syd * sgy) - sxy * (sxy * sdh - syd * sgx)
+                       + sxd * (sxy * sgy - syy * sgx)) / det AS dz
+              FROM c)
+        SELECT CAST(n AS BIGINT) AS n,
+               round(dx, 6) AS dx6, round(dy, 6) AS dy6, round(dz, 6) AS dz6,
+               round(sqrt(greatest((sdd - dx * sxd - dy * syd - dz * sdh) / n, 0.0)), 6) AS rms6
+        FROM e"""
+  }
+
   // §2.4 per-pixel robust composite over the stack (the cloud-free /
   // outlier-robust mosaic reduction): exact interpolated median + range
   // per pixel. Groups are epoch-bounded (≤5 rows), so percentile's
@@ -984,6 +1077,7 @@ object QueriesRaster {
     "r_dhdt_trend" -> dhdtTrend,
     "r_dhdt_wls" -> dhdtWls,
     "r_stack_median" -> stackMedian,
+    "r_coreg_nuthkaab" -> coregNuthKaab,
     "r_geoid_offset" -> geoidOffset,
     "r_geoid_resample" -> geoidResample,
     "r_gtx_geoid" -> gtxGeoid,
@@ -1020,6 +1114,7 @@ object QueriesRaster {
     "r_dhdt_trend" -> dhdtTrendSql,
     "r_dhdt_wls" -> dhdtWlsSql,
     "r_stack_median" -> stackMedianSql,
+    "r_coreg_nuthkaab" -> coregNuthKaabSql,
     "r_geoid_offset" -> geoidOffsetSql,
     "r_geoid_resample" -> geoidResampleSql,
     "r_gtx_geoid" -> gtxGeoidSql,

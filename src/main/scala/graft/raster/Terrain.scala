@@ -59,15 +59,15 @@ object Terrain {
     def pipe[B](f: A => B): B = f(a)
   }
 
-  private def gx(res: Double): Column =
+  private[graft] def gx(res: Double): Column =
     ((col("z13") + col("z23") * 2 + col("z33")) -
      (col("z11") + col("z21") * 2 + col("z31"))) / (8 * res)
-  private def gy(res: Double): Column =
+  private[graft] def gy(res: Double): Column =
     ((col("z31") + col("z32") * 2 + col("z33")) -
      (col("z11") + col("z12") * 2 + col("z13"))) / (8 * res)
 
-  private def gxSql(res: Double) = s"(((z13 + 2*z23 + z33) - (z11 + 2*z21 + z31)) / ${8 * res})"
-  private def gySql(res: Double) = s"(((z31 + 2*z32 + z33) - (z11 + 2*z12 + z13)) / ${8 * res})"
+  private[graft] def gxSql(res: Double) = s"(((z13 + 2*z23 + z33) - (z11 + 2*z21 + z31)) / ${8 * res})"
+  private[graft] def gySql(res: Double) = s"(((z31 + 2*z32 + z33) - (z11 + 2*z12 + z13)) / ${8 * res})"
 
   /** Slope in degrees (Horn; differencing_functions.py:2358–2372). */
   def slope(px: DataFrame, res: Double = 1.0): DataFrame =
