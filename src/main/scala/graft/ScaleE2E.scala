@@ -119,8 +119,23 @@ object ScaleE2E {
     // tile written through the codec, and the read-back pushes the bbox
     // filter into the decode loops.
     val demDirs = scala.collection.mutable.Map.empty[String, java.io.File]
-    def surveyToDem(salt: Long, shift: Double, tag: String): org.apache.spark.sql.DataFrame = {
-      val truth = smoothedNoise(salt).persist()
+    def surveyToDem(salt: Long, shift: Double, tag: String,
+        xyShift: (Double, Double) = (0.0, 0.0),
+        baseSalt: Long = -1L): org.apache.spark.sql.DataFrame = {
+      val (xs, ys) = xyShift
+      // baseSalt >= 0: this survey images the BASE survey's terrain plus
+      // its own smoothed field as the elevation-CHANGE signal — the
+      // physical situation of a repeat survey (shared terrain, change on
+      // top). Required for the co-registration step: a shift can only be
+      // estimated against gradients the two surveys SHARE (an
+      // independent-fields pair has no common terrain to align).
+      val truth0 = smoothedNoise(salt)
+      val truth = (if (baseSalt >= 0)
+          smoothedNoise(baseSalt).withColumnRenamed("value", "vbase")
+            .join(truth0, Seq("col", "row"))
+            .select(col("col"), col("row"),
+              (col("value") + col("vbase")).as("value"))
+        else truth0).persist()
       val dir = java.nio.file.Files.createTempDirectory(s"scale_e2e_las_$tag").toFile
       dir.deleteOnExit()
       val K = 2 // ground returns per cell
@@ -129,8 +144,11 @@ object ScaleE2E {
           col("col"), col("row"), col("value"))
         .select(col("*"), explode(array((0 until K).map(lit(_)): _*)).as("j"))
         .select(
-          (col("col") + 0.05 + lit(0.9) * Rand.u01(col("cell") * K + col("j"), salt + 11)).as("x"),
-          (col("row") + 0.05 + lit(0.9) * Rand.u01(col("cell") * K + col("j"), salt + 12)).as("y"),
+          // xyShift: the survey's GEOREFERENCING error — every return
+          // lands displaced, so the gridded DEM is misregistered (the
+          // thing the Nuth–Kääb step below must detect and undo)
+          (col("col") + 0.05 + lit(0.9) * Rand.u01(col("cell") * K + col("j"), salt + 11) + xs).as("x"),
+          (col("row") + 0.05 + lit(0.9) * Rand.u01(col("cell") * K + col("j"), salt + 12) + ys).as("y"),
           (col("value") + lit(shift) +
             lit(0.005) * Rand.gaussian(col("cell") * K + col("j"), salt + 13)).as("gz"),
           (Rand.u01(col("cell") * K + col("j"), salt + 14)).as("u"),
@@ -152,7 +170,7 @@ object ScaleE2E {
       val strip = truth.filter(col("row") === 0).orderBy("col")
         .collect().map { r =>
           val c = r.getAs[Int]("col")
-          graft.ingest.Las.P6(c + 0.5, 0.5, r.getAs[Double]("value") + shift,
+          graft.ingest.Las.P6(c + 0.5 + xs, 0.5 + ys, r.getAs[Double]("value") + shift,
             intensity = 100, returnNo = 1, nReturns = 1, channel = 0,
             classification = 1, scanAngle = 0, sourceId = 1,
             gpsTime = 1e7 + c)
@@ -230,9 +248,43 @@ object ScaleE2E {
     val ea = new ErrorAnalysis(spark, meta)
     def field(salt: Long) =
       if (canonical) smoothedNoiseBox(salt) else smoothedNoise(salt)
-    val a = if (fromLas) surveyToDem(101, 0.0, "a") else field(101)
-    val b = if (fromLas) surveyToDem(202, 0.35, "b")
-            else field(202).withColumn("value", col("value") + 0.35)
+    val a0 = if (fromLas) surveyToDem(101, 0.0, "a") else field(101)
+    // --from-las: survey B images survey A's TERRAIN (baseSalt=101) plus
+    // its own smoothed field as the elevation-change signal, carries the
+    // 0.35 vertical bias, AND a (+0.3, −0.25)-cell GEOREFERENCING shift —
+    // the misregistration a real repeat-survey pair arrives with and the
+    // step the reference leaves to its upstream
+    // (differencing_functions.py:69–79)
+    val coregShift = (0.3, -0.25)
+    val b0 = if (fromLas) surveyToDem(202, 0.35, "b", coregShift, baseSalt = 101)
+             else field(202).withColumn("value", col("value") + 0.35)
+    // Nuth–Kääb estimate/apply BEFORE differencing (raster.Coreg): a
+    // feature at true location x is recorded at x + xs, so B(c) images
+    // terrain(c − xs) and the fit reads ≈ −xs (attenuated to the
+    // binned-convolution value: jitter ∈ [0.05, 0.95) crossing a cell
+    // edge with probability (|s| − 0.05)/0.9 gives effective ≈ 0.278 for
+    // 0.3). The horizontal shift is corrected by a bilinear resample of
+    // B at the fitted offset; the fitted dz is REPORTED but NOT removed —
+    // finding the vertical bias is the pipeline's own next step, which
+    // must still read ≈ 0.35 after alignment.
+    val (a, b) = if (fromLas) {
+      val aP = a0.persist(); val bP = b0.persist()
+      val fit = graft.raster.Coreg.fit(aP, ea.difference(aP, bP))
+      println(f"  [coreg] fit dx=${fit.dx}%.3f dy=${fit.dy}%.3f " +
+        f"dz=${fit.dz}%.3f (injected shift +${coregShift._1}%.2f " +
+        f"${coregShift._2}%.2f -> expect fit near ${-coregShift._1}%.2f " +
+        f"${-coregShift._2}%.2f, bias 0.35) rms=${fit.rms}%.3f n=${fit.n}%d")
+      require(math.abs(fit.dx + coregShift._1) < 0.12 &&
+        math.abs(fit.dy + coregShift._2) < 0.12,
+        s"co-registration missed the injected shift: $fit")
+      val bCorr = graft.raster.Coreg.applyShift(bP, fit.dx, fit.dy).persist()
+      val rfit = graft.raster.Coreg.fit(aP, ea.difference(aP, bCorr))
+      println(f"  [coreg] residual after apply: dx=${rfit.dx}%.3f " +
+        f"dy=${rfit.dy}%.3f dz=${rfit.dz}%.3f rms=${rfit.rms}%.3f")
+      require(math.abs(rfit.dx) < 0.05 && math.abs(rfit.dy) < 0.05,
+        s"shift correction left a residual: $rfit")
+      (aP, bCorr)
+    } else (a0, b0)
     val dz = ea.difference(a, b).persist()
     val stableW = 0.98 * W
     val stableWkt = s"POLYGON ((2.1 2.1, $stableW 2.1, $stableW ${0.47 * W}, 2.1 ${0.47 * W}))"
@@ -271,6 +323,7 @@ object ScaleE2E {
       if (canonical) 0.5 * math.sqrt(2.0) * W else 48.0
     val cross = ea.empiricalVariogram(debiased, nRuns = nRuns,
       sampleSize = sampleSize, maxLag = maxLag, binWidth = binW)
+    if (args.contains("--dump-vario")) cross.orderBy("bin").show(50, false)
     val best = ea.fitModel(cross, binW)
     val fieldVar = debiased.agg(var_pop(col("value"))).head().getDouble(0)
     val totalSill = best.model.sills.sum + best.model.nugget

@@ -201,12 +201,27 @@ object VariogramFit {
   }
 
   /** Collect a (run, bin, lag, gamma, std) cross-run table into fit bins
-    * (weights 1/σ as in curve_fit's `sigma=` weighting). */
+    * (weights 1/σ as in curve_fit's `sigma=` weighting).
+    *
+    * Degenerate-bin guard: a boundary sliver bin observed with a handful
+    * of pairs can draw a near-zero cross-run std by chance (measured:
+    * ScaleE2E --from-las W=768, bin at exactly maxLag with mean_n=15 and
+    * std 2e-6 vs healthy-bin stds ~3e-4) — 1/σ then hands one
+    * meaningless bin ~100× every other bin's weight and the optimizer
+    * trades all the healthy bins away to chase it (fitted range 1e5,
+    * sill 800× the field variance). Each σ is floored at the Matheron
+    * estimator's own sampling deviation, σ ≥ γ·√(2/n) (Var[γ̂] ≈ 2γ²/n
+    * for a Gaussian field): a 15-pair bin cannot claim more credibility
+    * than 15 pairs carry, while for healthy thousand-pair bins the floor
+    * sits at or below their observed cross-run std and the curve_fit
+    * `sigma=` semantics are unchanged. */
   def binsFromCrossRun(df: DataFrame, binWidth: Double): Seq[Bin] =
     df.collect().toIndexedSeq.map { (r: Row) =>
       val bin = r.getAs[Int]("bin")
       val gamma = r.getAs[Double]("mean_gamma")
-      val std = math.max(r.getAs[Double]("std_gamma"), 1e-12)
+      val n = math.max(r.getAs[Double]("mean_n"), 1.0)
+      val floor = math.abs(gamma) * math.sqrt(2.0 / n)
+      val std = math.max(math.max(r.getAs[Double]("std_gamma"), 1e-12), floor)
       Bin((bin + 0.5) * binWidth, gamma, 1.0 / std)
     }
 }

@@ -1,16 +1,17 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.raster.Terrain
+import graft.raster.Coreg
 
-/** The Nuth–Kääb estimator (r_coreg_nuthkaab's kernel) must recover a
-  * TRUE sub-pixel misregistration, not just fit its own synthetic dh:
-  * build DEM A from a smooth analytic surface, DEM B by evaluating the
-  * SAME surface at coordinates shifted by (dx, dy) plus a bias dz —
-  * a genuinely shifted terrain, no Taylor shortcut — difference them on
-  * the grid, and run the gradient-basis least squares. First-order
-  * recovery error is O(shift² · curvature), so at 0.3-cell shifts the
-  * estimate must land within a few percent. */
+/** The Nuth–Kääb estimator (r_coreg_nuthkaab's kernel, raster.Coreg)
+  * must recover a TRUE sub-pixel misregistration, not just fit its own
+  * synthetic dh: build DEM A from a smooth analytic surface, DEM B by
+  * evaluating the SAME surface at coordinates shifted by (dx, dy) plus a
+  * bias dz — a genuinely shifted terrain, no Taylor shortcut — difference
+  * them on the grid, and fit. First-order recovery error is
+  * O(shift² · curvature), so at 0.3-cell shifts the estimate must land
+  * within a few percent; applying the fitted shift must then collapse
+  * the difference's RMS by an order of magnitude. */
 class CoregSpec extends SparkSuite {
   import spark.implicits._
 
@@ -19,42 +20,40 @@ class CoregSpec extends SparkSuite {
     20.0 * math.sin(x / 17.0) * math.cos(y / 23.0) +
       12.0 * math.sin((x + y) / 31.0) + 0.002 * (x - 64) * (x - 64)
 
-  test("gradient-basis LS recovers a true sub-pixel shift + bias") {
-    val (dxT, dyT, dzT) = (0.3, -0.25, 1.5)
-    val w = 128
-    val cells = (for (r <- 0 until w; c <- 0 until w) yield {
-      val a = z(c, r)
-      val b = z(c + dxT, r + dyT) + dzT
-      (c, r, a, b - a)
-    }).toDF("col", "row", "value", "dh_true")
+  private val (dxT, dyT, dzT) = (0.3, -0.25, 1.5)
+  private val w = 128
+  private lazy val a = (for (r <- 0 until w; c <- 0 until w)
+    yield (c, r, z(c, r))).toDF("col", "row", "value")
+  private lazy val b = (for (r <- 0 until w; c <- 0 until w)
+    yield (c, r, z(c + dxT, r + dyT) + dzT)).toDF("col", "row", "value")
+  private def diff(x: org.apache.spark.sql.DataFrame,
+                   y: org.apache.spark.sql.DataFrame) =
+    x.select(col("col"), col("row"), col("value").as("va"))
+      .join(y.select(col("col"), col("row"), col("value").as("vb")),
+        Seq("col", "row"))
+      .select(col("col"), col("row"), (col("vb") - col("va")).as("value"))
 
-    val nb = Terrain.neighborhood(cells.select("col", "row", "value"))
-      .join(cells.select(col("col"), col("row"), col("dh_true")), Seq("col", "row"))
-    val g = nb.select(Terrain.gx(1.0).as("gx"), Terrain.gy(1.0).as("gy"),
-      col("dh_true").as("dh"))
-    val s = g.agg(
-      count(lit(1)).cast("double").as("n"),
-      sum("gx").as("sgx"), sum("gy").as("sgy"),
-      sum(col("gx") * col("gx")).as("sxx"), sum(col("gx") * col("gy")).as("sxy"),
-      sum(col("gy") * col("gy")).as("syy"), sum("dh").as("sdh"),
-      sum(col("gx") * col("dh")).as("sxd"), sum(col("gy") * col("dh")).as("syd"))
-      .head()
-    val (n, sgx, sgy, sxx, sxy, syy, sdh, sxd, syd) =
-      (s.getDouble(0), s.getDouble(1), s.getDouble(2), s.getDouble(3),
-        s.getDouble(4), s.getDouble(5), s.getDouble(6), s.getDouble(7),
-        s.getDouble(8))
-    val det = sxx * (syy * n - sgy * sgy) - sxy * (sxy * n - sgy * sgx) +
-      sgx * (sxy * sgy - syy * sgx)
-    val dx = (sxd * (syy * n - sgy * sgy) - sxy * (syd * n - sgy * sdh) +
-      sgx * (syd * sgy - syy * sdh)) / det
-    val dy = (sxx * (syd * n - sgy * sdh) - sxd * (sxy * n - sgy * sgx) +
-      sgx * (sxy * sdh - syd * sgx)) / det
-    val dz = (sxx * (syy * sdh - syd * sgy) - sxy * (sxy * sdh - syd * sgx) +
-      sxd * (sxy * sgy - syy * sgx)) / det
+  test("Coreg.fit recovers a true sub-pixel shift + bias") {
+    val f = Coreg.fit(a, diff(a, b))
+    assert(math.abs(f.dx - dxT) < 0.02, s"dx ${f.dx} vs $dxT")
+    assert(math.abs(f.dy - dyT) < 0.02, s"dy ${f.dy} vs $dyT")
+    assert(math.abs(f.dz - dzT) < 0.05, s"dz ${f.dz} vs $dzT")
+    assert(f.n > 15000)
+  }
 
-    assert(math.abs(dx - dxT) < 0.02, s"dx $dx vs $dxT")
-    assert(math.abs(dy - dyT) < 0.02, s"dy $dy vs $dyT")
-    assert(math.abs(dz - dzT) < 0.05, s"dz $dz vs $dzT")
+  test("Coreg.applyShift collapses the misregistration signature") {
+    def rms(d: org.apache.spark.sql.DataFrame): Double = math.sqrt(
+      d.agg(avg(col("value") * col("value"))).head().getDouble(0))
+    val f = Coreg.fit(a, diff(a, b))
+    val bCorr = Coreg.applyShift(b, f.dx, f.dy, f.dz)
+    val before = rms(diff(a, b)
+      .join(bCorr.select("col", "row"), Seq("col", "row"))) // same support
+    val after = rms(diff(a, bCorr))
+    assert(after < before / 10.0, s"rms before=$before after=$after")
+    // and a re-fit on the corrected pair finds ~no residual shift
+    val f2 = Coreg.fit(a, diff(a, bCorr))
+    assert(math.abs(f2.dx) < 0.03 && math.abs(f2.dy) < 0.03 &&
+      math.abs(f2.dz) < 0.05, f2.toString)
   }
 
   test("r_coreg_nuthkaab recovers its injected synthetic shift") {
