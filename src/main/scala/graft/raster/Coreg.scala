@@ -67,6 +67,43 @@ object Coreg {
     Fit(dx, dy, dz, n.toLong, rms)
   }
 
+  /** The full iterative Nuth–Kääb loop: fit, apply, re-fit on the
+    * corrected pair, accumulate, until the fitted increment drops under
+    * `tol` cells (the published algorithm iterates because the Taylor
+    * linearization under-corrects large shifts; each round's residual
+    * shrinks ~quadratically). Returns the TOTAL accumulated shift and
+    * the per-iteration fits. Driver loop over a gated distributed
+    * kernel — iterations are few (2–5) and each is one aggregation +
+    * one resample join. */
+  def iterate(demA: DataFrame, demB: DataFrame, maxIter: Int = 10,
+              tol: Double = 0.02, res: Double = 1.0): (Fit, Seq[Fit], DataFrame) = {
+    def diff(b: DataFrame): DataFrame =
+      demA.select(col("col"), col("row"), col("value").as("va"))
+        .join(b.select(col("col"), col("row"), col("value").as("vb")),
+          Seq("col", "row"))
+        .select(col("col"), col("row"), (col("vb") - col("va")).as("value"))
+    var cur = demB
+    var totX = 0.0; var totY = 0.0
+    val steps = scala.collection.mutable.ArrayBuffer.empty[Fit]
+    var it = 0
+    var done = false
+    while (it < maxIter && !done) {
+      val f = fit(demA, diff(cur), res)
+      steps += f
+      if (math.abs(f.dx) < tol && math.abs(f.dy) < tol) done = true
+      else {
+        totX += f.dx; totY += f.dy
+        cur = applyShift(cur, f.dx, f.dy).persist()
+      }
+      it += 1
+    }
+    val last = steps.last
+    // only the horizontal shift is applied each round, so every fit
+    // re-measures the SAME remaining vertical bias — the total dz is the
+    // last fit's reading, not a sum
+    (Fit(totX, totY, last.dz, last.n, last.rms), steps.toSeq, cur)
+  }
+
   /** Correct DEM B by a [[fit]]: B was found displaced by (sx, sy, sz),
     * i.e. B(c, r) ≈ A(c + sx, r + sy) + sz, so the aligned version is
     * B evaluated at `(col − sx, row − sy)` minus `sz` — pass the fit's

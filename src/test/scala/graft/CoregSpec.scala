@@ -56,6 +56,22 @@ class CoregSpec extends SparkSuite {
       math.abs(f2.dz) < 0.05, f2.toString)
   }
 
+  test("Coreg.iterate converges a LARGE shift one fit under-corrects") {
+    // 0.9-cell shift: the Taylor linearization under-estimates it (the
+    // single-fit reading is ~60-80% of truth on curved terrain), so the
+    // published algorithm iterates; the loop must accumulate to the true
+    // shift within tolerance and stop on its own
+    val big = (for (r <- 0 until w; c <- 0 until w)
+      yield (c, r, z(c + 0.9, r + 0.7) + 0.4)).toDF("col", "row", "value")
+    val (tot, steps, corrected) = Coreg.iterate(a, big, maxIter = 10, tol = 0.02)
+    assert(steps.size >= 2, s"one fit should not satisfy tol: $steps")
+    assert(math.abs(tot.dx - 0.9) < 0.05, s"dx ${tot.dx}")
+    assert(math.abs(tot.dy - 0.7) < 0.05, s"dy ${tot.dy}")
+    assert(math.abs(tot.dz - 0.4) < 0.05, s"dz ${tot.dz}")
+    val res = Coreg.fit(a, diff(a, corrected))
+    assert(math.abs(res.dx) < 0.02 && math.abs(res.dy) < 0.02, res.toString)
+  }
+
   test("r_coreg_nuthkaab recovers its injected synthetic shift") {
     // sf0.01: the sf0.001 grid is too sparse for full 3x3 neighborhoods
     // (~37% cell fill -> 0.37^9 full stencils), so the fit there is the
