@@ -960,6 +960,87 @@ object QueriesRaster {
                round(1.0 - (sst - slope * (sty - st * sy / sw)) / sst, 6) AS r2_6
         FROM c WHERE sst > 0"""
 
+  // Hypsometric band analysis — the glacier-change standard (Hugonnet et
+  // al. / McNabb et al.: dh statistics BY ELEVATION BAND of the reference
+  // DEM, because elevation-change signal and its voids are strongly
+  // elevation-dependent). Shared stack: dh = B − A quantized to exact
+  // k/1024 (band means must be order-independent IEEE sums), band =
+  // floor(elev_A / 8). One equi-join + one groupBy — both on keys the
+  // 100-TB layout already clusters.
+  private def hypsoBase(s: SparkSession, d: String): DataFrame =
+    gA(s, d).select(col("col"), col("row"), col("value").as("elev"))
+      .join(gB(s, d).select(col("col"), col("row"), col("value").as("vb")),
+        Seq("col", "row"))
+      .select(col("col"), col("row"),
+        floor(col("elev") / 8.0).cast("long").as("band"),
+        (floor((col("vb") - col("elev")) * 1024.0 + 0.5) / 1024.0).as("dh"))
+  private val hypsoBaseSql =
+    s"""SELECT a.col, a."row",
+               CAST(floor(a.value / 8.0) AS BIGINT) AS band,
+               floor((b.value - a.value) * 1024.0 + 0.5) / 1024.0 AS dh
+        FROM a JOIN b ON a.col = b.col AND a."row" = b."row""""
+
+  // per-band dh stats: count, exact mean, exact interpolated median,
+  // extrema — the table a hypsometric-curve plot reads
+  private val hypsoBands: Q = (s, d) =>
+    hypsoBase(s, d)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        round(sum("dh") / count(lit(1)), 6).as("mean_dh"),
+        round(percentile(col("dh"), lit(0.5)), 6).as("med_dh"),
+        round(min("dh"), 6).as("min_dh"),
+        round(max("dh"), 6).as("max_dh"))
+  private val hypsoBandsSql =
+    s"""WITH a AS ($cteA), b AS ($cteB),
+        h AS ($hypsoBaseSql)
+        SELECT band, CAST(count(*) AS BIGINT) AS n,
+               round(sum(dh) / count(*), 6) AS mean_dh,
+               round(quantile_cont(dh, 0.5), 6) AS med_dh,
+               round(min(dh), 6) AS min_dh,
+               round(max(dh), 6) AS max_dh
+        FROM h GROUP BY 1"""
+
+  // hypsometric VOID FILL (the reference method for unmeasured glacier
+  // area): cells hash-dropped (~20%) get their elevation band's mean dh
+  // from the OBSERVED cells — a broadcast-size band table joined back,
+  // never a window over the pixel table. Output censuses observed vs
+  // filled so the gate pins both populations and the fill values.
+  private val hypsoFill: Q = (s, d) => {
+    val base = hypsoBase(s, d)
+      .withColumn("observed",
+        Rand.mix(col("col") * 128 + col("row"), 41) % 5 =!= 0)
+    val bandMeans = base.filter(col("observed"))
+      .groupBy("band")
+      .agg((sum("dh") / count(lit(1))).as("band_mean"))
+    // the fill value is re-quantized to k/1024: band_mean is a division
+    // result, and summing an inexact double alongside the exact dh terms
+    // would make mean_filled accumulation-order-dependent
+    base.join(broadcast(bandMeans), Seq("band"), "left")
+      .select(col("band"), col("observed"),
+        when(col("observed"), col("dh"))
+          .otherwise(floor(col("band_mean") * 1024.0 + 0.5) / 1024.0).as("filled"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("observed"), 1L).otherwise(0L)).as("n_obs"),
+        round(sum("filled") / count(lit(1)), 6).as("mean_filled"),
+        round(max(when(!col("observed"), col("filled"))), 6).as("fill_value"))
+  }
+  private val hypsoFillSql = {
+    val mix = Rand.mixSql("col * 128 + \"row\"", 41)
+    s"""WITH a AS ($cteA), b AS ($cteB),
+        h AS ($hypsoBaseSql),
+        o AS (SELECT *, (($mix) % 5) <> 0 AS observed FROM h),
+        bm AS (SELECT band,
+                      floor((sum(dh) / count(*)) * 1024.0 + 0.5) / 1024.0 AS fillv
+               FROM o WHERE observed GROUP BY 1)
+        SELECT o.band, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS n_obs,
+               round(sum(CASE WHEN observed THEN dh ELSE fillv END) / count(*), 6) AS mean_filled,
+               round(max(CASE WHEN NOT observed THEN fillv END), 6) AS fill_value
+        FROM o LEFT JOIN bm ON o.band = bm.band
+        GROUP BY 1"""
+  }
+
   // DEM co-registration (Nuth & Kääb 2011) — THE domain's canonical
   // misregistration estimator (xdem/demcoreg run it before any
   // differencing; the reference assumes pre-co-registered inputs,
@@ -1078,6 +1159,8 @@ object QueriesRaster {
     "r_dhdt_wls" -> dhdtWls,
     "r_stack_median" -> stackMedian,
     "r_coreg_nuthkaab" -> coregNuthKaab,
+    "r_hypso_bands" -> hypsoBands,
+    "r_hypso_fill" -> hypsoFill,
     "r_geoid_offset" -> geoidOffset,
     "r_geoid_resample" -> geoidResample,
     "r_gtx_geoid" -> gtxGeoid,
@@ -1115,6 +1198,8 @@ object QueriesRaster {
     "r_dhdt_wls" -> dhdtWlsSql,
     "r_stack_median" -> stackMedianSql,
     "r_coreg_nuthkaab" -> coregNuthKaabSql,
+    "r_hypso_bands" -> hypsoBandsSql,
+    "r_hypso_fill" -> hypsoFillSql,
     "r_geoid_offset" -> geoidOffsetSql,
     "r_geoid_resample" -> geoidResampleSql,
     "r_gtx_geoid" -> gtxGeoidSql,
