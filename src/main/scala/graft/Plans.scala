@@ -99,7 +99,14 @@ object Plans {
       "i_npy_roundtrip" -> "NPY matrix boundary: per-tile .npy assembly + decode in executors, quantized element checksum",
       "m_psi" -> "PSI drift: integer bin counts, per-bin terms quantized before the 10-row sum",
       "v_jackknife" -> "delete-group jackknife: one corpus agg to K rows, exact integer devq reduction",
-      "a_zscore_outliers" -> "z-score census: integer-dollar moments, broadcast stats join back, no window")
+      "a_zscore_outliers" -> "z-score census: integer-dollar moments, broadcast stats join back, no window",
+      "i_tiff_lod" -> "resolution-aware LOD read: per-file coarsest-satisfying overview level from header-only IFD walks, unioned level census",
+      "r_dhdt_trend" -> "per-pixel OLS dh/dt: six aggregates in ONE pixel-key shuffle with map-side partials — no time window, no per-pixel collect",
+      "r_dhdt_wls" -> "weighted dh/dt: the same one-shuffle normal equations with Σw playing n (exact k/16 weights)",
+      "r_stack_median" -> "temporal composite: exact interpolated median over epoch-bounded (≤5-row) pixel groups",
+      "r_coreg_nuthkaab" -> "Nuth–Kääb co-registration: Horn-gradient basis, nine power sums in one aggregation, 3×3 Cramer on the 1-row result",
+      "r_hypso_bands" -> "hypsometric bands: one equi-join + one band groupBy, exact k/1024 sums",
+      "r_hypso_fill" -> "hypsometric void fill: broadcast band-mean table joined back — never a window over the pixel table")
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans of headline queries\n\n"
     sb ++= s"Generated by `runMain graft.Plans` on `$dir`. Evidence for the\n"

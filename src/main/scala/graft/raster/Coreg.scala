@@ -93,7 +93,14 @@ object Coreg {
       if (math.abs(f.dx) < tol && math.abs(f.dy) < tol) done = true
       else {
         totX += f.dx; totY += f.dy
-        cur = applyShift(cur, f.dx, f.dy).persist()
+        // localCheckpoint, not a bare .persist(): each round's resample
+        // is consumed twice (fit + next apply) and lineage would
+        // otherwise compound per round; the blocks are
+        // ContextCleaner-scoped (reclaimed when the frame is GC'd), the
+        // engine's convention for iterative intermediates
+        // (Iterate.untilDelta, pagerank) — a bare persist here leaked
+        // past releaseAll and CacheHygieneSpec caught it
+        cur = applyShift(cur, f.dx, f.dy).localCheckpoint()
       }
       it += 1
     }
