@@ -74,10 +74,15 @@ object GeoTiff {
   def metaLevel(bytes: Array[Byte], level: Int): GridMeta =
     decodeImpl(bytes, metaOnly = true, level)._1
 
-  /** Number of images in the IFD chain (1 = no overviews). */
+  /** Number of images in the IFD chain (1 = no overviews). Capped at 64
+    * levels: each probe walks the chain from the top, so a crafted
+    * acyclic chain of thousands of minimal IFDs would otherwise make
+    * this quadratic (a real pyramid halves per level — 64 levels is a
+    * 2^64 downsample, far past any legitimate file). */
   def levelCount(bytes: Array[Byte]): Int = {
     var n = 1
     while ({
+      require(n <= 64, "TIFF IFD chain exceeds 64 levels")
       try { decodeImpl(bytes, metaOnly = true, n); true }
       catch { case e: IllegalArgumentException
         if Option(e.getMessage).exists(_.contains("no overview level")) => false }
@@ -114,7 +119,13 @@ object GeoTiff {
     val entryLen = if (big) 20 else 12
     // walk the next-IFD chain to the requested overview level, with the
     // same bounds discipline as the main IFD walk — a corrupt chain
-    // pointer rejects loudly before it is dereferenced
+    // pointer rejects loudly before it is dereferenced. A CYCLING chain
+    // (hostile next-IFD pointing at a visited offset) must also reject:
+    // callers that probe levels upward (levelCount, the connector's
+    // resolution walk) only stop on "no overview level", so a cycle
+    // would otherwise spin them forever — an infinite-loop DoS, not
+    // just garbage output.
+    val seen = scala.collection.mutable.HashSet[Int](ifd)
     var lvl = 0
     while (lvl < level) {
       require(ifd + (if (big) 8 else 2) <= bytes.length, "truncated TIFF IFD")
@@ -126,6 +137,7 @@ object GeoTiff {
       val next = off(ifd + (if (big) 8 else 2) + n64.toInt * entryLen)
       require(next != 0,
         s"TIFF has no overview level $level (IFD chain ends after level $lvl)")
+      require(seen.add(next), s"TIFF IFD chain cycles at offset $next")
       ifd = next
       lvl += 1
     }

@@ -458,7 +458,10 @@ private[sources] class TiffReaderFactory(fields: Array[String],
       var best = 0
       var k = 1
       var done = false
-      while (!done) {
+      // 64-level cap: the same quadratic-probe bound as
+      // GeoTiff.levelCount (a hostile chain of minimal IFDs must not
+      // turn per-file level selection into an unbounded walk)
+      while (!done && k <= 64) {
         val m =
           try Some(GeoTiff.metaLevel(bytes, k))
           catch { case e: IllegalArgumentException

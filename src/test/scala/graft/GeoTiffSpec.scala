@@ -289,6 +289,24 @@ class GeoTiffSpec extends SparkSuite {
     assert(e.getMessage.contains("no overview level"))
   }
 
+  test("a cycling next-IFD chain rejects loudly instead of spinning the level walk") {
+    // patch a plain single-IFD file so its next-IFD pointer points back
+    // at IFD0: levelCount / the connector's resolution walk only stop on
+    // "no overview level", so without cycle detection this input spins
+    // them forever (infinite-loop DoS), not just garbage output
+    val bytes = GeoTiff.encode(meta, rows)
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifd0 = b.getInt(4)
+    val n = b.getShort(ifd0) & 0xffff
+    b.putInt(ifd0 + 2 + n * 12, ifd0) // next-IFD := self
+    val e = intercept[IllegalArgumentException](GeoTiff.levelCount(bytes))
+    assert(e.getMessage.contains("cycles"), e.getMessage)
+    intercept[IllegalArgumentException](GeoTiff.metaLevel(bytes, 2))
+    // level 0 decode is unaffected (the cycle sits past the first IFD)
+    assert(GeoTiff.decode(bytes)._2(2)(1) == 1e12)
+  }
+
   test("overview pyramid composes with LZW tiles and survives a tiled layout") {
     val big = GridMeta(width = 40, height = 35, nodata = -1.0)
     val data = Array.tabulate(35, 40)((r, c) =>
