@@ -106,7 +106,8 @@ object Plans {
       "r_stack_median" -> "temporal composite: exact interpolated median over epoch-bounded (≤5-row) pixel groups",
       "r_coreg_nuthkaab" -> "Nuth–Kääb co-registration: Horn-gradient basis, nine power sums in one aggregation, 3×3 Cramer on the 1-row result",
       "r_hypso_bands" -> "hypsometric bands: one equi-join + one band groupBy, exact k/1024 sums",
-      "r_hypso_fill" -> "hypsometric void fill: broadcast band-mean table joined back — never a window over the pixel table")
+      "r_hypso_fill" -> "hypsometric void fill: broadcast band-mean table joined back — never a window over the pixel table",
+      "r_coreg_aspect_diag" -> "Nuth–Kääb diagnostic: flat-masked dh/tan(slope) by aspect bin — one groupBy, quantized ratios")
     val sb = new StringBuilder
     sb ++= "# PLANS — formatted physical plans of headline queries\n\n"
     sb ++= s"Generated by `runMain graft.Plans` on `$dir`. Evidence for the\n"

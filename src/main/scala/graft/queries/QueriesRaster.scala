@@ -1061,15 +1061,34 @@ object QueriesRaster {
   // inputs in both engines. The synthetic dh injects (0.75, -0.5, 0.25)
   // plus zero-mean hash noise; CoregSpec proves the estimator recovers
   // a TRUE sub-pixel shift of an analytically shifted surface.
-  private val coregNuthKaab: Q = (s, d) => {
+  /** Shared with the aspect diagnostic: quantized Horn gradients of grid
+    * A plus the synthetic misregistration difference (injected
+    * (0.75, −0.5, 0.25) + zero-mean hash noise, all exact binary
+    * fractions). */
+  private def coregGrads(s: SparkSession, d: String): DataFrame = {
     def q10(c: org.apache.spark.sql.Column) = floor(c * 1024.0 + 0.5) / 1024.0
     val nb = Terrain.neighborhood(gA(s, d))
     val pix = (col("col") * 128 + col("row")).cast("long")
-    val grads = nb.select(col("col"), col("row"),
+    nb.select(col("col"), col("row"),
       q10(Terrain.gx(1.0)).as("gx"), q10(Terrain.gy(1.0)).as("gy"),
       ((Rand.mix(pix, 31) % 64).cast("double") - 32.0).as("nz"))
       .withColumn("dh",
         col("gx") * 0.75 + col("gy") * -0.5 + 0.25 + col("nz") / 1024.0)
+  }
+  private val coregGradsSql = {
+    val mix = Rand.mixSql("col * 128 + \"row\"", 31)
+    s"""gr AS (SELECT col, "row",
+                      floor((${Terrain.gxSql(1.0)}) * 1024.0 + 0.5) / 1024.0 AS gx,
+                      floor((${Terrain.gySql(1.0)}) * 1024.0 + 0.5) / 1024.0 AS gy,
+                      (($mix) % 64) - 32.0 AS nz
+               FROM nb),
+        gd AS (SELECT col, "row", gx, gy,
+                      gx * 0.75 + gy * -0.5 + 0.25 + nz / 1024.0 AS dh
+               FROM gr)"""
+  }
+
+  private val coregNuthKaab: Q = (s, d) => {
+    val grads = coregGrads(s, d)
     val sums = grads.agg(
       count(lit(1)).cast("double").as("n"),
       sum(col("gx")).as("sgx"), sum(col("gy")).as("sgy"),
@@ -1099,16 +1118,9 @@ object QueriesRaster {
         lit(0.0))), 6).as("rms6"))
   }
   private val coregNuthKaabSql = {
-    val mix = Rand.mixSql("col * 128 + \"row\"", 31)
     s"""WITH g AS ($cteA),
         nb AS (${Terrain.neighborhoodSql}),
-        gr AS (SELECT col, "row",
-                      floor((${Terrain.gxSql(1.0)}) * 1024.0 + 0.5) / 1024.0 AS gx,
-                      floor((${Terrain.gySql(1.0)}) * 1024.0 + 0.5) / 1024.0 AS gy,
-                      (($mix) % 64) - 32.0 AS nz
-               FROM nb),
-        gd AS (SELECT gx, gy, gx * 0.75 + gy * -0.5 + 0.25 + nz / 1024.0 AS dh
-               FROM gr),
+        $coregGradsSql,
         s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
                      sum(gx) AS sgx, sum(gy) AS sgy,
                      sum(gx * gx) AS sxx, sum(gx * gy) AS sxy,
@@ -1132,6 +1144,49 @@ object QueriesRaster {
                round(dx, 6) AS dx6, round(dy, 6) AS dy6, round(dz, 6) AS dz6,
                round(sqrt(greatest((sdd - dx * sxd - dy * syd - dz * sdh) / n, 0.0)), 6) AS rms6
         FROM e"""
+  }
+
+  // The Nuth–Kääb DIAGNOSTIC table — the data behind the paper's famous
+  // plot: dh normalized by tan(slope), binned by ASPECT, traces the
+  // cosine curve A·cos(b − aspect) + c whose amplitude/phase encode the
+  // horizontal shift and whose offset encodes the bias (Nuth & Kääb
+  // 2011 eq. 3; xdem plots exactly this before fitting). Flat cells are
+  // masked (tan(slope) < 0.05 — the ratio is unbounded there, the
+  // published method's standard mask). The ratio is quantized to k/1024
+  // before the bin mean so the aggregation is order-independent; the
+  // aspect formula is t_aspect's gated expression verbatim.
+  private val coregAspectDiag: Q = (s, d) => {
+    val grads = coregGrads(s, d)
+    val tanS = sqrt(col("gx") * col("gx") + col("gy") * col("gy"))
+    val az = atan2(col("gy"), negate(col("gx"))) * (180.0 / math.Pi)
+    val aspectDeg = pmod(lit(90.0) - az, lit(360.0))
+    grads
+      .withColumn("tan_s", tanS)
+      .filter(col("tan_s") >= 0.05)
+      .select(floor(aspectDeg / 10.0).cast("long").as("abin"),
+        (floor(col("dh") / col("tan_s") * 1024.0 + 0.5) / 1024.0).as("ratio"))
+      .groupBy("abin")
+      .agg(count(lit(1)).as("n"),
+        round(sum("ratio") / count(lit(1)), 6).as("mean_ratio"),
+        round(min("ratio"), 6).as("min_ratio"),
+        round(max("ratio"), 6).as("max_ratio"))
+  }
+  private val coregAspectDiagSql = {
+    val gXq = "gx"; val gYq = "gy"
+    s"""WITH g AS ($cteA),
+        nb AS (${Terrain.neighborhoodSql}),
+        $coregGradsSql,
+        t AS (SELECT dh, sqrt($gXq * $gXq + $gYq * $gYq) AS tan_s,
+                     ((90.0 - atan2($gYq, -$gXq) * ${180.0 / math.Pi}) % 360.0 + 360.0) % 360.0 AS aspect_deg
+              FROM gd),
+        r AS (SELECT CAST(floor(aspect_deg / 10.0) AS BIGINT) AS abin,
+                     floor(dh / tan_s * 1024.0 + 0.5) / 1024.0 AS ratio
+              FROM t WHERE tan_s >= 0.05)
+        SELECT abin, CAST(count(*) AS BIGINT) AS n,
+               round(sum(ratio) / count(*), 6) AS mean_ratio,
+               round(min(ratio), 6) AS min_ratio,
+               round(max(ratio), 6) AS max_ratio
+        FROM r GROUP BY 1"""
   }
 
   // §2.4 per-pixel robust composite over the stack (the cloud-free /
@@ -1159,6 +1214,7 @@ object QueriesRaster {
     "r_dhdt_wls" -> dhdtWls,
     "r_stack_median" -> stackMedian,
     "r_coreg_nuthkaab" -> coregNuthKaab,
+    "r_coreg_aspect_diag" -> coregAspectDiag,
     "r_hypso_bands" -> hypsoBands,
     "r_hypso_fill" -> hypsoFill,
     "r_geoid_offset" -> geoidOffset,
@@ -1198,6 +1254,7 @@ object QueriesRaster {
     "r_dhdt_wls" -> dhdtWlsSql,
     "r_stack_median" -> stackMedianSql,
     "r_coreg_nuthkaab" -> coregNuthKaabSql,
+    "r_coreg_aspect_diag" -> coregAspectDiagSql,
     "r_hypso_bands" -> hypsoBandsSql,
     "r_hypso_fill" -> hypsoFillSql,
     "r_geoid_offset" -> geoidOffsetSql,
