@@ -11,25 +11,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
-      .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      .config(// right-size the generated-class cache: the default 100 entries
-        // thrash across a multi-query session (one neighboring query can
-        // evict a plan's classes; re-running then pays ~10s of janino+JIT
-        // recompilation, not execution -- measured on a_stats11 at sf1:
-        // pass-2 14.1s at 100 entries vs 2.2s at 10000)
-        "spark.sql.codegen.cache.maxEntries", "10000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the fleet session configuration (incl. the codegen-cache sizing a
+    // 238-plan session needs) lives in Sessions — BenchSubset consumes
+    // the SAME builder, which is what keeps its suite-pressure
+    // attribution valid
+    val spark = Sessions.local("4").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: touch every table and exercise codegen paths once
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -79,6 +65,44 @@ object Bench {
           out
         }
     def f3(v: Double): String = "%.3f".format(v)
+    // Regression tripwire: with the codegen-cache fix the run-to-run
+    // spread is ±2.5%, so per-query deltas are finally signal — compare
+    // against the newest prior BENCH_r*.json (or SPARK_GRAFT_BENCH_PREV)
+    // and FLAG (never fail) any query >1.5x its previous reading and
+    // >0.5s absolute (sub-second queries jitter on GC, not plans).
+    val prevFile: Option[java.io.File] =
+      sys.env.get("SPARK_GRAFT_BENCH_PREV").map(new java.io.File(_))
+        .filter(_.isFile)
+        .orElse {
+          val rx = "BENCH_r(\\d+)\\.json".r
+          Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+            .flatMap(f => f.getName match {
+              case rx(n) => Some((n.toInt, f)); case _ => None })
+            .sortBy(-_._1).headOption.map(_._2)
+        }
+    val prev: Map[String, Double] = prevFile.map { f =>
+      val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val i = s.indexOf("\"queries\":{")
+      if (i < 0) Map.empty[String, Double]
+      else {
+        val body = s.substring(i + 11, s.indexOf('}', i))
+        "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }.getOrElse(Map.empty)
+    val regressions = results.flatMap { case (k, v) =>
+      prev.get(k).filter(p => v > 1.5 * p && v - p > 0.5)
+        .map(p => (k, p, v))
+    }
+    regressions.foreach { case (k, p, v) =>
+      System.err.println(
+        f"BENCH REGRESSION $k: $p%.2fs -> $v%.2fs (${v / p}%.2fx vs ${prevFile.get.getName})")
+    }
+    val regJson =
+      if (regressions.isEmpty) ""
+      else regressions.map { case (k, p, v) =>
+        "\"" + k + "\":{\"prev\":" + f3(p) + ",\"now\":" + f3(v) + "}"
+      }.mkString(""""regressions":{""", ",", "},")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errs =
@@ -86,7 +110,7 @@ object Bench {
       else failed.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
         .mkString(""""failed":{""", ",", "},")
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","ok":${failed.isEmpty},$errs"queries":$qs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","ok":${failed.isEmpty},$errs$regJson"queries":$qs,"sf":"$sfDir"}"""
     // full-detail copy the harness tail can't truncate
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SELF.json"),

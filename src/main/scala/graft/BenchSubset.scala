@@ -12,23 +12,10 @@ import org.apache.spark.sql.SparkSession
 object BenchSubset {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
-      .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      // fleet default 10000 (see Bench); override DOWN (e.g. 100, the
-      // Spark default) to reproduce codegen-cache-thrash attribution
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the SAME shared builder Bench uses — the property that makes this
+    // probe's suite-pressure attribution valid (SPARK_GRAFT_CODEGEN_CACHE
+    // overrides DOWN to 100, the Spark default, to reproduce the thrash)
+    val spark = Sessions.local("32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (!sys.env.contains("SPARK_GRAFT_NOWARM"))
       Seq("region", "nation", "customer", "supplier", "part", "orders",

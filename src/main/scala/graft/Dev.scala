@@ -7,23 +7,7 @@ object Dev {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
-      .config(// right-size the generated-class cache: the default 100 entries
-        // thrash across a multi-query session (one neighboring query can
-        // evict a plan's classes; re-running then pays ~10s of janino+JIT
-        // recompilation, not execution -- measured on a_stats11 at sf1:
-        // pass-2 14.1s at 100 entries vs 2.2s at 10000)
-        "spark.sql.codegen.cache.maxEntries", "10000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local("8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // one dispatch for both paths: "entry" is not a key in `queries`
     def build() = if (name == "entry") SparkEntry.entry(spark)

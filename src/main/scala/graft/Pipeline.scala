@@ -14,22 +14,7 @@ import graft.raster.{GridMeta, PixelGrid}
 object Pipeline {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
-      .config(// right-size the generated-class cache: the default 100 entries
-        // thrash across a multi-query session (one neighboring query can
-        // evict a plan's classes; re-running then pays ~10s of janino+JIT
-        // recompilation, not execution -- measured on a_stats11 at sf1:
-        // pass-2 14.1s at 100 entries vs 2.2s at 10000)
-        "spark.sql.codegen.cache.maxEntries", "10000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local("8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val meta = GridMeta(width = PixelGrid.W, height = PixelGrid.W)

@@ -46,21 +46,7 @@ object ScaleE2E {
     val W = args.filterNot(_.startsWith("--")).headOption.map(_.toInt)
       .getOrElse(if (canonical) 960 else if (fromLas) 256 else 304)
     val R = if (canonical) 45 else 6
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
-      .config(// right-size the generated-class cache: the default 100 entries
-        // thrash across a multi-query session (one neighboring query can
-        // evict a plan's classes; re-running then pays ~10s of janino+JIT
-        // recompilation, not execution -- measured on a_stats11 at sf1:
-        // pass-2 14.1s at 100 entries vs 2.2s at 10000)
-        "spark.sql.codegen.cache.maxEntries", "10000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local("16").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def smoothedNoise(salt: Long) = {

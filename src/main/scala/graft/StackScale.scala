@@ -20,12 +20,7 @@ object StackScale {
     val ps = (if (args.nonEmpty) args(0) else "10000000,40000000")
       .split(",").map(_.trim.toLong)
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", "64")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", parts)
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.builder("local[32]", parts).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     for (p <- ps) {

@@ -46,18 +46,7 @@ object VarioScale {
       .split(",").map(_.trim.toLong)
     val density = 0.02  // pts/unit² → n ≈ d·π·L² ≈ 100 neighbors at L=40
     val maxLag = 40.0
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "64")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config(// right-size the generated-class cache: the default 100 entries
-        // thrash across a multi-query session (one neighboring query can
-        // evict a plan's classes; re-running then pays ~10s of janino+JIT
-        // recompilation, not execution -- measured on a_stats11 at sf1:
-        // pass-2 14.1s at 100 entries vs 2.2s at 10000)
-        "spark.sql.codegen.cache.maxEntries", "10000")
-      .config("spark.ui.enabled", "false")
+    val spark = Sessions.builder("local[32]", "64")
       .config("spark.driver.memory", "16g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -29,6 +29,13 @@ object Coreg {
   final case class Fit(dx: Double, dy: Double, dz: Double,
                        n: Long, rms: Double)
 
+  /** Outcome of [[iterate]]: the accumulated shift, the per-round fits,
+    * the aligned DEM, and whether the loop actually CONVERGED (last
+    * increment under tol) as opposed to exhausting maxIter — callers
+    * must not treat an exhausted budget as a registration. */
+  final case class IterResult(total: Fit, steps: Seq[Fit],
+                              aligned: DataFrame, converged: Boolean)
+
   /** Estimate (dx, dy, dz) from DEM A (`col, row, value`) and the
     * grid-aligned difference `dh` (`col, row, value` = B − A). Gradients
     * are Horn 3×3 on A (interior cells only). */
@@ -76,7 +83,8 @@ object Coreg {
     * kernel — iterations are few (2–5) and each is one aggregation +
     * one resample join. */
   def iterate(demA: DataFrame, demB: DataFrame, maxIter: Int = 10,
-              tol: Double = 0.02, res: Double = 1.0): (Fit, Seq[Fit], DataFrame) = {
+              tol: Double = 0.02, res: Double = 1.0): IterResult = {
+    require(maxIter >= 1, s"iterate needs at least one fit, got maxIter=$maxIter")
     def diff(b: DataFrame): DataFrame =
       demA.select(col("col"), col("row"), col("value").as("va"))
         .join(b.select(col("col"), col("row"), col("value").as("vb")),
@@ -108,7 +116,8 @@ object Coreg {
     // only the horizontal shift is applied each round, so every fit
     // re-measures the SAME remaining vertical bias — the total dz is the
     // last fit's reading, not a sum
-    (Fit(totX, totY, last.dz, last.n, last.rms), steps.toSeq, cur)
+    IterResult(Fit(totX, totY, last.dz, last.n, last.rms), steps.toSeq,
+      cur, converged = done)
   }
 
   /** Correct DEM B by a [[fit]]: B was found displaced by (sx, sy, sz),
@@ -119,7 +128,15 @@ object Coreg {
     * sum() would accumulate corners in engine-dependent row order);
     * cells whose 4 corners all fall outside src's support drop
     * (shrinking support is the honest edge behavior of a shifted
-    * resample). */
+    * resample).
+    *
+    * PRECONDITION: `src` has at most ONE row per (col, row) — the
+    * corner pivot's max(when(...)) picks arbitrarily among duplicates
+    * (e.g. overlapping mosaic tiles), yielding wrong bilinear values
+    * rather than failing. Deduplicate overlaps upstream (the mosaic
+    * reader's tile_id disambiguates); a defensive groupBy-count here
+    * would charge every call a full extra shuffle for a contract the
+    * writer already enforces. */
   def applyShift(src: DataFrame, sx: Double, sy: Double,
                  sz: Double = 0.0): DataFrame = {
     val tgt = src.select(col("col").as("tc"), col("row").as("tr"))

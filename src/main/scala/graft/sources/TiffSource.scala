@@ -63,6 +63,21 @@ object TiffSource {
     * work (reset in specs; nothing in production reads it). */
   val decodedTiles = new AtomicLong(0L)
 
+  /** Per-file LOD selection cache: (path, mtime, size, resolution) →
+    * chosen level. A mosaic read visits each file once per query, but a
+    * multi-query session (or a re-planned AQE stage) re-walks the same
+    * headers — the walk is header-only yet still O(levels) byte-parses
+    * per file. Keyed on mtime+size so a rewritten tile re-selects.
+    * Entries are a few dozen bytes; the cap only guards a pathological
+    * many-files session (clearing merely re-derives on demand). */
+  private[sources] val levelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Double), Integer]()
+  private[sources] val LevelCacheCap = 65536
+
+  /** LOD header walks actually performed (cache misses) — test-observable
+    * twin of [[decodedTiles]] for the level-selection cache. */
+  val levelWalks = new AtomicLong(0L)
+
   private[graft] final case class Pushed(
       xMin: Double, xMax: Double, yMin: Double, yMax: Double,
       vMin: Double, vMax: Double,
@@ -201,6 +216,14 @@ private[sources] class TiffTable(path: String)
       .replaceAll("[^0-9a-zA-Z]", "").takeRight(12)
     val sortedByOrigin =
       Option(opts.get("sortedByOrigin")).exists(_.toBoolean)
+    // bound on the unsorted fallback's per-task open grids: each open
+    // tile is a dense width×height Double grid, so an unbounded
+    // LinkedHashMap OOMs silently when a wide mosaic hashes many
+    // origins into one task — fail LOUDLY at the bound instead and
+    // point at the fix (sortedByOrigin, the one-open-tile mode)
+    val maxOpenTiles =
+      Option(opts.get("maxOpenTiles")).map(_.toInt).getOrElse(64)
+    require(maxOpenTiles >= 1, "maxOpenTiles must be >= 1")
     // chunk compression + layout: `compression` = none|lzw|deflate
     // (GDAL COMPRESS=LZW/DEFLATE, differencing_functions.py:696–705),
     // `blockSize` switches strips → square TIFF tiles of that size,
@@ -218,7 +241,7 @@ private[sources] class TiffTable(path: String)
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new TiffBatchWrite(p, meta, perTileOrigin, token, sortedByOrigin,
-            compression, blockSize, overviews)
+            compression, blockSize, overviews, maxOpenTiles)
       }
     }
   }
@@ -226,15 +249,34 @@ private[sources] class TiffTable(path: String)
 
 private[sources] class TiffBatchWrite(path: String, meta: GridMeta,
     perTileOrigin: Boolean, token: String, sortedByOrigin: Boolean,
-    compression: String, blockSize: Int, overviews: Seq[Int])
+    compression: String, blockSize: Int, overviews: Seq[Int],
+    maxOpenTiles: Int)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new java.io.File(path).mkdirs()
     new TiffWriterFactory(path, meta, perTileOrigin, token, sortedByOrigin,
-      compression, blockSize, overviews)
+      compression, blockSize, overviews, maxOpenTiles)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  /** Job-level rollback: delete every file this JOB wrote — both staged
+    * tmps from un-aborted tasks and tiles already COMMITTED by tasks
+    * that finished before the job failed. Filenames carry the
+    * job-unique `token`, so a retry job's (fresh-token) files and any
+    * pre-existing mosaic content are untouchable by construction; a
+    * re-run then recreates the deleted tiles idempotently. Without
+    * this, a job failing between task commits left a PARTIAL mosaic in
+    * the destination (consistent-on-retry, but litter if never
+    * retried). */
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    val prefix = s"part_${token}_"
+    val mine = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        val n = f.getName
+        n.startsWith(prefix) || (n.startsWith("." + prefix) && n.endsWith(".tmp"))
+      }
+    mine.foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+  }
 }
 
 /** Mosaic tile writer. Two memory regimes:
@@ -250,14 +292,17 @@ private[sources] class TiffBatchWrite(path: String, meta: GridMeta,
   *    the task (`repartition(key)` HASH-partitions, so distinct tiles
   *    legitimately collide); task memory = tiles-this-task × tile
   *    size, acceptable at probe scale but NOT the shape to run at
-  *    fan-out.
+  *    fan-out — bounded by `maxOpenTiles` (default 64): the 65th open
+  *    grid fails the task loudly with the sortedByOrigin pointer
+  *    instead of letting a wide mosaic OOM the executor silently.
   * Either way every tile is staged as `.…tmp` during the task and only
   * renamed (atomic, REPLACE_EXISTING for retry idempotence) at task
   * commit — `abort()` deletes the staged tmps, so a failed task leaves
   * neither torn tiles nor litter. */
 private[sources] class TiffWriterFactory(path: String, meta: GridMeta,
     perTileOrigin: Boolean, token: String, sortedByOrigin: Boolean,
-    compression: String, blockSize: Int, overviews: Seq[Int])
+    compression: String, blockSize: Int, overviews: Seq[Int],
+    maxOpenTiles: Int)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -321,6 +366,15 @@ private[sources] class TiffWriterFactory(path: String, meta: GridMeta,
           }
           curGrid(rr)(c) = r.getDouble(2)
         } else {
+          if (!tiles.contains(key))
+            require(tiles.size < maxOpenTiles,
+              s"task holds $maxOpenTiles open ${meta.width}x${meta.height} " +
+                "tile grids and a new origin arrived — the unsorted mosaic " +
+                "path buffers one dense grid per origin per task and would " +
+                "exhaust executor memory. Cluster rows by tile (repartition " +
+                "+ sortWithinPartitions on origin_x, origin_y) and set " +
+                "sortedByOrigin=true (one open tile per task), or raise " +
+                "maxOpenTiles explicitly if the memory budget allows.")
           tiles.getOrElseUpdate(key, newGrid())(rr)(c) = r.getDouble(2)
         }
       }
@@ -448,32 +502,52 @@ private[sources] class TiffReaderFactory(fields: Array[String],
 
   /** The coarsest overview level of THIS file whose pixel size still
     * satisfies the requested resolution (|dx| and |dy| ≤ R), walking
-    * header-only metas up the IFD chain. Level 0 is always admissible:
+    * header-only metas up the IFD chain. ALL levels (≤ 64, the same
+    * hostile-chain bound as GeoTiff.levelCount) are scanned and the one
+    * with the largest satisfying pixel size wins — a legal
+    * NON-monotone pyramid (levels not sorted coarse-to-fine) still
+    * selects the cheapest admissible read, where a first-failure walk
+    * would stop early at a finer level. Level 0 is always admissible:
     * when the request is finer than the base resolution the file can do
-    * no better than full res. Selection is per file, so a mixed mosaic
-    * (some tiles pyramided, some not) degrades tile-by-tile. */
-  private def selectLevel(bytes: Array[Byte]): Int = {
+    * no better than full res. Selection is per file (a mixed mosaic —
+    * some tiles pyramided, some not — degrades tile-by-tile) and cached
+    * per (file, mtime, size, resolution) so repeat queries over the
+    * same mosaic skip the header re-walk. */
+  private def selectLevel(file: String, bytes: Array[Byte]): Int = {
     if (resolution.isNaN) level
     else {
-      var best = 0
-      var k = 1
-      var done = false
-      // 64-level cap: the same quadratic-probe bound as
-      // GeoTiff.levelCount (a hostile chain of minimal IFDs must not
-      // turn per-file level selection into an unbounded walk)
-      while (!done && k <= 64) {
-        val m =
-          try Some(GeoTiff.metaLevel(bytes, k))
-          catch { case e: IllegalArgumentException
-            if Option(e.getMessage).exists(_.contains("no overview level")) => None }
-        m match {
-          case Some(mk) if math.abs(mk.dx) <= resolution &&
-              math.abs(mk.dy) <= resolution =>
-            best = k; k += 1
-          case _ => done = true
+      val f = new java.io.File(file)
+      val key = (file, f.lastModified(), bytes.length.toLong, resolution)
+      val cached = TiffSource.levelCache.get(key)
+      if (cached != null) cached.intValue()
+      else {
+        TiffSource.levelWalks.incrementAndGet()
+        val m0 = GeoTiff.meta(bytes)
+        var best = 0
+        var bestPx = math.max(math.abs(m0.dx), math.abs(m0.dy))
+        var k = 1
+        var done = false
+        while (!done && k <= 64) {
+          val m =
+            try Some(GeoTiff.metaLevel(bytes, k))
+            catch { case e: IllegalArgumentException
+              if Option(e.getMessage).exists(_.contains("no overview level")) => None }
+          m match {
+            case Some(mk) =>
+              val px = math.max(math.abs(mk.dx), math.abs(mk.dy))
+              if (math.abs(mk.dx) <= resolution &&
+                  math.abs(mk.dy) <= resolution && px > bestPx) {
+                best = k; bestPx = px
+              }
+              k += 1
+            case None => done = true
+          }
         }
+        if (TiffSource.levelCache.size() >= TiffSource.LevelCacheCap)
+          TiffSource.levelCache.clear()
+        TiffSource.levelCache.put(key, Integer.valueOf(best))
+        best
       }
-      best
     }
   }
 
@@ -494,7 +568,7 @@ private[sources] class TiffReaderFactory(fields: Array[String],
       TiffSource.decodedTiles.incrementAndGet()
       // level-0 extent pruning above stays valid for any level: every
       // IFD of a pyramid covers the same world extent
-      val lvl = selectLevel(bytes)
+      val lvl = selectLevel(p.file, bytes)
       val (m, rows) =
         if (lvl == 0) GeoTiff.decode(bytes)
         else GeoTiff.decodeLevel(bytes, lvl)

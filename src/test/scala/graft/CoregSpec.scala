@@ -63,8 +63,14 @@ class CoregSpec extends SparkSuite {
     // shift within tolerance and stop on its own
     val big = (for (r <- 0 until w; c <- 0 until w)
       yield (c, r, z(c + 0.9, r + 0.7) + 0.4)).toDF("col", "row", "value")
-    val (tot, steps, corrected) = Coreg.iterate(a, big, maxIter = 10, tol = 0.02)
+    val Coreg.IterResult(tot, steps, corrected, converged) =
+      Coreg.iterate(a, big, maxIter = 10, tol = 0.02)
+    assert(converged, "the loop must CONVERGE, not exhaust maxIter")
     assert(steps.size >= 2, s"one fit should not satisfy tol: $steps")
+    // a one-iteration budget on a 0.9-cell shift is exhaustion, not
+    // convergence — the flag must say so (and maxIter=0 rejects)
+    assert(!Coreg.iterate(a, big, maxIter = 1, tol = 0.02).converged)
+    intercept[IllegalArgumentException](Coreg.iterate(a, big, maxIter = 0))
     assert(math.abs(tot.dx - 0.9) < 0.05, s"dx ${tot.dx}")
     assert(math.abs(tot.dy - 0.7) < 0.05, s"dy ${tot.dy}")
     assert(math.abs(tot.dz - 0.4) < 0.05, s"dz ${tot.dz}")

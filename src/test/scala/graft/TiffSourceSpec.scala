@@ -205,6 +205,66 @@ class TiffSourceSpec extends SparkSuite {
     assert(vals == Seq(10.0, 11.0, 12.0, 20.0, 21.0, 22.0))
   }
 
+  test("unsorted fallback fails loudly at maxOpenTiles instead of buffering unbounded grids") {
+    val dir = java.nio.file.Files.createTempDirectory("tiff_dsv2_maxopen").toFile
+    // five origins landing in ONE task with a bound of four: the fifth
+    // open grid must fail the write with the sortedByOrigin pointer,
+    // not buffer toward executor OOM
+    val cells = (for { t <- 0 until 5; c <- 0 until 2 }
+      yield (c, 0, t * 10.0 + c, t * 2.0, 0.0))
+      .toDF("col", "row", "value", "origin_x", "origin_y")
+    val e = intercept[Exception] {
+      cells.coalesce(1).write.format("graft.sources.TiffSource")
+        .option("width", "2").option("height", "1")
+        .option("maxOpenTiles", "4")
+        .mode("append").save(dir.getAbsolutePath)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("sortedByOrigin")),
+      s"expected the open-tile-bound message, got: ${messages(e)}")
+    assert(dir.listFiles().isEmpty, "failed write must leave no files")
+    // at the bound (4 origins, maxOpenTiles=4) the same shape succeeds
+    val dir2 = java.nio.file.Files.createTempDirectory("tiff_dsv2_maxopen2").toFile
+    cells.filter(col("origin_x") < 8.0)
+      .coalesce(1).write.format("graft.sources.TiffSource")
+      .option("width", "2").option("height", "1")
+      .option("maxOpenTiles", "4")
+      .mode("append").save(dir2.getAbsolutePath)
+    assert(dir2.listFiles().count(_.getName.endsWith(".tif")) == 4)
+  }
+
+  test("job-level abort rolls back tiles already COMMITTED by earlier tasks") {
+    val dir = java.nio.file.Files.createTempDirectory("tiff_dsv2_jobabort").toFile
+    // two tasks: the good tile's task commits immediately; the bad task
+    // sleeps first (so the commit provably precedes the failure), then
+    // hits the cell-bounds require — the JOB fails after a PARTIAL
+    // commit, and TiffBatchWrite.abort must delete the committed tile
+    val slowBad = Seq(
+      (0, 0, 1.0, 0.0, 0.0), (1, 0, 2.0, 0.0, 0.0), // good tile, origin 0
+      (9, 0, 3.0, 4.0, 0.0))                        // col 9 > width: fails
+      .toDS()
+      .repartition(2, col("_4"))
+      .mapPartitions { it =>
+        val rows = it.toVector
+        if (rows.exists(_._1 > 3)) Thread.sleep(2000)
+        rows.iterator
+      }
+      .toDF("col", "row", "value", "origin_x", "origin_y")
+    val e = intercept[Exception] {
+      slowBad.write.format("graft.sources.TiffSource")
+        .option("width", "4").option("height", "1")
+        .mode("append").save(dir.getAbsolutePath)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("outside")),
+      s"expected the cell-bounds message, got: ${messages(e)}")
+    val leftover = dir.listFiles().map(_.getName).toSeq
+    assert(leftover.isEmpty,
+      s"job abort must delete the partially-committed mosaic, left $leftover")
+  }
+
   test("LZW z-ordered mosaic: bbox read decodes only the intersecting tiles") {
     val dir = java.nio.file.Files.createTempDirectory("tiff_dsv2_zlzw").toFile
     // 4x4 tiles of 8x8 cells, written LZW with z-order clustering
@@ -291,6 +351,16 @@ class TiffSourceSpec extends SparkSuite {
     graft.sources.TiffSource.decodedTiles.set(0L)
     assert(rd(4.5).filter(col("x") < 50.0).count() == 4)
     assert(graft.sources.TiffSource.decodedTiles.get() == 1L)
+    // level selection is CACHED per (file, mtime, size, resolution): a
+    // repeat query over the same mosaic re-walks zero headers
+    graft.sources.TiffSource.levelWalks.set(0L)
+    assert(rd(4.5).count() == 68)
+    val coldWalks = graft.sources.TiffSource.levelWalks.get()
+    assert(coldWalks <= 2, s"first read walks each file at most once, got $coldWalks")
+    graft.sources.TiffSource.levelWalks.set(0L)
+    assert(rd(4.5).count() == 68)
+    assert(graft.sources.TiffSource.levelWalks.get() == 0L,
+      "repeat read must hit the level cache")
   }
 
   test("streaming read picks up new .tif tile deliveries per micro-batch") {
