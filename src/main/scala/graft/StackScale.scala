@@ -11,14 +11,21 @@ import graft.rng.Rand
   * wall should scale ~linearly in P (hash aggregation with map-side
   * partials; no window, no per-pixel state beyond the aggregate buffer).
   *
-  * Usage: runMain graft.StackScale [P1,P2,...]  (default 10000000,40000000)
-  * Prints per P: observations, pixels fitted, wall, and asserts the plan
-  * is a two-stage HashAggregate with no sort/window.
+  * Usage: runMain graft.StackScale [P1,P2,...] [K] [keepPct]
+  * (default 10000000,40000000 with K=5 epochs, 80% kept). K is the
+  * stack depth — real archives run 10–50 epochs; the six-aggregate
+  * shape is K-independent (per-pixel state is the constant-size sums
+  * buffer, never the K observations), which the K=20 probe proves by
+  * measurement. Prints per P: observations, pixels fitted, wall, and
+  * asserts the plan is a two-stage HashAggregate with no sort/window.
   */
 object StackScale {
   def main(args: Array[String]): Unit = {
     val ps = (if (args.nonEmpty) args(0) else "10000000,40000000")
       .split(",").map(_.trim.toLong)
+    val k = if (args.length > 1) args(1).toInt else 5
+    val keepPct = if (args.length > 2) args(2).toInt else 80
+    require(k >= 3 && keepPct >= 1 && keepPct <= 100)
     val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", "64")
     val spark = Sessions.builder("local[32]", parts).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -29,10 +36,10 @@ object StackScale {
       // aggregate-state (groups-per-task = P/parts on both the map and
       // reduce side) — the same sizing a 1000-executor job does with
       // spark.sql.shuffle.partitions vs its input split count
-      val obs = spark.range(0, p * 5, 1, parts.toInt)
-        .filter(Rand.mix(col("id"), 23) % 10 < 8)
+      val obs = spark.range(0, p * k, 1, parts.toInt)
+        .filter(Rand.mix(col("id"), 23) % 100 < keepPct)
         .select(col("id"),
-          (col("id") / 5).cast("long").as("pix"), (col("id") % 5).as("e"))
+          (col("id") / k).cast("long").as("pix"), (col("id") % k).as("e"))
         .select(col("pix"), col("e").cast("double").as("t"),
           (((Rand.mix(col("pix"), 21) % 256).cast("double") / 1024.0 - 0.125) * col("e")
             + (Rand.mix(col("id"), 22) % 64).cast("double") / 1024.0).as("y"))
@@ -53,7 +60,7 @@ object StackScale {
       val r = sums.agg(count(lit(1)).as("pixels"),
         round(avg("slope"), 6).as("mean_slope")).collect()(0)
       val wall = (System.nanoTime() - t0) / 1e9
-      println(f"STACK_SCALE P=$p%d obs=${p * 5}%d (~80%% kept) " +
+      println(f"STACK_SCALE P=$p%d K=$k%d obs=${p * k}%d (~$keepPct%d%% kept) " +
         f"pixels_fit=${r.getLong(0)}%d mean_slope=${r.getDouble(1)}%.6f wall=$wall%.1f")
     }
     spark.stop()

@@ -20,20 +20,28 @@ import graft.vario.Vario
   * same ground-sample distance. Expected in-range neighbors per point
   * n ≈ d·π·L² is the same at every M, so pairs ≈ M·n/2 grows linearly.
   *
-  * Usage: runMain graft.VarioScale [M1,M2,...]   (default 100000,1000000)
-  * Prints one line per M: M, field side, pairs, bins, wall seconds, and the
-  * join operators found in the physical plan (must contain a shuffled
-  * equi-join and must NOT contain BroadcastNestedLoop / Cartesian).
+  * Usage: runMain graft.VarioScale [M1,M2,...] [runs]
+  * (default 100000,1000000 at runs=1; the reference's canonical
+  * analysis is runs=30 — `VarioScale 1000000 30` is the real pair
+  * workload, ≈1.5×10⁹ in-range pairs). Prints one line per M: M, runs,
+  * field side, pairs, bins, wall seconds, and the join operators found
+  * in the physical plan (must contain a shuffled equi-join and must NOT
+  * contain BroadcastNestedLoop / Cartesian).
   */
 object VarioScale {
-  /** M deterministic points at density `d` pts/unit² (field side √(M/d)),
-    * value = a smooth function of position + hash noise, so the variogram
-    * has real structure rather than pure nugget. */
-  def points(spark: SparkSession, m: Long, d: Double): DataFrame = {
+  /** M deterministic points PER RUN at density `d` pts/unit² (field side
+    * √(M/d)), `runs` independent realizations (distinct hash-drawn
+    * positions per run — the reference's canonical analysis is 30,
+    * BASELINE n_runs). Value = a smooth function of position + hash
+    * noise, so the variogram has real structure rather than pure nugget.
+    * The band join keys on (run, cx, cy): runs never cross-pair, so the
+    * pair space is runs × the single-run workload. */
+  def points(spark: SparkSession, m: Long, d: Double,
+             runs: Long = 1L): DataFrame = {
     val side = math.sqrt(m / d)
     // integer-lattice-free positions: two independent hash draws in [0, side)
-    spark.range(m).select(
-      lit(0L).as("run"),
+    spark.range(m * runs).select(
+      (col("id") / m).cast("long").as("run"),
       col("id").as("k"),
       (Rand.mix(col("id"), 11).cast("double") / Rand.M * side).as("x"),
       (Rand.mix(col("id"), 12).cast("double") / Rand.M * side).as("y"),
@@ -44,6 +52,7 @@ object VarioScale {
   def main(args: Array[String]): Unit = {
     val ms = (if (args.nonEmpty) args(0) else "100000,1000000")
       .split(",").map(_.trim.toLong)
+    val runs = if (args.length > 1) args(1).toLong else 1L
     val density = 0.02  // pts/unit² → n ≈ d·π·L² ≈ 100 neighbors at L=40
     val maxLag = 40.0
     val spark = Sessions.builder("local[32]", "64")
@@ -52,7 +61,7 @@ object VarioScale {
     spark.sparkContext.setLogLevel("ERROR")
 
     for (m <- ms) {
-      val pts = points(spark, m, density)
+      val pts = points(spark, m, density, runs)
       val pairs = Vario.bandPairs(pts, maxLag)
       // minPairs=1: Σn over all bins is the exact within-maxLag pair count,
       // so the probe measures the full pipeline (join + binning) in one job
@@ -68,7 +77,7 @@ object VarioScale {
         round(avg("gamma"), 4).as("mean_gamma")).collect()(0)
       val wall = (System.nanoTime() - t0) / 1e9
       val side = math.sqrt(m / density)
-      println(f"VARIO_SCALE M=$m%d side=$side%.0f pairs=${rows.getLong(0)}%d " +
+      println(f"VARIO_SCALE M=$m%d runs=$runs%d side=$side%.0f pairs=${rows.getLong(0)}%d " +
         f"bins=${rows.getLong(1)}%d mean_gamma=${rows.getDouble(2)}%.4f " +
         f"wall=$wall%.1f join=${joinOps.mkString("|")}")
     }

@@ -55,9 +55,17 @@ object PixelGrid {
       .select(
         ((h / 128).cast("long") % W).cast("int").as("col"),
         ((h / 16384).cast("long") % W).cast("int").as("row"),
-        col("l_extendedprice"))
+        // prices carry two decimals: sum exact integer CENTS so the
+        // cell mean is ONE division of identical operands in any
+        // engine and any order — avg(double) is an order-dependent
+        // float sum whose ulp noise lands the canonical 6-dp round on
+        // boundary cells once enough records share a cell (first seen
+        // at sf1's ~180 records/cell: ~1% of cells flipped between
+        // Spark's and DuckDB's summation order)
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
       .groupBy("col", "row")
-      .agg(round(avg("l_extendedprice") / 1000.0, 6).as("value"))
+      .agg(round(sum("cents").cast("double") /
+        (count(lit(1)) * 100000L).cast("double"), 6).as("value"))
       // persist: (1) downstream predicates on col/row/x/y otherwise get
       // PUSHED BELOW this aggregate by substituting the grouping
       // expressions — re-evaluating the (deep) hash tree per input row
@@ -68,12 +76,13 @@ object PixelGrid {
       .persistShared()
   }
 
-  /** DuckDB CTE body equivalent to [[grid]]. */
+  /** DuckDB CTE body equivalent to [[grid]] (same exact-cents mean). */
   def gridSql(side: Int): String = {
     val h = Rand.mixSql("l_orderkey*8 + l_linenumber", 7)
     s"""SELECT CAST((($h) // 128) % $W AS INT) AS col,
        CAST((($h) // 16384) % $W AS INT) AS "row",
-       round(avg(l_extendedprice)/1000.0, 6) AS value
+       round(CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) * 100000 AS DOUBLE), 6) AS value
        FROM lineitem WHERE l_linenumber % 2 = $side GROUP BY 1, 2"""
   }
 

@@ -98,9 +98,27 @@ def canon(x128, d):
     return np.float64(np.floor(x * p + np.float64(0.5)) / p)
 
 
+
+
+def key_set():
+    """Keys to pin: 0..14999 (every driver gate scale) plus, when a
+    parquet table/glob is passed as argv[1], that table's DISTINCT
+    c_custkey values — lets one artifact also serve ScaleGen fixtures
+    (sf1's replica-offset keys reach ~9M)."""
+    import sys, os
+    keys = set(range(15000))
+    if len(sys.argv) > 1:
+        import duckdb
+        pat = sys.argv[1]
+        if os.path.isdir(pat):
+            pat = pat + "/*.parquet"
+        keys |= {r[0] for r in duckdb.sql(
+            f"SELECT DISTINCT c_custkey FROM '{pat}'").fetchall()}
+    return sorted(keys)
+
 def main():
     keys, epochs, lats, lons, hs = [], [], [], [], []
-    for key in range(15000):
+    for key in key_set():
         # Australian plate band (the GDA2020 params' domain of validity)
         lat = -(u01(key, 71) * 34.0 + 10.0)   # 44..10 deg S
         lon = u01(key, 72) * 42.0 + 112.0     # 112..154 deg E

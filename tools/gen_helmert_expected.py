@@ -95,9 +95,27 @@ def canon(x128, d):
     return np.float64(np.floor(x * p + np.float64(0.5)) / p)
 
 
+
+
+def key_set():
+    """Keys to pin: 0..14999 (every driver gate scale) plus, when a
+    parquet table/glob is passed as argv[1], that table's DISTINCT
+    c_custkey values — lets one artifact also serve ScaleGen fixtures
+    (sf1's replica-offset keys reach ~9M)."""
+    import sys, os
+    keys = set(range(15000))
+    if len(sys.argv) > 1:
+        import duckdb
+        pat = sys.argv[1]
+        if os.path.isdir(pat):
+            pat = pat + "/*.parquet"
+        keys |= {r[0] for r in duckdb.sql(
+            f"SELECT DISTINCT c_custkey FROM '{pat}'").fetchall()}
+    return sorted(keys)
+
 def main():
     keys, lats, lons, hs = [], [], [], []
-    for key in range(15000):
+    for key in key_set():
         # GB-ish lat/lon band (the OSGB36 params' domain of validity)
         lat = u01(key, 61) * 10.0 + 50.0     # 50..60 deg N
         lon = u01(key, 62) * 10.0 - 8.0      # -8..2 deg E

@@ -102,9 +102,27 @@ def canon_round3(x128):
                       / np.float64(1000.0))
 
 
+
+
+def key_set():
+    """Keys to pin: 0..14999 (every driver gate scale) plus, when a
+    parquet table/glob is passed as argv[1], that table's DISTINCT
+    c_custkey values — lets one artifact also serve ScaleGen fixtures
+    (sf1's replica-offset keys reach ~9M)."""
+    import sys, os
+    keys = set(range(15000))
+    if len(sys.argv) > 1:
+        import duckdb
+        pat = sys.argv[1]
+        if os.path.isdir(pat):
+            pat = pat + "/*.parquet"
+        keys |= {r[0] for r in duckdb.sql(
+            f"SELECT DISTINCT c_custkey FROM '{pat}'").fetchall()}
+    return sorted(keys)
+
 def main():
     keys, eastings, northings = [], [], []
-    for key in range(15000):
+    for key in key_set():
         lat = u01(key, 91) * 160.0 - 80.0
         lon = u01(key, 92) * 360.0 - 180.0
         zone = min(60, max(1, int(np.floor((lon + 180.0) / 6.0)) + 1))
