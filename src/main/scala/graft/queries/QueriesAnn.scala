@@ -851,12 +851,19 @@ object QueriesAnn {
           QUALIFY row_number() OVER (PARTITION BY vec_id
                                      ORDER BY csim DESC, c_id ASC) = 1),
         knn AS (
-          SELECT a.vec_id, b.vec_id AS r_vec_id
-          FROM assigned a JOIN assigned b
-            ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
-          QUALIFY row_number() OVER (PARTITION BY a.vec_id
-            ORDER BY round(${Similarity.cosineSql("a.v", "b.v")}, 6) DESC,
-                     b.vec_id ASC) <= $KNN_K),
+          SELECT vec_id, r_vec_id FROM (
+            -- project the quantized cosine BEFORE the window: with the
+            -- expression inline in ORDER BY, DuckDB drags BOTH 64-double
+            -- vectors through the rank sort's runs — at sf1's ~5e7
+            -- within-cluster pairs that is a ~70 GB spill; projected,
+            -- the sort holds three narrow columns (~1 GB). Same values,
+            -- same quantization, same tiebreak.
+            SELECT a.vec_id, b.vec_id AS r_vec_id,
+                   round(${Similarity.cosineSql("a.v", "b.v")}, 6) AS sim
+            FROM assigned a JOIN assigned b
+              ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, r_vec_id ASC) <= $KNN_K),
         edges AS (SELECT DISTINCT least(vec_id, r_vec_id) AS a,
                          greatest(vec_id, r_vec_id) AS b FROM knn),
         deg AS (SELECT n, count(*) AS deg

@@ -31,6 +31,9 @@ def main():
     sf, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # spill to a dedicated tmp dir (default is cwd-relative ".tmp" --
+    # a big window sort once filled the repo disk mid-gate)
+    con.execute("SET temp_directory='/tmp/graft_duck_tmp'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))

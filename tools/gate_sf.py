@@ -37,6 +37,9 @@ def canon(rows, cols):
 def main():
     sf, outdir, outjson = sys.argv[1], sys.argv[2], sys.argv[3]
     con = duckdb.connect()
+    # spill to a dedicated tmp dir (default is cwd-relative ".tmp" --
+    # a big window sort once filled the repo disk mid-gate)
+    con.execute("SET temp_directory='/tmp/graft_duck_tmp'")
     for t in TABLES:
         # flat driver fixtures are single files; ScaleGen (sf1) writes
         # Spark-style directories of part files — glob those
