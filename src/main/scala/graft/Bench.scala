@@ -82,11 +82,15 @@ object Bench {
         }
     val prev: Map[String, Double] = prevFile.map { f =>
       val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      val i = s.indexOf("\"queries\":{")
-      if (i < 0) Map.empty[String, Double]
+      // tolerate both shapes: Bench's own compact line and the driver's
+      // wrapper ({"parsed": {..., "queries": { "q": 1.2, ...}}} — note
+      // the ": " spacing json.dump emits)
+      val i = s.indexOf("\"queries\"")
+      val open = if (i < 0) -1 else s.indexOf('{', i)
+      if (open < 0) Map.empty[String, Double]
       else {
-        val body = s.substring(i + 11, s.indexOf('}', i))
-        "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
+        val body = s.substring(open + 1, s.indexOf('}', open))
+        "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     }.getOrElse(Map.empty)
