@@ -82,16 +82,23 @@ object Bench {
         }
     val prev: Map[String, Double] = prevFile.map { f =>
       val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      // tolerate both shapes: Bench's own compact line and the driver's
-      // wrapper ({"parsed": {..., "queries": { "q": 1.2, ...}}} — note
-      // the ": " spacing json.dump emits)
-      val i = s.indexOf("\"queries\"")
-      val open = if (i < 0) -1 else s.indexOf('{', i)
-      if (open < 0) Map.empty[String, Double]
+      // comparisons are only meaningful at the SAME scale factor: the
+      // prior artifact records its sf dir, and an sf1 run read against
+      // an sf0.1 artifact would flag everything
+      val sfName = sfDir.split('/').last
+      if (!s.contains(sfName)) Map.empty[String, Double]
       else {
-        val body = s.substring(open + 1, s.indexOf('}', open))
-        "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // tolerate both shapes: Bench's own compact line and the driver's
+        // wrapper ({"parsed": {..., "queries": { "q": 1.2, ...}}} — note
+        // the ": " spacing json.dump emits)
+        val i = s.indexOf("\"queries\"")
+        val open = if (i < 0) -1 else s.indexOf('{', i)
+        if (open < 0) Map.empty[String, Double]
+        else {
+          val body = s.substring(open + 1, s.indexOf('}', open))
+          "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
       }
     }.getOrElse(Map.empty)
     val regressions = results.flatMap { case (k, v) =>
