@@ -84,10 +84,15 @@ object StreamScale {
 
     q.recentProgress.filter(_.numInputRows > 0).foreach { pr =>
       val so = pr.stateOperators.headOption
-      val rocks = so.map(_.customMetrics).map { m =>
+      val rocks = so.map { s =>
+        val m = s.customMetrics
         val sst = Option(m.get("rocksdbSstFileSize")).map(_.longValue).getOrElse(-1L)
-        val mem = Option(m.get("rocksdbTotalMemoryUsage")).map(_.longValue).getOrElse(-1L)
-        f"sstBytes=$sst%d memBytes=$mem%d"
+        // Spark 4.1's RocksDB provider reports pinned-block memory as a
+        // custom metric; the generic memoryUsedBytes is the provider's
+        // own estimate of loaded state
+        val pinned = Option(m.get("rocksdbPinnedBlocksMemoryUsage"))
+          .map(_.longValue).getOrElse(-1L)
+        f"sstBytes=$sst%d memBytes=${s.memoryUsedBytes}%d pinnedBytes=$pinned%d"
       }.getOrElse("")
       println(f"STREAM_SCALE batch=${pr.batchId}%d rows=${pr.numInputRows}%d " +
         f"batchMs=${pr.batchDuration}%d stateRows=${so.map(_.numRowsTotal).getOrElse(-1L)}%d $rocks")
