@@ -143,15 +143,21 @@ object QueriesVario {
   // Fixture size: the reference notebook draws 25 000 pairs (library
   // default 200 000); 20 000 here is the same constant-factor knob — the
   // plan is one seeded range + one aggregate at any count.
-  private val mcCorrelated: Q = (s, d) => {
-    val m = Spherical.canonical
-    val nPairs = 20000
-    val pairs = s.range(nPairs)
+  /** Shared MC pair table (salts 41–44): X,Y uniform in the canonical
+    * rectangle x∈[100,700), y∈[50,450). `u_mc_correlated` and
+    * `u_mc_hetero` draw the SAME pairs, which is what makes the
+    * constant-σ reduction property exact (McHeteroSpec). */
+  private[graft] def mcPairs(s: SparkSession, nPairs: Int = 20000): DataFrame =
+    s.range(nPairs)
       .select(
         (Rand.u01(col("id"), 41) * 600.0 + 100.0).as("x1"),
         (Rand.u01(col("id"), 42) * 400.0 + 50.0).as("y1"),
         (Rand.u01(col("id"), 43) * 600.0 + 100.0).as("x2"),
         (Rand.u01(col("id"), 44) * 400.0 + 50.0).as("y2"))
+
+  private val mcCorrelated: Q = (s, d) => {
+    val m = Spherical.canonical
+    val pairs = mcPairs(s)
       .select(sqrt(pow(col("x2") - col("x1"), 2) + pow(col("y2") - col("y1"), 2)).as("h"))
     pairs.agg(avg(m.cov(col("h"))).as("mean_cov"))
       .select(round(sqrt(greatest(col("mean_cov"), lit(0.0))), 6).as("sigma_correlated"))
@@ -165,6 +171,126 @@ object QueriesVario {
           FROM (SELECT unnest(range(20000)) AS i))
         SELECT round(sqrt(greatest(avg(${m.covSql("h")}), 0.0)), 6) AS sigma_correlated
         FROM pairs"""
+  }
+
+  // §2.9 heteroscedastic Monte-Carlo uncertainty: when a spatially varying
+  // per-pixel standard deviation σ(x,y) is provided, the estimator becomes
+  //   Var(mean) ≈ E[ ρ(‖X−Y‖) · σ(X) · σ(Y) ],  ρ(h) = clip(1 − γ(h)/σ²_tot)
+  // (estimate_monte_carlo with sigma_func, variography_uncertainty.py:
+  // 1263–1274). σ(x,y) is realized the way a production pipeline would
+  // hand it over: a COARSE σ GRID (the reference's `sigma2_map` nearest-
+  // neighbour lookup, :1345–1355) — a 64-cell broadcast table joined once
+  // per pair endpoint. At 100 TB the grid stays a broadcast dim (σ maps
+  // are per-tile summaries, orders of magnitude smaller than pixels) and
+  // the plan is two broadcast-hash joins + one aggregate — zero shuffles
+  // on the pair table. Both engines derive the grid from the same counter
+  // RNG, so the lookup is deterministic and oracle-hashable.
+  /** Deterministic coarse σ grid: 8×8 cells of `cell`-sized squares,
+    * σ ∈ [0.15, 0.35) from the counter RNG (scaled so σ² stays inside the
+    * canonical model's total sill 0.065 neighbourhood). */
+  private[graft] def sigmaGrid(s: SparkSession): DataFrame =
+    s.range(64).select(
+      (col("id") % 8).as("gx"),
+      (col("id") / 8).cast("long").as("gy"),
+      (lit(0.15) + Rand.u01(col("id"), 45) * 0.2).as("sigma"))
+  private[graft] val sigmaGridSql: String =
+    s"""SELECT i % 8 AS gx, i // 8 AS gy,
+          0.15 + ${Rand.u01Sql("i", 45)} * 0.2 AS sigma
+        FROM (SELECT unnest(range(64)) AS i)"""
+
+  /** E[ρ·σX·σY] aggregate over a pair table carrying x1,y1,x2,y2 —
+    * `cell` maps coordinates onto the σ grid. Package-private so
+    * McHeteroSpec can drive it with a constant σ and assert the exact
+    * reduction to the homoscedastic estimator. */
+  private[graft] def mcSigmaEstimate(s: SparkSession, pairs: DataFrame,
+                                     cell: Double, outName: String,
+                                     grid: Option[DataFrame] = None): DataFrame = {
+    val m = Spherical.canonical
+    val g = grid.getOrElse(sigmaGrid(s))
+    val g1 = g.select(col("gx").as("gx1"), col("gy").as("gy1"), col("sigma").as("sig1"))
+    val g2 = g.select(col("gx").as("gx2"), col("gy").as("gy2"), col("sigma").as("sig2"))
+    val rho = greatest(lit(-1.0), least(lit(1.0),
+      m.rho(sqrt(pow(col("x2") - col("x1"), 2) + pow(col("y2") - col("y1"), 2)))))
+    pairs
+      .withColumn("gx1", floor(col("x1") / cell).cast("long"))
+      .withColumn("gy1", floor(col("y1") / cell).cast("long"))
+      .withColumn("gx2", floor(col("x2") / cell).cast("long"))
+      .withColumn("gy2", floor(col("y2") / cell).cast("long"))
+      .join(broadcast(g1), Seq("gx1", "gy1"))
+      .join(broadcast(g2), Seq("gx2", "gy2"))
+      .select((rho * col("sig1") * col("sig2")).as("t"), col("sig1"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("sig1"), 6).as("mean_sigma"),
+        round(sqrt(greatest(avg("t"), lit(0.0))), 6).as(outName))
+  }
+  private def mcSigmaEstimateSql(pairsSql: String, cell: Double,
+                                 outName: String): String = {
+    val m = Spherical.canonical
+    val rho = s"greatest(-1.0, least(1.0, ${m.rhoSql(
+      "sqrt(pow(x2 - x1, 2) + pow(y2 - y1, 2))")}))"
+    s"""WITH grid AS ($sigmaGridSql),
+        pairs AS ($pairsSql),
+        j AS (SELECT ($rho) * g1.sigma * g2.sigma AS t, g1.sigma AS sig1
+              FROM pairs
+              JOIN grid g1 ON g1.gx = CAST(floor(x1 / $cell) AS BIGINT)
+                          AND g1.gy = CAST(floor(y1 / $cell) AS BIGINT)
+              JOIN grid g2 ON g2.gx = CAST(floor(x2 / $cell) AS BIGINT)
+                          AND g2.gy = CAST(floor(y2 / $cell) AS BIGINT))
+        SELECT count(*) AS n_pairs, round(avg(sig1), 6) AS mean_sigma,
+               round(sqrt(greatest(avg(t), 0.0)), 6) AS $outName
+        FROM j"""
+  }
+
+  private val mcHetero: Q = (s, d) =>
+    mcSigmaEstimate(s, mcPairs(s), cell = 100.0, outName = "sigma_hetero")
+  private val mcHeteroSql = {
+    val u = (salt: Int) => Rand.u01Sql("i", salt)
+    val pairsSql =
+      s"""SELECT ${u(41)} * 600.0 + 100.0 AS x1, ${u(42)} * 400.0 + 50.0 AS y1,
+                 ${u(43)} * 600.0 + 100.0 AS x2, ${u(44)} * 400.0 + 50.0 AS y2
+          FROM (SELECT unnest(range(20000)) AS i)"""
+    mcSigmaEstimateSql(pairsSql, cell = 100.0, outName = "sigma_hetero")
+  }
+
+  // §2.9 raster-footprint heteroscedastic MC (estimate_monte_carlo_raster
+  // with sigma_func, variography_uncertainty.py:1386–1416): identical
+  // estimator, but X and Y are sampled uniformly from the raster-valid
+  // FOOTPRINT polygon ('detailed' level of detail) instead of a rectangle.
+  // Footprint = the diamond |x−64.3|+|y−64.3| < 30.2 (the engine's
+  // canonical test polygon, rng_uniform_in_poly); rejection-sample two
+  // independent candidate streams over the bbox, rank each accepted stream
+  // by draw id (two-level GlobalRank — no whole-table window), and
+  // zip-join rank i of X to rank i of Y. Pair count is min(acceptX,
+  // acceptY) capped at N — identical in both engines because the accept
+  // sets are identical. Candidate headroom 3× over the diamond's exact
+  // 0.5 acceptance ratio.
+  private val MC_RASTER_PAIRS = 10000
+  private val mcHeteroRaster: Q = (s, d) => {
+    def accepted(saltX: Int, saltY: Int, xn: String, yn: String): DataFrame = {
+      val c = s.range(3L * MC_RASTER_PAIRS).select(col("id"),
+        (Rand.u01(col("id"), saltX) * 60.4 + 34.1).as(xn),
+        (Rand.u01(col("id"), saltY) * 60.4 + 34.1).as(yn))
+        .filter(abs(col(xn) - lit(64.3)) + abs(col(yn) - lit(64.3)) < 30.2)
+      graft.functions.GlobalRank.withGlobalIndex(c, "r", col("id")).drop("id")
+    }
+    val pairs = accepted(46, 47, "x1", "y1")
+      .join(accepted(48, 49, "x2", "y2"), "r")
+      .filter(col("r") <= MC_RASTER_PAIRS)
+    mcSigmaEstimate(s, pairs, cell = 20.0, outName = "sigma_hetero_raster")
+  }
+  private val mcHeteroRasterSql = {
+    def acc(saltX: Int, saltY: Int, xn: String, yn: String): String =
+      s"""SELECT row_number() OVER (ORDER BY i) AS r,
+            ${Rand.u01Sql("i", saltX)} * 60.4 + 34.1 AS $xn,
+            ${Rand.u01Sql("i", saltY)} * 60.4 + 34.1 AS $yn
+          FROM (SELECT unnest(range(${3L * MC_RASTER_PAIRS})) AS i)
+          WHERE abs((${Rand.u01Sql("i", saltX)} * 60.4 + 34.1) - 64.3)
+              + abs((${Rand.u01Sql("i", saltY)} * 60.4 + 34.1) - 64.3) < 30.2"""
+    val pairsSql =
+      s"""SELECT x1, y1, x2, y2
+          FROM (${acc(46, 47, "x1", "y1")}) a JOIN (${acc(48, 49, "x2", "y2")}) b
+          USING (r) WHERE r <= $MC_RASTER_PAIRS"""
+    mcSigmaEstimateSql(pairsSql, cell = 20.0, outName = "sigma_hetero_raster")
   }
 
   // §2.9 analytical disk-integral correlated term, midpoint rule
@@ -383,6 +509,8 @@ object QueriesVario {
     "v_bootstrap_median" -> bootstrapMedian,
     "v_poisson_boot" -> poissonBoot,
     "u_mc_correlated" -> mcCorrelated,
+    "u_mc_hetero" -> mcHetero,
+    "u_mc_hetero_raster" -> mcHeteroRaster,
     "u_analytical_disk" -> analyticalDisk,
     "u_brute_force" -> bruteForce,
     "u_hugonnet" -> hugonnet,
@@ -400,6 +528,8 @@ object QueriesVario {
     "v_bootstrap_median" -> bootstrapMedianSql,
     "v_poisson_boot" -> poissonBootSql,
     "u_mc_correlated" -> mcCorrelatedSql,
+    "u_mc_hetero" -> mcHeteroSql,
+    "u_mc_hetero_raster" -> mcHeteroRasterSql,
     "u_analytical_disk" -> analyticalDiskSql,
     "u_brute_force" -> bruteForceSql,
     "u_hugonnet" -> hugonnetSql,
