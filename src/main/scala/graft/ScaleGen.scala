@@ -30,7 +30,10 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleGen <srcSfDir> <dstDir> <factor>")
     val (src, dst, factor) = (args(0), args(1), args(2).toInt)
-    val spark = Sessions.local("16").getOrCreate()
+    // extensions OFF for fixture generation: output bytes must not
+    // depend on the custom Catalyst rules being semantics-preserving
+    // (the rules are gated by the oracle on the QUERY side, not here)
+    val spark = Sessions.local("16", extensions = false).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def replicate(table: String, shifts: Map[String, Long],

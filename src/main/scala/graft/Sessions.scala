@@ -49,9 +49,11 @@ object Sessions {
     * SPARK_GRAFT_AQE (results must be AQE-invariant — the gate's
     * robustness probe flips this), and SPARK_GRAFT_CODEGEN_CACHE
     * (override DOWN to 100 to reproduce the cache-thrash attribution). */
-  def local(defaultCpus: String): SparkSession.Builder = {
+  def local(defaultCpus: String,
+            extensions: Boolean = true): SparkSession.Builder = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
     builder(s"local[$cpus]", cpus,
+      extensions = extensions,
       aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true"),
       codegenCache =
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", CodegenCacheEntries))

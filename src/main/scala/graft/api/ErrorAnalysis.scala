@@ -141,6 +141,79 @@ class ErrorAnalysis(spark: SparkSession, meta: GridMeta = GridMeta()) {
     }
     rows.toDF()
   }
+
+  /** Per-cell σ(x,y) map from the (debiased) Δz pixels: RMS of value over
+    * `cell`-sized squares — the data-driven analog of the reference
+    * raster handler's `sigma2_map` (variography_uncertainty.py:1345–1355;
+    * its nearest-neighbour lookup becomes a cell-key broadcast join here).
+    * One hash aggregate over the pixel table; the map is per-tile-sized
+    * (≤ (extent/cell)² rows), a broadcast dim at any raster scale. */
+  def sigmaMap(dz: DataFrame, cell: Double): DataFrame =
+    dz.groupBy(
+        floor(col("x") / cell).cast("long").as("gx"),
+        floor(col("y") / cell).cast("long").as("gy"))
+      .agg(sqrt(avg(col("value") * col("value"))).as("sigma"))
+
+  /** Heteroscedastic per-polygon uncertainty: the correlated term becomes
+    * E[ρ(‖X−Y‖)·σ(X)·σ(Y)] with ρ(h)=clip(1−γ(h)/σ²_tot, −1, 1)
+    * (estimate_monte_carlo with sigma_func,
+    * variography_uncertainty.py:1263–1274) — the chain the reference's
+    * workflow implies: dh/dt-WLS weights → per-pixel σ map → MC
+    * propagation. Same seeded rejection pair machinery as [[uncertainty]]
+    * (identical salts, so a constant σ map = √σ²_tot reproduces its
+    * correlated term exactly); each endpoint resolves σ via a broadcast
+    * join on its `cell`-key, falling back to the polygon RMS for cells
+    * the map doesn't cover (the nearest-neighbour analog of :1350–1353).
+    */
+  def uncertaintyHetero(dz: DataFrame, polygons: Seq[(String, String)],
+                        model: SphericalModel, sigma: DataFrame, cell: Double,
+                        nPairs: Int = 20000, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val sigmaB = sigma.persistShared()
+    val rows = polygons.map { case (name, wkt) =>
+      val pts = Geom.wktToPoints(wkt)
+      val verts = Geom.polyLit(pts)
+      val inPoly = dz.filter(Geom.pointInPolygon(col("x"), col("y"), verts))
+      val (n, rms) = {
+        val r = inPoly.agg(count(lit(1)), sqrt(avg(col("value") * col("value"))))
+          .head()
+        (r.getLong(0), if (r.isNullAt(1)) Double.NaN else r.getDouble(1))
+      }
+      val uncorr = rms / math.sqrt(n.toDouble)
+      val (minX, maxX) = (pts.map(_._1).min, pts.map(_._1).max)
+      val (minY, maxY) = (pts.map(_._2).min, pts.map(_._2).max)
+      val u = (salt: Long) => graft.rng.Rand.u01(col("id"), seed + salt)
+      val mc = spark.range(nPairs * 3L)
+        .select(col("id"),
+          (u(1) * (maxX - minX) + minX).as("x1"), (u(2) * (maxY - minY) + minY).as("y1"),
+          (u(3) * (maxX - minX) + minX).as("x2"), (u(4) * (maxY - minY) + minY).as("y2"))
+        .filter(Geom.pointInPolygon(col("x1"), col("y1"), verts) &&
+                Geom.pointInPolygon(col("x2"), col("y2"), verts))
+        .orderBy("id").limit(nPairs)
+      val g1 = sigmaB.select(col("gx").as("gx1"), col("gy").as("gy1"),
+        col("sigma").as("sig1"))
+      val g2 = sigmaB.select(col("gx").as("gx2"), col("gy").as("gy2"),
+        col("sigma").as("sig2"))
+      val rho = greatest(lit(-1.0), least(lit(1.0), model.rho(
+        sqrt(pow(col("x2") - col("x1"), 2) + pow(col("y2") - col("y1"), 2)))))
+      val meanRhoSS = mc
+        .withColumn("gx1", floor(col("x1") / cell).cast("long"))
+        .withColumn("gy1", floor(col("y1") / cell).cast("long"))
+        .withColumn("gx2", floor(col("x2") / cell).cast("long"))
+        .withColumn("gy2", floor(col("y2") / cell).cast("long"))
+        .join(broadcast(g1), Seq("gx1", "gy1"), "left")
+        .join(broadcast(g2), Seq("gx2", "gy2"), "left")
+        .select((rho * coalesce(col("sig1"), lit(rms)) *
+          coalesce(col("sig2"), lit(rms))).as("t"))
+        .agg(avg(col("t"))).head().getDouble(0)
+      val corr = math.sqrt(math.max(meanRhoSS, 0.0))
+      UncertaintyReport(name, n, bias = Double.NaN, rms,
+        uncorrelated = uncorr, correlated = corr,
+        total = math.sqrt(uncorr * uncorr + corr * corr))
+    }
+    sigmaB.unpersist()
+    rows.toDF()
+  }
 }
 
 /** The reference's ~30-attribute result block reduced to its load-bearing

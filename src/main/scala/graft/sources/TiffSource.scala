@@ -512,7 +512,18 @@ private[sources] class TiffReaderFactory(fields: Array[String],
     * no better than full res. Selection is per file (a mixed mosaic —
     * some tiles pyramided, some not — degrades tile-by-tile) and cached
     * per (file, mtime, size, resolution) so repeat queries over the
-    * same mosaic skip the header re-walk. */
+    * same mosaic skip the header re-walk.
+    *
+    * CACHE-KEY INVARIANT: `resolution` is the ONLY read option that
+    * influences level choice today (`level` and `resolution` are
+    * mutually exclusive — TiffScanBuilder rejects both, spec-asserted —
+    * and an explicit `level` bypasses this method entirely). Any future
+    * read option that affects which level is admissible MUST be added
+    * to the key, or repeat reads serve a stale level. Known accepted
+    * staleness: a file rewritten IN PLACE within mtime granularity with
+    * the same byte length serves the old level — mosaic tiles are
+    * written once via the staged-atomic protocol (new names per job),
+    * so in-place rewrites don't occur on the supported write path. */
   private def selectLevel(file: String, bytes: Array[Byte]): Int = {
     if (resolution.isNaN) level
     else {
@@ -543,8 +554,13 @@ private[sources] class TiffReaderFactory(fields: Array[String],
             case None => done = true
           }
         }
-        if (TiffSource.levelCache.size() >= TiffSource.LevelCacheCap)
-          TiffSource.levelCache.clear()
+        // at the cap, evict ONE arbitrary entry instead of clearing the
+        // whole map — a clear() forced every concurrently-open file into
+        // a thundering header re-walk
+        if (TiffSource.levelCache.size() >= TiffSource.LevelCacheCap) {
+          val it = TiffSource.levelCache.keySet().iterator()
+          if (it.hasNext) { it.next(); it.remove() }
+        }
         TiffSource.levelCache.put(key, Integer.valueOf(best))
         best
       }

@@ -236,10 +236,13 @@ class TiffSourceSpec extends SparkSuite {
 
   test("job-level abort rolls back tiles already COMMITTED by earlier tasks") {
     val dir = java.nio.file.Files.createTempDirectory("tiff_dsv2_jobabort").toFile
+    val dirPath = dir.getAbsolutePath
     // two tasks: the good tile's task commits immediately; the bad task
-    // sleeps first (so the commit provably precedes the failure), then
-    // hits the cell-bounds require — the JOB fails after a PARTIAL
-    // commit, and TiffBatchWrite.abort must delete the committed tile
+    // WAITS until the good task's committed .tif is visible in the
+    // destination (explicit synchronization — a fixed sleep raced on
+    // loaded machines), then hits the cell-bounds require — the JOB
+    // fails after a PARTIAL commit, and TiffBatchWrite.abort must
+    // delete the committed tile
     val slowBad = Seq(
       (0, 0, 1.0, 0.0, 0.0), (1, 0, 2.0, 0.0, 0.0), // good tile, origin 0
       (9, 0, 3.0, 4.0, 0.0))                        // col 9 > width: fails
@@ -247,7 +250,15 @@ class TiffSourceSpec extends SparkSuite {
       .repartition(2, col("_4"))
       .mapPartitions { it =>
         val rows = it.toVector
-        if (rows.exists(_._1 > 3)) Thread.sleep(2000)
+        if (rows.exists(_._1 > 3)) {
+          def committed(): Boolean =
+            Option(new java.io.File(dirPath).listFiles())
+              .getOrElse(Array.empty[java.io.File])
+              .exists(_.getName.endsWith(".tif"))
+          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          while (!committed() && System.nanoTime() < deadline)
+            Thread.sleep(25)
+        }
         rows.iterator
       }
       .toDF("col", "row", "value", "origin_x", "origin_y")

@@ -116,8 +116,10 @@ def key_set():
         pat = sys.argv[1]
         if os.path.isdir(pat):
             pat = pat + "/*.parquet"
-        keys |= {r[0] for r in duckdb.sql(
-            f"SELECT DISTINCT c_custkey FROM '{pat}'").fetchall()}
+        con = duckdb.connect()
+        keys |= {r[0] for r in con.execute(
+            "SELECT DISTINCT c_custkey FROM read_parquet(?)",
+            [pat]).fetchall()}
     return sorted(keys)
 
 def main():
