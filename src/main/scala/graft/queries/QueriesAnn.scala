@@ -880,6 +880,124 @@ object QueriesAnn {
                     ELSE round(3.0 * n_triangles / n_wedges, 6) END AS global_cc
         FROM c, w, t"""
 
+  // ---- g_knn_triangles_sampled: the 100-TB form of the triangle census —
+  // bucketed-probe candidate capping. The exact census enumerates ALL
+  // within-cluster pairs (n²/C — ~5×10⁷ at sf1, the most expensive single
+  // query there at 13.2 s cache-cold; right as a GATE, wrong as the
+  // production default). This variant sub-quantizes each IVF cluster with
+  // a 6-bit random-hyperplane band (64 sub-buckets, planes 100..105 of
+  // the shared sign-plane family) and, multiprobe-LSH style, each
+  // vector's candidate pool is its own sub-bucket plus the 6 buckets at
+  // Hamming distance 1 — 7/64 of the cluster in expectation, a ~9× pair
+  // cut whose factor GROWS with cluster size (the knob a 100-TB run
+  // turns up: more bits, same plan shape). Everything downstream (top-3
+  // by exact cosine on candidates only, undirected edge union, degree
+  // wedges, triangle join) is the exact query's shape; the output adds
+  // the candidate-pair count so the cut is measured, not asserted. The
+  // exact form stays beside it as the gate — the
+  // x_lsh_recall / x_lsh_recall_sampled pattern.
+  private val KNN_SBITS = 6
+  private val knnTrianglesSampled: Q = (s, d) => {
+    val e = emb(s, d)
+    val cents = e.filter(col("vec_id") < NCENTROIDS).toDF("c_id", "cv")
+    val assigned = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("c_id"),
+        round(Similarity.cosine(col("cv"), col("v")), 6).as("csim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+    val bkt = (0 until KNN_SBITS).map { j =>
+      val proj = round(Similarity.dot(col("v"), QueriesExt.planeCol(100 + j)), 6)
+      when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // sig feeds the probe explode AND the bucket side of the join
+    val sig = assigned.withColumn("bkt", bkt).persistShared()
+    val probes = sig.select(col("vec_id"), col("v"), col("cluster"),
+      explode(array(
+        (col("bkt") +: (0 until KNN_SBITS).map(j =>
+          col("bkt").bitwiseXOR(lit(1L << j)))): _*)).as("pb"))
+    val r = sig.select(col("vec_id").as("r_vec_id"), col("v").as("r_v"),
+      col("cluster").as("r_cluster"), col("bkt").as("r_bkt"))
+    // candidates: same cluster, bucket within Hamming 1; the narrow
+    // (id, id, sim) projection feeds both the count and the rank window
+    val cand = probes.join(r,
+        col("cluster") === col("r_cluster") && col("pb") === col("r_bkt") &&
+          col("vec_id") =!= col("r_vec_id"))
+      .select(col("vec_id"), col("r_vec_id"),
+        round(Similarity.cosine(col("v"), col("r_v")), 6).as("sim"))
+      .persistShared()
+    val nCand = cand.agg(count(lit(1)).as("n_cand_pairs"))
+    val knn = cand.withColumn("rank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("sim").desc, col("r_vec_id").asc)))
+      .filter(col("rank") <= KNN_K)
+    val edges = knn.select(least(col("vec_id"), col("r_vec_id")).as("a"),
+        greatest(col("vec_id"), col("r_vec_id")).as("b"))
+      .distinct().persistShared()
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val wedges = edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .agg(sum((col("deg") * (col("deg") - 1) / lit(2)).cast("long"))
+        .as("n_wedges"))
+    val tri = edges
+      .join(edges.toDF("b", "c"), "b")
+      .join(edges.toDF("a", "c"), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nCand.crossJoin(nEdges).crossJoin(wedges).crossJoin(tri)
+      .select(col("n_cand_pairs"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0)).otherwise(
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .as("global_cc"))
+  }
+
+  private val knnTrianglesSampledSql = {
+    val bktSql = (0 until KNN_SBITS).map { j =>
+      val proj =
+        s"round(list_dot_product(v, ${QueriesExt.planeSqlList(100 + j)}), 6)"
+      s"(CASE WHEN $proj > 0.0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS ($embSqlCte),
+        cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NCENTROIDS),
+        assigned AS (
+          SELECT vec_id, v, c_id AS cluster
+          FROM (SELECT e.vec_id, e.v, c.c_id,
+                       round(${Similarity.cosineSql("cv", "v")}, 6) AS csim
+                FROM e, cents c)
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY csim DESC, c_id ASC) = 1),
+        sig AS (SELECT vec_id, v, cluster, ($bktSql) AS bkt FROM assigned),
+        probes AS (SELECT vec_id, v, cluster,
+                          CASE WHEN j = 0 THEN bkt
+                               ELSE xor(bkt, (1 << (j - 1))) END AS pb
+                   FROM sig, (SELECT unnest(range(${KNN_SBITS + 1})) AS j)),
+        cand AS (SELECT p.vec_id, r.vec_id AS r_vec_id,
+                        round(${Similarity.cosineSql("p.v", "r.v")}, 6) AS sim
+                 FROM probes p JOIN sig r
+                   ON p.cluster = r.cluster AND p.pb = r.bkt
+                  AND p.vec_id <> r.vec_id),
+        nc AS (SELECT count(*) AS n_cand_pairs FROM cand),
+        knn AS (SELECT vec_id, r_vec_id FROM cand
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                  ORDER BY sim DESC, r_vec_id ASC) <= $KNN_K),
+        edges AS (SELECT DISTINCT least(vec_id, r_vec_id) AS a,
+                         greatest(vec_id, r_vec_id) AS b FROM knn),
+        deg AS (SELECT n, count(*) AS deg
+                FROM (SELECT a AS n FROM edges
+                      UNION ALL SELECT b AS n FROM edges) GROUP BY 1),
+        w AS (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+              FROM deg),
+        t AS (SELECT count(*) AS n_triangles
+              FROM edges e1 JOIN edges e2 ON e2.a = e1.b
+                            JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+        c AS (SELECT count(*) AS n_edges FROM edges)
+        SELECT n_cand_pairs, n_edges, n_wedges, n_triangles,
+               CASE WHEN n_wedges = 0 THEN 0.0
+                    ELSE round(3.0 * n_triangles / n_wedges, 6) END AS global_cc
+        FROM nc, c, w, t"""
+  }
+
   // ---- n_pca_power: top principal direction by one power iteration -----
   // Embedding-hygiene op (anisotropy / rogue-dimension check before ANN
   // or semantic dedup): the Gram matrix G[i,j] = Σ_rows q(vᵢ·vⱼ) is ONE
@@ -948,6 +1066,7 @@ object QueriesAnn {
   val queries: Map[String, Q] = Map(
     "n_pca_power" -> pcaPower,
     "g_knn_triangles" -> knnTriangles,
+    "g_knn_triangles_sampled" -> knnTrianglesSampled,
     "x_semdedup" -> semdedup,
     "m_mrr" -> mrr,
     "n_matryoshka_recall" -> matryoshka,
@@ -967,6 +1086,7 @@ object QueriesAnn {
   val oracle: Map[String, String] = Map(
     "n_pca_power" -> pcaPowerSql,
     "g_knn_triangles" -> knnTrianglesSql,
+    "g_knn_triangles_sampled" -> knnTrianglesSampledSql,
     "x_semdedup" -> semdedupSql,
     "m_mrr" -> mrrSql,
     "n_matryoshka_recall" -> matryoshkaSql,

@@ -281,11 +281,14 @@ object QueriesExt {
   private val RPDIM = 64
   private val RPBANDS = 4
   private val RPTHRESH = 0.35
-  private def planeSign(p: Int, dd: Int): Int =
+  // plane builders shared with QueriesAnn's bucketed-probe kNN variant
+  // (g_knn_triangles_sampled uses plane ids 100+ — disjoint from the
+  // 0..31 this file's bands consume)
+  private[queries] def planeSign(p: Int, dd: Int): Int =
     if (Rand.mixLong(p * RPDIM + dd, 4242L) % 2 == 0) 1 else -1
-  private def planeCol(p: Int) =
+  private[queries] def planeCol(p: Int) =
     array((0 until RPDIM).map(dd => lit(planeSign(p, dd).toDouble)): _*)
-  private def planeSqlList(p: Int): String =
+  private[queries] def planeSqlList(p: Int): String =
     (0 until RPDIM).map(dd => s"${planeSign(p, dd)}.0").mkString("[", ", ", "]")
 
   private val rplsh: Q = (s, d) => {
