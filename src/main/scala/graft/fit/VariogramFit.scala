@@ -137,13 +137,18 @@ object VariogramFit {
     * re-fitted in parallel via mapPartitions over a Dataset of draw ids —
     * the fan-out of variography_uncertainty.py:609–666. Returns per-param
     * 16/50/84 percentiles for the WINNING config. */
-  def bootstrap(spark: SparkSession, bins: Seq[Bin], sigmas: Seq[Double],
-                best: FitResult, nBoot: Int = 100, seed: Long = 42L)
-      : Map[String, (Double, Double, Double)] = {
+  /** Raw bootstrap parameter draws (nBoot rows × param vector) — the
+    * propagation input when a σ-LEVEL band is wanted instead of
+    * per-parameter bands (the reference re-estimates σ_corr per draw,
+    * `_bootstrap_correlated_polygon`, variography_uncertainty.py:
+    * 1450–1516). Param order: sills, ranges, [nugget]. */
+  def bootstrapFits(spark: SparkSession, bins: Seq[Bin], sigmas: Seq[Double],
+                    best: FitResult, nBoot: Int = 100, seed: Long = 42L)
+      : Array[Array[Double]] = {
     import spark.implicits._
     val k = best.nComponents; val ng = best.hasNugget
     val binArr = bins.toArray; val sigArr = sigmas.toArray
-    val fits = spark.range(nBoot).as[Long].mapPartitions { it =>
+    spark.range(nBoot).as[Long].mapPartitions { it =>
       it.map { b =>
         val jittered = binArr.zip(sigArr).zipWithIndex.map { case ((bin, s), i) =>
           val z = gaussian(b * 1000L + i, seed)
@@ -154,6 +159,13 @@ object VariogramFit {
         p.toArray
       }
     }.collect()
+  }
+
+  def bootstrap(spark: SparkSession, bins: Seq[Bin], sigmas: Seq[Double],
+                best: FitResult, nBoot: Int = 100, seed: Long = 42L)
+      : Map[String, (Double, Double, Double)] = {
+    val k = best.nComponents; val ng = best.hasNugget
+    val fits = bootstrapFits(spark, bins, sigmas, best, nBoot, seed)
     val np = fits.head.length
     (0 until np).map { i =>
       val vals = fits.map(_(i)).sorted
