@@ -896,7 +896,15 @@ object QueriesAnn {
   // the candidate-pair count so the cut is measured, not asserted. The
   // exact form stays beside it as the gate — the
   // x_lsh_recall / x_lsh_recall_sampled pattern.
-  private val KNN_SBITS = 6
+  // 6 bits is the FIXTURE constant (the oracle gate's value at every
+  // driver scale). At a real deployment the bit count scales with
+  // log2(cluster size) to hold per-bucket occupancy constant —
+  // SPARK_GRAFT_KNN_SBITS overrides for scale probes (both the Spark
+  // side and the generated oracle SQL read the same value, so the gate
+  // stays lockstep at any setting; measured sf10: 6 bits → 341 s cold,
+  // 10 bits → see NOTES §Round 13).
+  private val KNN_SBITS =
+    sys.env.get("SPARK_GRAFT_KNN_SBITS").map(_.toInt).getOrElse(6)
   private val knnTrianglesSampled: Q = (s, d) => {
     val e = emb(s, d)
     val cents = e.filter(col("vec_id") < NCENTROIDS).toDF("c_id", "cv")

@@ -320,6 +320,17 @@ object QueriesRaster {
     Terrain.gapfillNearest(gB(s, d), PixelGrid.W, 3)
   private val gapfillNearestSql = Terrain.gapfillNearestSql(cteB, PixelGrid.W, 3)
 
+  // §2.5 GDAL FillNodata smoothing iterations (the `smooth_iter` knob of
+  // fill_no_data, differencing_functions.py:588–630): after the IDW
+  // fill, 2 passes of a 3×3 edge-truncated average filter update ONLY
+  // the filled cells; valid pixels are never touched. Integer-exact per
+  // pass (1e-6-quantized 9-term sums), so both engines round identical
+  // operands.
+  private val gapfillSmooth: Q = (s, d) =>
+    Terrain.gapfillSmooth(gB(s, d), PixelGrid.W, 3, iters = 2)
+  private val gapfillSmoothSql =
+    Terrain.gapfillSmoothSql(cteB, PixelGrid.W, 3, iters = 2)
+
   // §2.5 2-D gap-fill via HALO TILES: identical IDW semantics to
   // t_gapfill_idw, but executed as a per-tile imperative kernel with an
   // R-halo — the physical shape that survives a wide search radius at
@@ -1239,6 +1250,7 @@ object QueriesRaster {
     "t_flow_accum" -> flowAccum,
     "t_watershed" -> watershed,
     "t_gapfill_idw" -> gapfill,
+    "t_gapfill_smooth" -> gapfillSmooth,
     "t_gapfill_nearest" -> gapfillNearest,
     "t_gapfill_linear" -> gapfillLinear,
     "t_gapfill_2d" -> gapfill2d,
@@ -1279,6 +1291,7 @@ object QueriesRaster {
     "t_flow_accum" -> flowAccumSql,
     "t_watershed" -> watershedSql,
     "t_gapfill_idw" -> gapfillSql,
+    "t_gapfill_smooth" -> gapfillSmoothSql,
     "t_gapfill_nearest" -> gapfillNearestSql,
     "t_gapfill_linear" -> gapfillLinearSql,
     "t_gapfill_2d" -> gapfill2dSql,

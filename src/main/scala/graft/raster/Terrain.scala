@@ -489,6 +489,95 @@ object Terrain {
     d2s.foldLeft(1L)((l, d) => l / gcd(l, d) * d)
   }
 
+  /** GDAL-FillNodata-style post-fill smoothing (the `smooth_iter` knob of
+    * `fill_no_data`, differencing_functions.py:588–630 →
+    * gdal.FillNodata(..., smoothing_iterations)): after the IDW
+    * interpolation, run `iters` passes of a 3×3 average filter that
+    * updates ONLY the filled cells — original valid pixels are never
+    * touched — edge-truncated to the neighbors that exist (missing holes
+    * beyond the fill radius stay missing and are excluded from the
+    * mean's denominator). Exactness per the engine convention: each pass
+    * reads the previous pass's 6-dp values quantized to 1e-6 integers,
+    * so the ≤9-term neighborhood sum is order-free exact; one divide,
+    * one canonical round per pass. Plan shape per pass: one bounded
+    * 9-way offset explode + hash aggregate + broadcast-or-shuffle-free
+    * same-key left join — linear in cells at any raster size. */
+  def gapfillSmooth(px: DataFrame, w: Int, maxDist: Int, iters: Int)
+      : DataFrame = {
+    val filled0 = gapfillIdw(px, w, maxDist)
+      .select(col("col"), col("row"), col("filled").as("value"),
+        lit(1).as("isf"))
+    val valid = px.select(col("col"), col("row"), col("value"),
+      lit(0).as("isf"))
+    var cur = valid.unionAll(filled0)
+    val offs = array((for (dr <- -1 to 1; dc <- -1 to 1)
+      yield struct(lit(dc).as("dc"), lit(dr).as("dr"))): _*)
+    for (_ <- 1 to iters) {
+      val served = cur
+        .select(col("col"), col("row"),
+          floor(col("value") * 1e6 + 0.5).cast("double").as("v6"))
+        .select(col("v6"), explode(offs).as("o"),
+          (col("col") + col("o.dc")).as("col"),
+          (col("row") + col("o.dr")).as("row"))
+        .filter(col("col") >= 0 && col("col") < w &&
+          col("row") >= 0 && col("row") < w)
+        .select(col("col"), col("row"), col("v6"))
+      val sm = served.groupBy("col", "row")
+        .agg(round(sum("v6") / (count(lit(1)) * 1e6), 6).as("smoothed"))
+      cur = cur.join(sm, Seq("col", "row"), "left")
+        .select(col("col"), col("row"),
+          when(col("isf") === 1, col("smoothed")).otherwise(col("value"))
+            .as("value"),
+          col("isf"))
+    }
+    cur.filter(col("isf") === 1)
+      .select(col("col"), col("row"), col("value").as("filled"))
+  }
+
+  def gapfillSmoothSql(gridCte: String, w: Int, maxDist: Int, iters: Int)
+      : String = {
+    val L = lcmScale(maxDist)
+    val base =
+      s"""WITH g AS ($gridCte),
+      full_grid AS (SELECT CAST(i % $w AS INT) AS col, CAST(i // $w AS INT) AS "row"
+                    FROM (SELECT unnest(range(${w.toLong * w})) AS i)),
+      missing AS (SELECT f.col, f."row" FROM full_grid f
+                  ANTI JOIN g ON g.col = f.col AND g."row" = f."row"),
+      served AS (SELECT g.col + dc AS col, g."row" + dr AS "row",
+                        CAST($L // (dc*dc + dr*dr) AS DOUBLE) AS wi,
+                        floor(value * 1000000.0 + 0.5) AS v6
+                 FROM g,
+                      (SELECT unnest(range(-$maxDist, ${maxDist + 1})) AS dc),
+                      (SELECT unnest(range(-$maxDist, ${maxDist + 1})) AS dr)
+                 WHERE NOT (dc = 0 AND dr = 0)),
+      f0 AS (SELECT m.col, m."row",
+                    round(sum(v6 * wi) / (sum(wi) * 1000000.0), 6) AS value
+             FROM missing m JOIN served s ON s.col = m.col AND s."row" = m."row"
+             GROUP BY 1, 2),
+      c0 AS (SELECT col, "row", value, 0 AS isf FROM g
+             UNION ALL SELECT col, "row", value, 1 AS isf FROM f0)"""
+    val passes = (1 to iters).map { k =>
+      s""",
+      s$k AS (SELECT c.col + dc AS col, c."row" + dr AS "row",
+                     floor(c.value * 1000000.0 + 0.5) AS v6
+              FROM c${k - 1} c,
+                   (SELECT unnest(range(-1, 2)) AS dc),
+                   (SELECT unnest(range(-1, 2)) AS dr)
+              WHERE c.col + dc >= 0 AND c.col + dc < $w
+                AND c."row" + dr >= 0 AND c."row" + dr < $w),
+      m$k AS (SELECT col, "row",
+                     round(sum(v6) / (count(*) * 1000000.0), 6) AS smoothed
+              FROM s$k GROUP BY 1, 2),
+      c$k AS (SELECT c.col, c."row",
+                     CASE WHEN c.isf = 1 THEN m.smoothed ELSE c.value END AS value,
+                     c.isf
+              FROM c${k - 1} c LEFT JOIN m$k m
+                ON m.col = c.col AND m."row" = c."row")"""
+    }.mkString
+    s"""$base$passes
+    SELECT col, "row", value AS filled FROM c$iters WHERE isf = 1"""
+  }
+
   def gapfillIdwSql(gridCte: String, w: Int, maxDist: Int): String = {
     val L = lcmScale(maxDist)
     s"""WITH g AS ($gridCte),
