@@ -243,10 +243,17 @@ object QueriesExt {
         expr("unix_micros(t0) div 3600000000"),
         expr("unix_micros(t1) div 3600000000"))))
     val eb = ev.withColumn("bkt", expr("unix_micros(ts) div 3600000000"))
+    // avg_value is an INTEGER-EXACT mean (sum of 1e-6-quantized longs,
+    // one divide): the group size grows with scale (~events per
+    // 10-minute window), and a raw avg(double) flipped the 6th decimal
+    // BETWEEN TWO DUCKDB RUNS at sf1 — the same order-dependent float
+    // sum the r12 sf1 gate caught in the pixel-grid fixture
     eb.join(broadcast(probes), "bkt")
       .filter(col("ts") >= col("t0") && col("ts") < col("t1"))
       .groupBy("probe_id")
-      .agg(count(lit(1)).as("n_events"), round(avg("value"), 6).as("avg_value"),
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(floor(col("value") * 1e6 + 0.5).cast("long")).cast("double") /
+          (count(lit(1)).cast("double") * 1e6), 6).as("avg_value"),
         min("ts").as("first_ts"))
   }
 
@@ -260,7 +267,9 @@ object QueriesExt {
               FROM probes),
        eb AS (SELECT event_id, ts, value,
                      epoch_us(ts) // 3600000000 AS bkt FROM events)
-       SELECT probe_id, count(*) AS n_events, round(avg(value), 6) AS avg_value,
+       SELECT probe_id, count(*) AS n_events,
+              round(CAST(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                    / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS avg_value,
               min(ts) AS first_ts
        FROM eb JOIN pb USING (bkt)
        WHERE eb.ts >= pb.t0 AND eb.ts < pb.t1
