@@ -896,15 +896,24 @@ object QueriesAnn {
   // the candidate-pair count so the cut is measured, not asserted. The
   // exact form stays beside it as the gate — the
   // x_lsh_recall / x_lsh_recall_sampled pattern.
-  // 6 bits is the FIXTURE constant (the oracle gate's value at every
-  // driver scale). At a real deployment the bit count scales with
-  // log2(cluster size) to hold per-bucket occupancy constant —
-  // SPARK_GRAFT_KNN_SBITS overrides for scale probes (both the Spark
-  // side and the generated oracle SQL read the same value, so the gate
-  // stays lockstep at any setting; measured sf10: 6 bits → 341 s cold,
-  // 10 bits → see NOTES §Round 13).
-  private val KNN_SBITS =
-    sys.env.get("SPARK_GRAFT_KNN_SBITS").map(_.toInt).getOrElse(6)
+  // The bit count is DERIVED FROM THE DATA (r13 shipped it as the
+  // SPARK_GRAFT_KNN_SBITS env var with the deployment rule in a comment;
+  // VERDICT r13 #1 asked for the rule to become code): both engines
+  // compute mean cluster occupancy occ = ceil(n / n_clusters) from the
+  // same assignment table and take the smallest b with occ / 2^b ≤ 32
+  // (b = ceil(log2(ceil(occ/32))) via the bit-length identity
+  // length(bin(q−1)), capped at the 16-plane family width). Holding
+  // per-sub-bucket occupancy at ~32 reproduces the measured-good manual
+  // settings — 7 bits at sf1 (r13 measured recall 1.0000 at 6) and
+  // 10 bits at sf10 (r13's documented deployment value, 341 s → 13.1 s)
+  // — at ANY scale without operator intervention. Because the oracle SQL
+  // computes the identical integer derivation from the identical data,
+  // the gate stays lockstep at every sf. Per-probe XOR masks are emitted
+  // as Scala-computed BIGINT literals into the SQL (ADVICE r13: a
+  // DuckDB-side `1 << j` would wrap at 32 bits while Scala's 1L<<j
+  // doesn't — shared literals make overflow divergence impossible).
+  private val KNN_BMAX = 16
+  private val KNN_TARGET_OCC = 32
   private val knnTrianglesSampled: Q = (s, d) => {
     val e = emb(s, d)
     val cents = e.filter(col("vec_id") < NCENTROIDS).toDF("c_id", "cv")
@@ -915,16 +924,35 @@ object QueriesAnn {
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)))
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
-    val bkt = (0 until KNN_SBITS).map { j =>
+    // one tiny aggregate derives (bits, mask) — integer-exact, lockstep
+    // with the oracle's identical derivation
+    val bitsRow = assigned
+      .agg(count(lit(1)).as("n"), countDistinct(col("cluster")).as("c"))
+      .select(expr(s"(((n + c - 1) div c) + ${KNN_TARGET_OCC - 1}) div $KNN_TARGET_OCC")
+        .as("q"))
+      .select(expr(
+        s"CAST(CASE WHEN q <= 1 THEN 0 ELSE least(length(bin(q - 1)), $KNN_BMAX) END AS INT)")
+        .as("bits"))
+      .select(col("bits"), expr("shiftleft(CAST(1 AS BIGINT), bits) - 1").as("mask"))
+    val fullBkt = (0 until KNN_BMAX).map { j =>
       val proj = round(Similarity.dot(col("v"), QueriesExt.planeCol(100 + j)), 6)
       when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    // sig feeds the probe explode AND the bucket side of the join
-    val sig = assigned.withColumn("bkt", bkt).persistShared()
+    // sig feeds the probe explode AND the bucket side of the join; the
+    // full 16-plane signature is masked down to the derived width
+    val sig = assigned.crossJoin(broadcast(bitsRow))
+      .withColumn("bkt", fullBkt.bitwiseAND(col("mask")))
+      .persistShared()
+    // probe j=0 is the vector's own sub-bucket (pmask 0); probes 1..bits
+    // flip one live bit each (multiprobe LSH at Hamming distance 1);
+    // masks for dead bits (j > bits) are filtered out, not joined away
     val probes = sig.select(col("vec_id"), col("v"), col("cluster"),
-      explode(array(
-        (col("bkt") +: (0 until KNN_SBITS).map(j =>
-          col("bkt").bitwiseXOR(lit(1L << j)))): _*)).as("pb"))
+        col("bits"), col("bkt"),
+        posexplode(array((0 to KNN_BMAX).map(j =>
+          lit(if (j == 0) 0L else 1L << (j - 1))): _*)).as(Seq("j", "pmask")))
+      .filter(col("j") <= col("bits"))
+      .select(col("vec_id"), col("v"), col("cluster"),
+        col("bkt").bitwiseXOR(col("pmask")).as("pb"))
     val r = sig.select(col("vec_id").as("r_vec_id"), col("v").as("r_v"),
       col("cluster").as("r_cluster"), col("bkt").as("r_bkt"))
     // candidates: same cluster, bucket within Hamming 1; the narrow
@@ -961,11 +989,16 @@ object QueriesAnn {
   }
 
   private val knnTrianglesSampledSql = {
-    val bktSql = (0 until KNN_SBITS).map { j =>
+    val bktSql = (0 until KNN_BMAX).map { j =>
       val proj =
         s"round(list_dot_product(v, ${QueriesExt.planeSqlList(100 + j)}), 6)"
       s"(CASE WHEN $proj > 0.0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
+    // per-probe masks as Scala-computed BIGINT literals (shared constants
+    // with the plan side — no engine-local shift arithmetic)
+    val pmaskValues = (0 to KNN_BMAX).map(j =>
+      s"($j, CAST(${if (j == 0) 0L else 1L << (j - 1)} AS BIGINT))")
+      .mkString(", ")
     s"""WITH e AS ($embSqlCte),
         cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NCENTROIDS),
         assigned AS (
@@ -975,11 +1008,21 @@ object QueriesAnn {
                 FROM e, cents c)
           QUALIFY row_number() OVER (PARTITION BY vec_id
                                      ORDER BY csim DESC, c_id ASC) = 1),
-        sig AS (SELECT vec_id, v, cluster, ($bktSql) AS bkt FROM assigned),
-        probes AS (SELECT vec_id, v, cluster,
-                          CASE WHEN j = 0 THEN bkt
-                               ELSE xor(bkt, (1 << (j - 1))) END AS pb
-                   FROM sig, (SELECT unnest(range(${KNN_SBITS + 1})) AS j)),
+        params AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                          CAST(count(DISTINCT cluster) AS BIGINT) AS c
+                   FROM assigned),
+        bitsq AS (SELECT CASE WHEN q <= 1 THEN 0
+                              ELSE least(length(bin(q - 1)), $KNN_BMAX)
+                         END AS bits
+                  FROM (SELECT (((n + c - 1) // c) + ${KNN_TARGET_OCC - 1})
+                               // $KNN_TARGET_OCC AS q FROM params)),
+        maskq AS (SELECT bits, (CAST(1 AS BIGINT) << bits) - 1 AS mask
+                  FROM bitsq),
+        sig AS (SELECT vec_id, v, cluster, bits, ($bktSql) & mask AS bkt
+                FROM assigned, maskq),
+        probes AS (SELECT vec_id, v, cluster, xor(bkt, pmask) AS pb
+                   FROM sig, (VALUES $pmaskValues) pm(j, pmask)
+                   WHERE pm.j <= sig.bits),
         cand AS (SELECT p.vec_id, r.vec_id AS r_vec_id,
                         round(${Similarity.cosineSql("p.v", "r.v")}, 6) AS sim
                  FROM probes p JOIN sig r

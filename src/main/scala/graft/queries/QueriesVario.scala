@@ -219,9 +219,18 @@ object QueriesVario {
       .join(broadcast(g1), Seq("gx1", "gy1"))
       .join(broadcast(g2), Seq("gx2", "gy2"))
       .select((rho * col("sig1") * col("sig2")).as("t"), col("sig1"))
+      // INTEGER-EXACT means (1e-6-quantized long sums, one divide): the
+      // house convention for hash-gated float means — a raw avg(double)
+      // is merge-order-dependent and flipped o_range_join's 6th decimal
+      // between two DuckDB runs at sf1 (ADVICE r13 asked for the same
+      // treatment here even though the fixed N=20000 makes a flip
+      // unlikely; convention beats per-query risk arguments)
       .agg(count(lit(1)).as("n_pairs"),
-        round(avg("sig1"), 6).as("mean_sigma"),
-        round(sqrt(greatest(avg("t"), lit(0.0))), 6).as(outName))
+        round(sum(floor(col("sig1") * 1e6 + 0.5).cast("long")).cast("double") /
+          (count(lit(1)).cast("double") * 1e6), 6).as("mean_sigma"),
+        round(sqrt(greatest(
+          sum(floor(col("t") * 1e6 + 0.5).cast("long")).cast("double") /
+            (count(lit(1)).cast("double") * 1e6), lit(0.0))), 6).as(outName))
   }
   private def mcSigmaEstimateSql(pairsSql: String, cell: Double,
                                  outName: String): String = {
@@ -236,8 +245,12 @@ object QueriesVario {
                           AND g1.gy = CAST(floor(y1 / $cell) AS BIGINT)
               JOIN grid g2 ON g2.gx = CAST(floor(x2 / $cell) AS BIGINT)
                           AND g2.gy = CAST(floor(y2 / $cell) AS BIGINT))
-        SELECT count(*) AS n_pairs, round(avg(sig1), 6) AS mean_sigma,
-               round(sqrt(greatest(avg(t), 0.0)), 6) AS $outName
+        SELECT count(*) AS n_pairs,
+               round(CAST(sum(CAST(floor(sig1 * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_sigma,
+               round(sqrt(greatest(
+                 CAST(sum(CAST(floor(t * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1000000.0), 0.0)), 6) AS $outName
         FROM j"""
   }
 
