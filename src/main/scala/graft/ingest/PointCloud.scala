@@ -50,21 +50,25 @@ object PointCloud {
     * (6-decimal values × 1e6) so partial sums are exact and
     * order-independent across engines (same pattern as the IDW fill). */
   def gridDem(pts: DataFrame): DataFrame = {
-    val z6 = floor(col("z") * 1e6 + 0.5).cast("double")
+    val z6 = floor(col("z") * 1e6 + 0.5).cast("long")
+    val ground = col("classification") === 2
     pts.filter(!col("classification").isin(7, 18))
       .groupBy(floor(col("x")).cast("int").as("col"),
                floor(col("y")).cast("int").as("row"))
       .agg(
         count(lit(1)).as("n_points"),
-        round(avg(when(col("classification") === 2, z6)) / 1e6, 6).as("dtm_z"),
+        round(sum(when(ground, z6)).cast("double") /
+          (count(when(ground, lit(1))).cast("double") * 1e6), 6).as("dtm_z"),
         round(max(col("z")), 6).as("dsm_z"))
   }
 
   def gridDemSql(ptsCte: String): String =
     s"""SELECT CAST(floor(x) AS INT) AS col, CAST(floor(y) AS INT) AS "row",
           count(*) AS n_points,
-          round(avg(CASE WHEN classification = 2
-                         THEN floor(z * 1000000.0 + 0.5) END) / 1000000.0, 6) AS dtm_z,
+          round(CAST(sum(CASE WHEN classification = 2
+                              THEN CAST(floor(z * 1000000.0 + 0.5) AS BIGINT) END) AS DOUBLE)
+                / (CAST(count(CASE WHEN classification = 2 THEN 1 END) AS DOUBLE)
+                   * 1000000.0), 6) AS dtm_z,
           round(max(z), 6) AS dsm_z
         FROM ($ptsCte) WHERE classification NOT IN (7, 18)
         GROUP BY 1, 2"""

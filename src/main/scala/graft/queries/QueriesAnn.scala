@@ -263,18 +263,24 @@ object QueriesAnn {
         QUALIFY rank <= $TOPK"""
 
   // ---- embedding norms + label centroid stats (vector column hygiene) ---
+  // per-label groups grow with sf → integer-exact mean (1e-6-quantized
+  // long sum, one divide — float-mean audit house convention)
   private val embStats: Q = (s, d) =>
     emb(s, d).join(Tables.embeddings(s, d).select("vec_id", "label"), "vec_id")
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
-        round(avg(Similarity.norm(col("v"))), 6).as("mean_norm"),
+        round(sum(floor(Similarity.norm(col("v")) * 1e6 + 0.5).cast("long"))
+          .cast("double") / (count(lit(1)).cast("double") * 1e6), 6)
+          .as("mean_norm"),
         round(min(Similarity.norm(col("v"))), 6).as("min_norm"),
         round(max(Similarity.norm(col("v"))), 6).as("max_norm"))
 
   private val embStatsSql =
     s"""WITH e AS (SELECT label, ${Similarity.normSql("CAST(embedding AS DOUBLE[])")} AS nrm
                    FROM embeddings)
-        SELECT label, count(*) AS n, round(avg(nrm), 6) AS mean_norm,
+        SELECT label, count(*) AS n,
+               round(CAST(sum(CAST(floor(nrm * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_norm,
                round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
         FROM e GROUP BY 1"""
 
@@ -339,10 +345,14 @@ object QueriesAnn {
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)))
       .filter(col("crn") === 1)
+    // per-(cluster, dim) groups grow with sf → integer-exact mean
+    // (1e-6-quantized long sum, one divide — float-mean audit)
     assigned
       .select(col("c_id").as("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("cluster", "dim")
-      .agg(count(lit(1)).as("n"), round(avg("x"), 6).as("mean_x"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(floor(col("x") * 1e6 + 0.5).cast("long")).cast("double") /
+          (count(lit(1)).cast("double") * 1e6), 6).as("mean_x"))
   }
 
   private val kmeansStepSql =
@@ -356,7 +366,8 @@ object QueriesAnn {
           QUALIFY row_number() OVER (PARTITION BY vec_id
                                      ORDER BY csim DESC, c_id ASC) = 1)
         SELECT cluster, CAST(dim - 1 AS INT) AS dim, count(*) AS n,
-               round(avg(v[dim]), 6) AS mean_x
+               round(CAST(sum(CAST(floor(v[dim] * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_x
         FROM assigned, (SELECT unnest(range(1, 65)) AS dim)
         GROUP BY 1, 2"""
 

@@ -46,9 +46,13 @@ object QueriesCore {
     val qs = graft.functions.ExactQuantile.quantilesByRadix(
       li, "l_extendedprice", Seq(0.01, 0.99))
     val (lo, hi) = (qs(0.01), qs(0.99))
+    // mean over an sf-growing clipped group: 1e-6-quantized decimal sum,
+    // one divide (float-mean audit; price magnitudes need > LONG range)
     li.filter(col("l_extendedprice").between(lit(lo), lit(hi)))
       .agg(count(lit(1)).as("n"),
-        round(avg("l_extendedprice"), 6).as("mean_price"),
+        round(sum(floor(col("l_extendedprice") * 1e6 + 0.5)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("double") /
+          (count(lit(1)).cast("double") * 1e6), 6).as("mean_price"),
         round(min("l_extendedprice"), 6).as("min_price"),
         round(max("l_extendedprice"), 6).as("max_price"))
   }
@@ -56,7 +60,9 @@ object QueriesCore {
   private val percentileClipSql =
     """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
                          quantile_cont(l_extendedprice, 0.99) AS hi FROM lineitem)
-       SELECT count(*) AS n, round(avg(l_extendedprice), 6) AS mean_price,
+       SELECT count(*) AS n,
+              round(CAST(sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+                    / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_price,
               round(min(l_extendedprice), 6) AS min_price,
               round(max(l_extendedprice), 6) AS max_price
        FROM lineitem, b WHERE l_extendedprice BETWEEN lo AND hi"""
@@ -338,19 +344,29 @@ object QueriesCore {
        SELECT l_partkey FROM lineitem WHERE l_suppkey % 2 = 1"""
 
   // §2.4 group-by aggregation (zonal-stats shape on the corpus)
-  private val groupAgg: Q = (s, d) =>
+  // group sizes grow with sf → 1e-6-quantized DECIMAL(38,0)/HUGEINT sums,
+  // one divide (float-mean audit: raw double sums are merge-order-
+  // dependent; prices ~1e5 × sf1 group sizes put quantized sums past a
+  // LONG, so the decimal form of the house convention applies)
+  private val groupAgg: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    def q6(c: Column): Column = floor(c * 1e6 + 0.5).cast(DecimalType(38, 0))
     Tables.lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
-      .agg(round(sum("l_quantity"), 6).as("sum_qty"),
-        round(avg("l_extendedprice"), 6).as("avg_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+      .agg(round(sum(q6(col("l_quantity"))).cast("double") / 1e6, 6).as("sum_qty"),
+        round(sum(q6(col("l_extendedprice"))).cast("double") /
+          (count(lit(1)).cast("double") * 1e6), 6).as("avg_price"),
+        round(sum(q6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double") / 1e6, 2).as("revenue"),
         count(lit(1)).as("n"))
+  }
 
   private val groupAggSql =
     """SELECT l_returnflag, l_linestatus,
-              round(sum(l_quantity), 6) AS sum_qty,
-              round(avg(l_extendedprice), 6) AS avg_price,
-              round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+              round(CAST(sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 1000000.0, 6) AS sum_qty,
+              round(CAST(sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+                    / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS avg_price,
+              round(CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 1000000.0, 2) AS revenue,
               count(*) AS n
        FROM lineitem GROUP BY 1, 2"""
 
@@ -366,15 +382,21 @@ object QueriesCore {
 
   // §2.4 RMS + uncorrelated term rms/√n
   // (variography_uncertainty.py:1548–1552, compute_rms_from_tif :1739–1764)
+  // group grows with sf → integer-exact mean square (1e-6-quantized long
+  // sum, one divide — float-mean audit)
   private val rmsUncorrelated: Q = (s, d) =>
     Tables.events(s, d).filter(col("event_type") === "purchase")
-      .agg(count(lit(1)).as("n"), sqrt(avg(col("value") * col("value"))).as("rms"))
+      .agg(count(lit(1)).as("n"),
+        sqrt(sum(floor(col("value") * col("value") * 1e6 + 0.5).cast("long"))
+          .cast("double") / (count(lit(1)).cast("double") * 1e6)).as("rms"))
       .select(col("n"), round(col("rms"), 6).as("rms"),
         round(col("rms") / sqrt(col("n")), 6).as("uncorrelated"))
 
   private val rmsUncorrelatedSql =
     """SELECT n, round(rms, 6) AS rms, round(rms / sqrt(n), 6) AS uncorrelated
-       FROM (SELECT count(*) AS n, sqrt(avg(value * value)) AS rms
+       FROM (SELECT count(*) AS n,
+                    sqrt(CAST(sum(CAST(floor(value * value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                         / (CAST(count(*) AS DOUBLE) * 1000000.0)) AS rms
              FROM events WHERE event_type = 'purchase')"""
 
   // §2.9 WKT assembly (_coords_to_wkt, differencing_functions.py:249–266)

@@ -1023,7 +1023,7 @@ object QueriesPipe {
     """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
               coalesce(o_orderstatus, 'ALL') AS status,
               count(*) AS n,
-              round(CAST(sum(floor(o_totalprice * 100 + 0.5)) AS DOUBLE) / 100.0,
+              round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0,
                     6) AS sum_price
        FROM orders
        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),

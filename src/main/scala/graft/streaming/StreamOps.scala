@@ -17,11 +17,17 @@ object StreamOps {
   /** Tumbling 1-hour window per event_type: count / sum / mean / extremes.
     * Works on batch or streaming input alike. */
   def hourlyAgg(events: DataFrame): DataFrame =
+    // events-per-hour grows with sf → integer-exact sum/mean
+    // (1e-6-quantized long sums, one divide — float-mean audit; the
+    // quantized sum is an incremental agg state, so the SAME definition
+    // still runs under Structured Streaming)
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum("value"), 6).as("sum_value"),
-        round(avg("value"), 6).as("mean_value"),
+        round(sum(floor(col("value") * 1e6 + 0.5).cast("long")).cast("double")
+          / 1e6, 6).as("sum_value"),
+        round(sum(floor(col("value") * 1e6 + 0.5).cast("long")).cast("double")
+          / (count(lit(1)).cast("double") * 1e6), 6).as("mean_value"),
         round(min("value"), 6).as("min_value"),
         round(max("value"), 6).as("max_value"))
       .select(col("w.start").as("hour_start"), col("event_type"),
@@ -30,8 +36,10 @@ object StreamOps {
 
   val hourlyAggSql: String =
     """SELECT date_trunc('hour', ts) AS hour_start, event_type,
-              count(*) AS n, round(sum(value), 6) AS sum_value,
-              round(avg(value), 6) AS mean_value,
+              count(*) AS n,
+              round(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS sum_value,
+              round(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_value,
               round(min(value), 6) AS min_value,
               round(max(value), 6) AS max_value
        FROM events GROUP BY 1, 2"""
@@ -103,15 +111,21 @@ object StreamOps {
   /** Sliding 2-hour window advancing hourly (each event lands in 2
     * windows) — RMS + uncorrelated-term shape from §2.4 over streams. */
   def slidingRms(events: DataFrame): DataFrame =
+    // integer-exact mean square (float-mean audit): events-per-window
+    // grows with sf
     events
       .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
       .agg(count(lit(1)).as("n"),
-        round(sqrt(avg(col("value") * col("value"))), 6).as("rms"))
+        round(sqrt(
+          sum(floor(col("value") * col("value") * 1e6 + 0.5).cast("long"))
+            .cast("double") / (count(lit(1)).cast("double") * 1e6)), 6)
+          .as("rms"))
       .select(col("w.start").as("window_start"), col("n"), col("rms"))
 
   val slidingRmsSql: String =
     """SELECT window_start, count(*) AS n,
-              round(sqrt(avg(value * value)), 6) AS rms
+              round(sqrt(CAST(sum(CAST(floor(value * value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                         / (CAST(count(*) AS DOUBLE) * 1000000.0)), 6) AS rms
        FROM (SELECT date_trunc('hour', ts) - INTERVAL (k) HOUR AS window_start, value
              FROM events, (SELECT unnest([0, 1]) AS k))
        GROUP BY 1"""
@@ -122,9 +136,13 @@ object StreamOps {
     * surface of §2.10). The oracle mirrors the semantics relationally:
     * lag + gap≥30min session-break flags + running sum. */
   def sessionize(events: DataFrame): DataFrame =
+    // session length grows with event density → integer-exact sum
+    // (float-mean audit)
     events
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(floor(col("value") * 1e6 + 0.5).cast("long")).cast("double")
+          / 1e6, 6).as("sum_value"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
@@ -140,8 +158,8 @@ object StreamOps {
                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
                                     ROWS UNBOUNDED PRECEDING) AS sess_id
          FROM marked)
-       SELECT user_id, min(ts) AS session_start,
-              count(*) AS n_events, round(sum(value), 6) AS sum_value
+       SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+              round(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 6) AS sum_value
        FROM sess GROUP BY user_id, sess_id"""
 
   /** Exact keep-first dedup per (user_id, event_type): the deterministic

@@ -64,17 +64,24 @@ object Zonal {
     val bitsC = ColumnBridge.column(graft.functions.DoubleBitsFolded(
       ColumnBridge.expression(x.cast("double"))))
     val xv = col("xv")
+    // moment sums are 1e-6-QUANTIZED DECIMAL(38,0) integers (float-mean
+    // audit, VERDICT r13 #2): a raw double power sum is merge-order-
+    // dependent, and v⁴ terms at corpus magnitudes (~1e14 quanta) would
+    // overflow a LONG sum at sf1 — decimal sums stay exact at any scale
+    // and DuckDB mirrors them with HUGEINT
+    import org.apache.spark.sql.types.DecimalType
+    def q6(c: Column): Column = floor(c * 1e6 + 0.5).cast(DecimalType(38, 0))
     val pre = tagged.where(x.cast("double").isNotNull)
       .select(col("name"), x.cast("double").as("xv"),
         shiftright(bitsC, 48).as("k"))
       .groupBy("name", "k")
-      .agg(count(lit(1)).as("c"), sum(xv).as("s1"),
-        sum(xv * xv).as("s2"), sum(xv * xv * xv).as("s3"),
-        sum(xv * xv * xv * xv).as("s4"),
+      .agg(count(lit(1)).as("c"), sum(q6(xv)).as("s1"),
+        sum(q6(xv * xv)).as("s2"), sum(q6(xv * xv * xv)).as("s3"),
+        sum(q6(xv * xv * xv * xv)).as("s4"),
         min(xv).as("mn"), max(xv).as("mx"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
-        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDecimal(3),
+        r.getDecimal(4), r.getDecimal(5), r.getDecimal(6), r.getDouble(7),
         r.getDouble(8)))
       .sortBy(t => (t._1, t._2))
     def round6(d: Double): Double = math.floor(d * 1e6 + 0.5) / 1e6 // Canon
@@ -83,13 +90,19 @@ object Zonal {
       val pos = p * (n - 1)
       Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
     }.distinct
-    def rowFor(name: String, n: Long, rows: Seq[(Double, Double, Double,
-        Double, Double, Double)], nths: Map[Long, Double]) = {
-      // moments re-summed in (name, key) order — deterministic fold
+    def rowFor(name: String, n: Long,
+        rows: Seq[(java.math.BigDecimal, java.math.BigDecimal,
+          java.math.BigDecimal, java.math.BigDecimal, Double, Double)],
+        nths: Map[Long, Double]) = {
+      // quantized moment sums folded EXACTLY (BigDecimal integer adds),
+      // ONE double division at the end — merge-order-free by construction
       val nd = n.toDouble
+      def m(f: ((java.math.BigDecimal, java.math.BigDecimal,
+          java.math.BigDecimal, java.math.BigDecimal, Double, Double))
+          => java.math.BigDecimal): Double =
+        rows.map(f).reduce(_.add(_)).doubleValue() / (nd * 1e6)
       val momentVals = Seq(
-        rows.map(_._1).sum / nd, rows.map(_._2).sum / nd,
-        rows.map(_._3).sum / nd, rows.map(_._4).sum / nd,
+        m(_._1), m(_._2), m(_._3), m(_._4),
         round6(rows.map(_._5).min), round6(rows.map(_._6).max))
       val momentLits = Seq("m1", "m2r", "m3r", "m4r", "min_v", "max_v")
         .zip(momentVals).map { case (nm, d) => lit(d).as(nm) }
@@ -119,7 +132,8 @@ object Zonal {
         zoneNs.map { case (nm, n) => nm -> ranksFor(n) },
         ranksFor(nAll),
         hist48 = Some(pre.map(t => (t._1, t._2, t._3))))
-    val sums = (t: (String, Long, Long, Double, Double, Double, Double,
+    val sums = (t: (String, Long, Long, java.math.BigDecimal,
+      java.math.BigDecimal, java.math.BigDecimal, java.math.BigDecimal,
       Double, Double)) => (t._4, t._5, t._6, t._7, t._8, t._9)
     // null-safe sort: a caller tagging rows with a null zone keeps its
     // own group (relabeled by the final coalesce), it must not NPE here
@@ -195,9 +209,17 @@ object Zonal {
   def statsSql(zCte: String, preCtes: String = ""): String =
     s"""WITH $preCtes z AS ($zCte),
     base AS (
+      -- 1e-6-quantized HUGEINT moment sums, one divide: merge-order-exact
+      -- twin of the engine's DECIMAL(38,0) power sums (float-mean audit)
       SELECT coalesce(name, 'ALL') AS name, count(*) AS n,
-             avg(v) AS m1, avg(v*v) AS m2r, avg(v*v*v) AS m3r,
-             avg(v*v*v*v) AS m4r,
+             CAST(sum(CAST(floor(v * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1000000.0) AS m1,
+             CAST(sum(CAST(floor(v*v * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1000000.0) AS m2r,
+             CAST(sum(CAST(floor(v*v*v * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1000000.0) AS m3r,
+             CAST(sum(CAST(floor(v*v*v*v * 1000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1000000.0) AS m4r,
              round(min(v), 6) AS min_v, round(max(v), 6) AS max_v,
              round(quantile_cont(v, 0.5), 6) AS median_v,
              round(quantile_cont(v, 0.005), 6) AS p005,
