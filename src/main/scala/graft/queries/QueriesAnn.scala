@@ -910,8 +910,8 @@ object QueriesAnn {
   // The bit count is DERIVED FROM THE DATA (r13 shipped it as the
   // SPARK_GRAFT_KNN_SBITS env var with the deployment rule in a comment;
   // VERDICT r13 #1 asked for the rule to become code): both engines
-  // compute mean cluster occupancy occ = ceil(n / n_clusters) from the
-  // same assignment table and take the smallest b with occ / 2^b ≤ 32
+  // compute mean codebook-cell occupancy occ = ceil(n / NCENTROIDS)
+  // from the same corpus count and take the smallest b with occ / 2^b ≤ 32
   // (b = ceil(log2(ceil(occ/32))) via the bit-length identity
   // length(bin(q−1)), capped at the 16-plane family width). Holding
   // per-sub-bucket occupancy at ~32 reproduces the measured-good manual
@@ -935,35 +935,34 @@ object QueriesAnn {
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)))
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
-    val fullBkt = (0 until KNN_BMAX).map { j =>
-      val proj = round(Similarity.dot(col("v"), QueriesExt.planeCol(100 + j)), 6)
-      when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    // ONE pass computes the (assignment window + 16-plane signature)
-    // table; the bits derivation is then a cheap aggregate over the
-    // persisted frame instead of a second window pass — integer-exact,
-    // lockstep with the oracle's identical derivation
-    val sigFull = assigned.withColumn("bktf", fullBkt).persistShared()
-    val bitsRow = sigFull
-      .agg(count(lit(1)).as("n"), countDistinct(col("cluster")).as("c"))
-      .select(expr(s"(((n + c - 1) div c) + ${KNN_TARGET_OCC - 1}) div $KNN_TARGET_OCC")
-        .as("q"))
-      .select(expr(
-        s"CAST(CASE WHEN q <= 1 THEN 0 ELSE least(length(bin(q - 1)), $KNN_BMAX) END AS INT)")
-        .as("bits"))
-      .select(col("bits"), expr("shiftleft(CAST(1 AS BIGINT), bits) - 1").as("mask"))
-    // sig feeds the probe explode AND the bucket side of the join; the
-    // full 16-plane signature is masked down to the derived width
-    val sig = sigFull.crossJoin(broadcast(bitsRow))
-      .withColumn("bkt", col("bktf").bitwiseAND(col("mask")))
+    // bits is a driver-side SCALAR (the Zonal-radix/variogram-fit
+    // precedent: the collect is inside the builder, so Bench times it):
+    // mean codebook-cell occupancy occ = ceil(n / NCENTROIDS) needs only
+    // the corpus row count (a parquet-metadata count — no assignment
+    // materialization), and the plan is then built with EXACTLY `bits`
+    // plane projections and static probe masks — the 16−bits dead planes
+    // are never computed (a per-vector sum of live planes equals a
+    // full-signature `& mask`, bit for bit). The oracle SQL derives the
+    // same integer from the same count, so the gate stays lockstep at
+    // every sf.
+    val nRows = e.count()
+    val q = ((nRows + NCENTROIDS - 1) / NCENTROIDS + KNN_TARGET_OCC - 1) / KNN_TARGET_OCC
+    val bits =
+      if (q <= 1L) 0
+      else math.min(64 - java.lang.Long.numberOfLeadingZeros(q - 1), KNN_BMAX)
+    val bktExpr =
+      if (bits == 0) lit(0L)
+      else (0 until bits).map { j =>
+        val proj = round(Similarity.dot(col("v"), QueriesExt.planeCol(100 + j)), 6)
+        when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    // sig feeds the probe explode AND the bucket side of the join
+    val sig = assigned.withColumn("bkt", bktExpr).persistShared()
     // probe j=0 is the vector's own sub-bucket (pmask 0); probes 1..bits
-    // flip one live bit each (multiprobe LSH at Hamming distance 1);
-    // masks for dead bits (j > bits) are filtered out, not joined away
-    val probes = sig.select(col("vec_id"), col("v"), col("cluster"),
-        col("bits"), col("bkt"),
-        posexplode(array((0 to KNN_BMAX).map(j =>
-          lit(if (j == 0) 0L else 1L << (j - 1))): _*)).as(Seq("j", "pmask")))
-      .filter(col("j") <= col("bits"))
+    // flip one live bit each (multiprobe LSH at Hamming distance 1)
+    val probes = sig.select(col("vec_id"), col("v"), col("cluster"), col("bkt"),
+        explode(array((0 to bits).map(j =>
+          lit(if (j == 0) 0L else 1L << (j - 1))): _*)).as("pmask"))
       .select(col("vec_id"), col("v"), col("cluster"),
         col("bkt").bitwiseXOR(col("pmask")).as("pb"))
     val r = sig.select(col("vec_id").as("r_vec_id"), col("v").as("r_v"),
@@ -1021,13 +1020,12 @@ object QueriesAnn {
                 FROM e, cents c)
           QUALIFY row_number() OVER (PARTITION BY vec_id
                                      ORDER BY csim DESC, c_id ASC) = 1),
-        params AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                          CAST(count(DISTINCT cluster) AS BIGINT) AS c
-                   FROM assigned),
+        params AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
         bitsq AS (SELECT CASE WHEN q <= 1 THEN 0
                               ELSE least(length(bin(q - 1)), $KNN_BMAX)
                          END AS bits
-                  FROM (SELECT (((n + c - 1) // c) + ${KNN_TARGET_OCC - 1})
+                  FROM (SELECT (((n + $NCENTROIDS - 1) // $NCENTROIDS)
+                               + ${KNN_TARGET_OCC - 1})
                                // $KNN_TARGET_OCC AS q FROM params)),
         maskq AS (SELECT bits, (CAST(1 AS BIGINT) << bits) - 1 AS mask
                   FROM bitsq),
