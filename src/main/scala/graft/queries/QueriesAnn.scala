@@ -379,9 +379,27 @@ object QueriesAnn {
   // pair space; recall is tuned by probing top-P buckets per vector
   // (n_ivf_multiprobe shape) and resolution by the centroid count.
   private val DUP_SIM = 0.35
+  // Cluster count for the two within-cluster ALL-PAIRS dedup surfaces
+  // (x_dedup_embcos, x_semdedup): k = max(NCENTROIDS, ceil(n/256)) holds
+  // per-cluster occupancy at ~256, so the pair stage is n·128 — LINEAR
+  // in corpus size (the r14 sf3 sweep caught the fixed-8-cluster form
+  // going quadratic: 6.0×/8.5× wall for 3× data). Assignment is n·k
+  // broadcast dot products — shuffle-free, data-parallel, and the
+  // documented cost of exact IVF assignment at scale (a production
+  // pipeline swaps in hierarchical assignment; the pair stage, which
+  // was the wall-clock problem, stays linear). Both engines derive k
+  // from the same count, so the oracle stays lockstep at every sf; the
+  // other IVF consumers (the kNN census gate pair, n_ivf_*) keep the
+  // fixed NCENTROIDS fixture.
+  private def ivfKFor(n: Long): Int =
+    math.max(NCENTROIDS.toLong, (n + 255) / 256).toInt
+  private val ivfKSqlParams =
+    s"params AS (SELECT greatest($NCENTROIDS, (count(*) + 255) // 256) AS k FROM e)"
+
   private val dedupEmbcos: Q = (s, d) => {
     val e = emb(s, d)
-    val cents = e.filter(col("vec_id") < NCENTROIDS).toDF("c_id", "cv")
+    val k = ivfKFor(e.count())
+    val cents = e.filter(col("vec_id") < k).toDF("c_id", "cv")
     val assigned = e.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("v"), col("c_id"),
         round(Similarity.cosine(col("cv"), col("v")), 6).as("csim"))
@@ -389,9 +407,12 @@ object QueriesAnn {
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("c_id").asc)))
       .filter(col("crn") === 1)
       // norm precomputed ONCE per vector — the pair stage below touches
-      // O(cluster²) pairs and must not re-fold both arrays per pair
+      // O(cluster·occ) pairs and must not re-fold both arrays per pair
       .select(col("vec_id"), col("v"), Similarity.norm(col("v")).as("nrm"),
         col("c_id").as("cluster"))
+      // both sides of the pair self-join read the assignment — without
+      // the persist the n·k broadcast-assign subtree executes twice
+      .persistShared()
     val a = assigned.toDF("a_id", "av", "anrm", "cluster")
     val b = assigned.toDF("b_id", "bv", "bnrm", "cluster")
     a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
@@ -404,7 +425,9 @@ object QueriesAnn {
 
   private val dedupEmbcosSql =
     s"""WITH e AS ($embSqlCte),
-        cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NCENTROIDS),
+        $ivfKSqlParams,
+        cents AS (SELECT vec_id AS c_id, v AS cv FROM e
+                  WHERE vec_id < (SELECT k FROM params)),
         assigned AS (
           SELECT vec_id, v, c_id AS cluster
           FROM (SELECT e.vec_id, e.v, c.c_id,
@@ -736,7 +759,10 @@ object QueriesAnn {
   private val SEM_EPS = 0.35
   private val semdedup: Q = (s, d) => {
     val e = emb(s, d)
-    val cents = e.filter(col("vec_id") < NCENTROIDS).toDF("c_id", "cv")
+    // derived cluster count — see ivfKFor: holds the within-cluster
+    // pair stage linear in corpus size
+    val k = ivfKFor(e.count())
+    val cents = e.filter(col("vec_id") < k).toDF("c_id", "cv")
     // assigned feeds three consumers (pair sides a/b + the final census):
     // persist, or the broadcast-assign subtree runs 3×
     val assigned = e.join(broadcast(cents), lit(true))
@@ -775,7 +801,9 @@ object QueriesAnn {
 
   private val semdedupSql =
     s"""WITH e AS ($embSqlCte),
-        cents AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NCENTROIDS),
+        $ivfKSqlParams,
+        cents AS (SELECT vec_id AS c_id, v AS cv FROM e
+                  WHERE vec_id < (SELECT k FROM params)),
         assigned AS (
           SELECT vec_id, v, c_id AS cluster, csim
           FROM (SELECT e.vec_id, e.v, c.c_id,

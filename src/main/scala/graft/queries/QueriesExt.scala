@@ -283,13 +283,36 @@ object QueriesExt {
   // RP-LSH needs no trained centroids, so it is the cold-start ANN path.
   // The planes are compile-time constants from the deterministic RNG —
   // identical in both engines by construction.
-  // Band width is the scale lever: 8 bits → 256 buckets per band keeps
-  // the per-band candidate space ~N²/256 (4-bit bands measured 16× more
-  // pairs and dominated the whole bench at sf0.1).
-  private val RPBITS = 8
+  // Band width is the scale lever, and since r14 it is DERIVED FROM THE
+  // DATA (the sf3 sweep caught the fixed 8-bit form going quadratic —
+  // 25.8× wall for 3× data — because 256 buckets/band saturate):
+  // bits = ceil(log2(ceil(n/8))) holds per-bucket occupancy at ~8, so
+  // the per-band candidate space is ~n·4 — linear at any corpus size.
+  // Band COUNT grows with width to hold recall: each extra bit
+  // multiplies a band's collision probability for a sim≈0.9 pair by
+  // p ≈ 1−acos(0.9)/π ≈ 0.856, so bands = ceil(4·(1/0.856)^(bits−8))
+  // keeps the any-band hit rate ≈ the 8-bit/4-band design point
+  // (bands are Scala-computed per bit-width and emitted into the SQL
+  // as a shared VALUES LUT — no cross-engine float pow). Both engines
+  // derive bits from the same corpus count, so the gate stays lockstep
+  // at every sf. Plane ids live at 200 + 16·band + bit (disjoint from
+  // the 0..31 legacy band family and QueriesAnn's 100..115).
+  private val RPBMAX = 16   // bits cap = 65536 buckets/band
+  private val RPBANDS_MAX = 16
   private val RPDIM = 64
-  private val RPBANDS = 4
   private val RPTHRESH = 0.35
+  private val RPTARGET_OCC = 8
+  private[queries] def rpBitsFor(n: Long): Int = {
+    val q = (n + RPTARGET_OCC - 1) / RPTARGET_OCC
+    if (q <= 1L) 1
+    else math.min(64 - java.lang.Long.numberOfLeadingZeros(q - 1), RPBMAX)
+  }
+  // bands per bit-width, the recall-holding rule above (index = bits)
+  private[queries] val rpBandsLut: IndexedSeq[Int] = (0 to RPBMAX).map { bits =>
+    if (bits <= 8) 4
+    else math.min(RPBANDS_MAX,
+      math.ceil(4.0 * math.pow(1.0 / 0.856, (bits - 8).toDouble)).toInt)
+  }
   // plane builders shared with QueriesAnn's bucketed-probe kNN variant
   // (g_knn_triangles_sampled uses plane ids 100+ — disjoint from the
   // 0..31 this file's bands consume)
@@ -303,17 +326,24 @@ object QueriesExt {
   private val rplsh: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    def bandVal(b: Int) = (0 until RPBITS).map { j =>
-      val proj = round(Similarity.dot(col("v"), planeCol(RPBITS * b + j)), 6)
+    // bits/bands derived driver-side from the corpus count (the collect
+    // is inside the builder, so Bench times it); only live planes are
+    // ever computed — a sum of live planes equals a full-width
+    // signature `& mask`, bit for bit, so it matches the oracle's
+    // static-structure form at any width
+    val bits = rpBitsFor(e.count())
+    val nBands = rpBandsLut(bits)
+    def bandVal(b: Int) = (0 until bits).map { j =>
+      val proj = round(Similarity.dot(col("v"), planeCol(200 + RPBMAX * b + j)), 6)
       when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     val sig = e.select(Seq(col("vec_id"), col("v")) ++
-      (0 until RPBANDS).map(b => bandVal(b).as(s"b$b")): _*)
+      (0 until nBands).map(b => bandVal(b).as(s"b$b")): _*)
     // persist: both sides of the band self-join read the banded
-    // signatures — one pass of the 32 random-plane projections instead
-    // of two. (4 small rows per vector.)
+    // signatures — one pass of the random-plane projections instead
+    // of two. (nBands small rows per vector.)
     val banded = sig.select(col("vec_id"),
-      posexplode(array((0 until RPBANDS).map(b => col(s"b$b")): _*))
+      posexplode(array((0 until nBands).map(b => col(s"b$b")): _*))
         .as(Seq("band_id", "bval")))
       .persistShared()
     val r = banded.toDF("r_vec_id", "r_band_id", "r_bval")
@@ -330,19 +360,37 @@ object QueriesExt {
   }
 
   private val rplshSql = {
-    def bandValSql(b: Int) = (0 until RPBITS).map { j =>
-      val proj = s"round(list_dot_product(v, ${planeSqlList(RPBITS * b + j)}), 6)"
-      s"(CASE WHEN $proj > 0.0 THEN ${1L << j} ELSE 0 END)"
+    // static structure, data-derived values: all RPBANDS_MAX full-width
+    // band signatures are computed and masked down to the derived bits,
+    // dead bands filtered by the derived band count — the same
+    // count-derivation the Spark side runs, so verdicts stay lockstep
+    def bandValSql(b: Int) = (0 until RPBMAX).map { j =>
+      val proj = s"round(list_dot_product(v, ${planeSqlList(200 + RPBMAX * b + j)}), 6)"
+      s"(CASE WHEN $proj > 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)"
     }.mkString(" + ")
-    val bandCase = (0 until RPBANDS).map(b =>
-      if (b < RPBANDS - 1) s"WHEN $b THEN b$b" else s"ELSE b$b")
+    val bandCase = (0 until RPBANDS_MAX).map(b =>
+      if (b < RPBANDS_MAX - 1) s"WHEN $b THEN b$b" else s"ELSE b$b")
       .mkString("CASE band_id ", " ", " END")
+    // Scala-computed (bits → bands) LUT as shared literals
+    val lutValues = (0 to RPBMAX).map(b => s"($b, ${rpBandsLut(b)})").mkString(", ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        params AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+        bitsq AS (SELECT CASE WHEN q <= 1 THEN 1
+                              ELSE least(length(bin(q - 1)), $RPBMAX)
+                         END AS bits
+                  FROM (SELECT ((n + ${RPTARGET_OCC - 1}) // $RPTARGET_OCC) AS q
+                        FROM params)),
+        bandsq AS (SELECT bits, lut.bands,
+                          (CAST(1 AS BIGINT) << bits) - 1 AS mask
+                   FROM bitsq JOIN (VALUES $lutValues) lut(b, bands)
+                     ON lut.b = bitsq.bits),
         sig AS (SELECT vec_id,
-                  ${(0 until RPBANDS).map(b => s"(${bandValSql(b)}) AS b$b").mkString(", ")}
+                  ${(0 until RPBANDS_MAX).map(b => s"(${bandValSql(b)}) AS b$b").mkString(", ")}
                 FROM e),
-        banded AS (SELECT vec_id, band_id, $bandCase AS bval
-                   FROM sig, (SELECT unnest(range($RPBANDS)) AS band_id)),
+        banded AS (SELECT vec_id, band_id, ($bandCase) & mask AS bval
+                   FROM sig, bandsq,
+                        (SELECT unnest(range($RPBANDS_MAX)) AS band_id)
+                   WHERE band_id < bands),
         pairs AS (SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
                   FROM banded l JOIN banded r
                     ON l.band_id = r.band_id AND l.bval = r.bval

@@ -250,9 +250,17 @@ object QueriesText {
         GROUP BY 1, 2"""
   }
 
-  // ---- SimHash (32-bit, all md5 hex positions) with exact band blocking:
-  // hamming≤3 over 4 bands of 8 bits ⇒ ≥1 band equal (pigeonhole), and
-  // 256 buckets per band keep candidate sets small at scale
+  // ---- SimHash (63-bit) with exact band blocking — the Manku et al.
+  // 2007 (WWW '07) web-dedup shape: hamming≤3 over 4 disjoint 16-bit
+  // blocks ⇒ ≥1 block equal (pigeonhole), so band blocking has recall
+  // 1.0 for the hamming cut BY CONSTRUCTION at any width. 16-bit bands
+  // (65536 buckets) hold the band-collision mass at N²/2^16 — the r14
+  // sf3 sweep caught the previous 32-bit/8-bit-band form going
+  // quadratic (4.3× wall for 3× data) because 256 buckets saturate.
+  // 63 bits, not 64: bit 63 stays clear so the signature is a positive
+  // BIGINT in both engines (no sign-extension/overflow edge to match).
+  // Dims 1–32 come from md5(w) hex digits, 33–63 from md5('x2'||w).
+  private[queries] val SIMHASH_DIMS = 63
   private def simhashes(s: SparkSession, d: String): DataFrame = {
     // Count (doc, word) pairs first, then md5 + hex-extract once per
     // DISTINCT vocabulary word (broadcast back onto the counts) instead of
@@ -263,22 +271,31 @@ object QueriesText {
     val wc = Tables.documents(s, d)
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-    val vocab = wc.select("w").distinct().withColumn("wmd5", md5(col("w")))
-      .select(col("w") +: (1 to 32).map(p =>
-        (expr(s"instr('0123456789abcdef', substr(wmd5, $p, 1))") - 1 - lit(7.5))
-          .as(s"d$p")): _*)
-    val sums = (1 to 32).map(p => sum(col("c") * col(s"d$p")).as(s"s$p"))
+    val vocab = wc.select("w").distinct()
+      .withColumn("wmd5", md5(col("w")))
+      .withColumn("wmd5b", md5(concat(lit("x2"), col("w"))))
+      .select(col("w") +: (1 to SIMHASH_DIMS).map { p =>
+        val (src, pos) = if (p <= 32) ("wmd5", p) else ("wmd5b", p - 32)
+        (expr(s"instr('0123456789abcdef', substr($src, $pos, 1))") - 1 -
+          lit(7.5)).as(s"d$p")
+      }: _*)
+    val sums = (1 to SIMHASH_DIMS).map(p => sum(col("c") * col(s"d$p")).as(s"s$p"))
     val agg = wc.join(broadcast(vocab), "w").groupBy("doc_id")
       .agg(sums.head, sums.tail: _*)
     agg.select(col("doc_id"),
-      TextOps.simhashFromSums((1 to 32).map(p => col(s"s$p"))).as("simhash"))
+      TextOps.simhashFromSums((1 to SIMHASH_DIMS).map(p => col(s"s$p")))
+        .as("simhash"))
   }
 
   private val simhashSqlCte: String = {
-    val sums = (1 to 32).map(p =>
-      s"sum(strpos('0123456789abcdef', substr(md5(w), $p, 1)) - 1 - 7.5) AS s$p").mkString(", ")
-    val bits = (1 to 32).map(p =>
-      s"(CASE WHEN s$p > 0.0 THEN ${1L << (p - 1)} ELSE 0 END)").mkString(" + ")
+    val sums = (1 to SIMHASH_DIMS).map { p =>
+      val src = if (p <= 32) "md5(w)" else "md5('x2' || w)"
+      val pos = if (p <= 32) p else p - 32
+      s"sum(strpos('0123456789abcdef', substr($src, $pos, 1)) - 1 - 7.5) AS s$p"
+    }.mkString(", ")
+    val bits = (1 to SIMHASH_DIMS).map(p =>
+      s"(CASE WHEN s$p > 0.0 THEN CAST(${1L << (p - 1)} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
     s"""SELECT doc_id, $bits AS simhash FROM (
           SELECT doc_id, $sums
           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
@@ -291,7 +308,7 @@ object QueriesText {
     // pipeline executes twice. The frame is (doc_id, long): tiny.
     val sh = simhashes(s, d).persistShared()
     val bandVals = array((0 until 4).map(b =>
-      shiftright(col("simhash"), 8 * b).bitwiseAND(255)): _*)
+      shiftright(col("simhash"), 16 * b).bitwiseAND(65535)): _*)
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(bandVals).as(Seq("band_id", "band_val")))
     val right = banded.toDF("r_doc_id", "r_simhash", "r_band_id", "r_band_val")
@@ -306,7 +323,7 @@ object QueriesText {
 
   private val dedupSimhashSql = {
     val bandVal = (0 until 4).map(b =>
-      s"WHEN $b THEN (simhash >> ${8 * b}) & 255").mkString(" ")
+      s"WHEN $b THEN (simhash >> ${16 * b}) & 65535").mkString(" ")
     s"""WITH sh AS ($simhashSqlCte),
         banded AS (SELECT doc_id, simhash, band_id,
                           CASE band_id $bandVal END AS band_val
