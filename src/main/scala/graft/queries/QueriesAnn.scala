@@ -391,7 +391,7 @@ object QueriesAnn {
   // from the same count, so the oracle stays lockstep at every sf; the
   // other IVF consumers (the kNN census gate pair, n_ivf_*) keep the
   // fixed NCENTROIDS fixture.
-  private def ivfKFor(n: Long): Int =
+  private[graft] def ivfKFor(n: Long): Int =
     math.max(NCENTROIDS.toLong, (n + 255) / 256).toInt
   private val ivfKSqlParams =
     s"params AS (SELECT greatest($NCENTROIDS, (count(*) + 255) // 256) AS k FROM e)"

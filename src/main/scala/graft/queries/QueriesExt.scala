@@ -302,13 +302,13 @@ object QueriesExt {
   private val RPDIM = 64
   private val RPTHRESH = 0.35
   private val RPTARGET_OCC = 8
-  private[queries] def rpBitsFor(n: Long): Int = {
+  private[graft] def rpBitsFor(n: Long): Int = {
     val q = (n + RPTARGET_OCC - 1) / RPTARGET_OCC
     if (q <= 1L) 1
     else math.min(64 - java.lang.Long.numberOfLeadingZeros(q - 1), RPBMAX)
   }
   // bands per bit-width, the recall-holding rule above (index = bits)
-  private[queries] val rpBandsLut: IndexedSeq[Int] = (0 to RPBMAX).map { bits =>
+  private[graft] val rpBandsLut: IndexedSeq[Int] = (0 to RPBMAX).map { bits =>
     if (bits <= 8) 4
     else math.min(RPBANDS_MAX,
       math.ceil(4.0 * math.pow(1.0 / 0.856, (bits - 8).toDouble)).toInt)

@@ -135,4 +135,33 @@ class ScaleSurfaceSpec extends SparkSuite {
     val perMedia = rows.groupBy(_.getAs[Long]("media_id")).values.map(_.length)
     assert(perMedia.forall(n => n >= 1 && n <= 4))
   }
+
+  test("derived LSH/IVF widths hold occupancy bounds at every corpus size") {
+    import graft.queries.{QueriesAnn, QueriesExt}
+    // rplsh band bits: occupancy n/2^bits stays ≤ the 8-vector target
+    // until the 16-bit cap, and the derivation is monotone in n
+    var prev = 0
+    for (n <- Seq(1L, 10L, 500L, 2000L, 20000L, 60000L, 200000L, 10000000L)) {
+      val bits = QueriesExt.rpBitsFor(n)
+      assert(bits >= 1 && bits <= 16)
+      if (bits < 16)
+        assert((n + 7) / 8 <= (1L << bits), s"n=$n bits=$bits occupancy>8")
+      assert(bits >= prev, s"non-monotone at n=$n")
+      prev = bits
+    }
+    // the measured-good design points reproduce
+    assert(QueriesExt.rpBitsFor(2000L) == 8)   // sf0.1 = the r13 manual value
+    assert(QueriesExt.rpBitsFor(20000L) == 12) // sf1
+    // bands LUT: ≥4 everywhere, non-decreasing, capped at 16
+    val lut = QueriesExt.rpBandsLut
+    assert(lut.head == 4 && lut(8) == 4 && lut.max <= 16)
+    assert(lut.sliding(2).forall(w => w(1) >= w(0)))
+    // IVF dedup cluster count: floors at the 8-centroid fixture and
+    // holds per-cluster occupancy ≤ 256 (the linear-pair-stage bound)
+    assert(QueriesAnn.ivfKFor(500L) == 8 && QueriesAnn.ivfKFor(2000L) == 8)
+    for (n <- Seq(20000L, 60000L, 1000000L)) {
+      val k = QueriesAnn.ivfKFor(n)
+      assert((n + k - 1) / k <= 256, s"n=$n k=$k occupancy>256")
+    }
+  }
 }
