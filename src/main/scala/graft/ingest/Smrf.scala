@@ -41,20 +41,25 @@ object Smrf {
 
   /** 3×3 morphological pass: aggregate `agg(v)` over each existing
     * cell's neighborhood (existing cells only — sparse-grid semantics,
-    * shared with the oracle). */
+    * shared with the oracle). r14: targets are kept iff their (0,0)
+    * offset row exists (the own marker), so ONE explode-aggregate
+    * replaces the aggregate + real-cell join-back — the input is
+    * consumed once and the per-stage join exchange disappears. */
   private def neighborAgg(cells: DataFrame, v: String, doMin: Boolean,
                           out: String): DataFrame = {
     // offset-explode: each source cell contributes to its 9 targets
     val moved = cells.select(
       explode(array(offsets.map { case (dc, dr) =>
         struct((col("c") + dc).as("c"), (col("r") + dr).as("r"),
-          col(v).as("v"))
+          col(v).as("v"), lit(dc == 0 && dr == 0).as("own"))
       }: _*)).as("t"))
-      .select(col("t.c").as("c"), col("t.r").as("r"), col("t.v").as("v"))
-    val agged = moved.groupBy("c", "r")
-      .agg((if (doMin) min(col("v")) else max(col("v"))).as(out))
-    // keep only real cells (a sparse grid has no phantom targets)
-    agged.join(cells.select("c", "r"), Seq("c", "r"))
+      .select(col("t.c").as("c"), col("t.r").as("r"), col("t.v").as("v"),
+        col("t.own").as("own"))
+    moved.groupBy("c", "r")
+      .agg((if (doMin) min(col("v")) else max(col("v"))).as(out),
+        max(col("own")).as("keep"))
+      .filter(col("keep"))
+      .select("c", "r", out)
   }
 
   /** Per-cell reclassification summary: (col, row, n_points, n_ground,
@@ -68,13 +73,11 @@ object Smrf {
       pts.filter(!col("classification").isin(7, 18))
         .select(floor(col("x")).cast("int").as("c"),
           floor(col("y")).cast("int").as("r"), col("z")))
-    // cells/eroded are tiny (one row per grid cell) but each feeds two
-    // consumers (neighbor explode + real-cell join-back): persist so the
-    // point-table scan underneath runs once, not 2× per morphology stage
-    val cells = graft.functions.CacheRegistry.share(
-      clean.groupBy("c", "r").agg(min("z").as("zmin")))
-    val eroded = graft.functions.CacheRegistry.share(
-      neighborAgg(cells, "zmin", doMin = true, "ez"))
+    // r14: with the own-marker neighborAgg each morphology stage
+    // consumes its input exactly once, so cells/eroded no longer need
+    // their defensive persists — the chain is a single linear lineage
+    val cells = clean.groupBy("c", "r").agg(min("z").as("zmin"))
+    val eroded = neighborAgg(cells, "zmin", doMin = true, "ez")
     val opened = neighborAgg(eroded, "ez", doMin = false, "oz")
     clean.join(opened.select("c", "r", "oz"), Seq("c", "r"))
       .groupBy("c", "r")
@@ -99,10 +102,8 @@ object Smrf {
         .select(col("x"), col("y"), col("z"),
           floor(col("x")).cast("int").as("c"),
           floor(col("y")).cast("int").as("r")))
-    val cells = graft.functions.CacheRegistry.share(
-      tagged.groupBy("c", "r").agg(min("z").as("zmin")))
-    val eroded = graft.functions.CacheRegistry.share(
-      neighborAgg(cells, "zmin", doMin = true, "ez"))
+    val cells = tagged.groupBy("c", "r").agg(min("z").as("zmin"))
+    val eroded = neighborAgg(cells, "zmin", doMin = true, "ez")
     val opened = neighborAgg(eroded, "ez", doMin = false, "oz")
     tagged.join(opened.select("c", "r", "oz"), Seq("c", "r"))
       .filter(col("z") - col("oz") <= Threshold)
@@ -210,26 +211,39 @@ object Smrf {
     // 64 KB codegen method limit and costs seconds of compilation per
     // stage (measured: the whole query was ~6.5 s at ANY data size —
     // pure fixed overhead)
-    def pass(s: DataFrame, radius: Int, doMin: Boolean): DataFrame = {
-      // Residual fixed cost of this query (~5-7 s at ANY fixture size) is
-      // ~25 sequential shuffle-stage round trips — the price of an
+    // r14: each pass CARRIES the pre-opening surface value (`sv`)
+    // through its own-marker row — exactly one (0,0)-offset (resp.
+    // dc=0 / dr=0) contribution reaches each kept target, so
+    // min(when(own, sv)) reproduces surf(c, r) at the dilate output and
+    // the per-window flag branch becomes a FILTER on the checkpointed
+    // opened surface instead of a surf ⋈ opened join (one join stage
+    // per window removed; the flag predicate and row set are
+    // identical). `carry` is false on the first (erode) pass — its sv
+    // source IS v — and true on the second, which threads the erode's
+    // sv through.
+    def pass(s: DataFrame, radius: Int, doMin: Boolean,
+             carry: Boolean): DataFrame = {
+      // Residual fixed cost of this query (~4-7 s at ANY fixture size) is
+      // ~20 sequential shuffle-stage round trips — the price of an
       // iterative morphology on a tiny local fixture, amortized to noise
       // at real data sizes (measured: radius-as-broadcast-column codegen
       // sharing and eager-vs-lazy checkpointing both moved nothing)
       def agg1(c: Column) = if (doMin) min(c) else max(c)
+      val svIn = if (carry) col("sv") else col("v")
       if (radius < sepRadius) {
         val moved = s
-          .select(col("c"), col("r"), col("v"),
+          .select(col("c"), col("r"), col("v"), svIn.as("sv"),
             explode(sequence(lit(-radius), lit(radius))).as("dc"))
           .select((col("c") + col("dc")).as("c"), col("r"), col("v"),
-            col("dc"),
+            col("sv"), col("dc"),
             explode(sequence(lit(-radius), lit(radius))).as("dr"))
           .select(col("c"), (col("r") + col("dr")).as("r"), col("v"),
-            (col("dc") === 0 && col("dr") === 0).as("own"))
+            col("sv"), (col("dc") === 0 && col("dr") === 0).as("own"))
         moved.groupBy("c", "r")
-          .agg(agg1(col("v")).as("v"), max(col("own")).as("keep"))
+          .agg(agg1(col("v")).as("v"), max(col("own")).as("keep"),
+            min(when(col("own"), col("sv"))).as("sv"))
           .filter(col("keep"))
-          .select("c", "r", "v")
+          .select("c", "r", "v", "sv")
       } else {
         // SEPARABLE form for large radii: a square-element min/max
         // factors into a row pass then a column pass, so the shuffle
@@ -240,23 +254,26 @@ object Smrf {
         // form (9–49× explode is cheaper than a second round trip).
         // Domain restriction threads through: a row-pass target is a
         // real cell iff its dc=0 source exists (inS), and a final
-        // target is kept iff its dr=0 intermediate was a real cell.
+        // target is kept iff its dr=0 intermediate was a real cell —
+        // that same unique dc=0/dr=0 row carries sv.
         val rowPass = s
-          .select(col("c"), col("r"), col("v"),
+          .select(col("c"), col("r"), col("v"), svIn.as("sv"),
             explode(sequence(lit(-radius), lit(radius))).as("dc"))
           .select((col("c") + col("dc")).as("c"), col("r"), col("v"),
-            (col("dc") === 0).as("own"))
+            col("sv"), (col("dc") === 0).as("own"))
           .groupBy("c", "r")
-          .agg(agg1(col("v")).as("v"), max(col("own")).as("inS"))
+          .agg(agg1(col("v")).as("v"), max(col("own")).as("inS"),
+            min(when(col("own"), col("sv"))).as("sv"))
         rowPass
-          .select(col("c"), col("r"), col("v"), col("inS"),
+          .select(col("c"), col("r"), col("v"), col("sv"), col("inS"),
             explode(sequence(lit(-radius), lit(radius))).as("dr"))
           .select(col("c"), (col("r") + col("dr")).as("r"), col("v"),
-            (col("dr") === 0 && col("inS")).as("own"))
+            col("sv"), (col("dr") === 0 && col("inS")).as("own"))
           .groupBy("c", "r")
-          .agg(agg1(col("v")).as("v"), max(col("own")).as("keep"))
+          .agg(agg1(col("v")).as("v"), max(col("own")).as("keep"),
+            min(when(col("own"), col("sv"))).as("sv"))
           .filter(col("keep"))
-          .select("c", "r", "v")
+          .select("c", "r", "v", "sv")
       }
     }
     var flags: DataFrame = null
@@ -267,15 +284,15 @@ object Smrf {
       // sf0.1: eager localCheckpoint runs 4.8–6.4 s cold-to-warm vs
       // 6.6–17.6 s for lazy shared persists — lineage truncation also
       // shrinks the plan the final job must schedule
-      val opened = pass(pass(surf, k, doMin = true), k, doMin = false)
+      val opened = pass(pass(surf, k, doMin = true, carry = false),
+          k, doMin = false, carry = true)
         .localCheckpoint(true)
       val thresh = et(k, dh0, slope, scalar)
-      val newFlags = surf.join(
-          opened.select(col("c"), col("r"), col("v").as("o")), Seq("c", "r"))
-        .filter(col("v") - col("o") > thresh)
+      val newFlags = opened
+        .filter(col("sv") - col("v") > thresh)
         .select("c", "r")
       flags = if (flags == null) newFlags else flags.unionAll(newFlags)
-      surf = opened
+      surf = opened.select("c", "r", "v")
     }
     val objMask = flags.distinct().withColumn("is_obj", lit(1))
     clean.join(surf.select(col("c"), col("r"), col("v").as("oz")), Seq("c", "r"))

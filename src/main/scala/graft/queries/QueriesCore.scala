@@ -320,24 +320,41 @@ object QueriesCore {
   // §2.8 set difference / intersection / union over partkey sets
   // (stable−unstable EXCEPT, overlap INTERSECT, unary_union;
   // stable_unstable_areas.py:351–410, differencing_functions.py:2024–2047)
-  private def sideKeys(s: SparkSession, d: String, parity: Int): DataFrame =
-    Tables.lineitem(s, d).filter(col("l_suppkey") % 2 === parity)
-      .select(col("l_partkey")).distinct()
+  //
+  // r14 optimization: each set op used to scan lineitem TWICE (one
+  // filtered distinct per side) and run 2–3 exchanges (per-side
+  // distincts + the anti/semi join). The two sides partition the same
+  // table by suppkey parity, so one scan with a per-key membership
+  // aggregate — max(parity=0), max(parity=1) — yields the identical
+  // sets from HALF the scan volume and a SINGLE exchange: EXCEPT is
+  // has0 ∧ ¬has1, INTERSECT is has0 ∧ has1, UNION is has0 ∨ has1.
+  // Null semantics match the originals: a null suppkey makes both
+  // flags null for that row (max ignores nulls — such rows joined
+  // neither side before), and a null partkey still forms its own
+  // group exactly like EXCEPT/INTERSECT's null-safe key equality.
+  private def sideFlags(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), (col("l_suppkey") % 2 === 0).as("even"))
+      .groupBy("l_partkey")
+      .agg(coalesce(max(col("even")), lit(false)).as("has0"),
+        coalesce(max(!col("even")), lit(false)).as("has1"))
 
-  private val setExcept: Q = (s, d) => sideKeys(s, d, 0).except(sideKeys(s, d, 1))
+  private val setExcept: Q = (s, d) =>
+    sideFlags(s, d).filter(col("has0") && !col("has1")).select("l_partkey")
   private val setExceptSql =
     """SELECT DISTINCT l_partkey FROM lineitem WHERE l_suppkey % 2 = 0
        EXCEPT
        SELECT DISTINCT l_partkey FROM lineitem WHERE l_suppkey % 2 = 1"""
 
-  private val setIntersect: Q = (s, d) => sideKeys(s, d, 0).intersect(sideKeys(s, d, 1))
+  private val setIntersect: Q = (s, d) =>
+    sideFlags(s, d).filter(col("has0") && col("has1")).select("l_partkey")
   private val setIntersectSql =
     """SELECT DISTINCT l_partkey FROM lineitem WHERE l_suppkey % 2 = 0
        INTERSECT
        SELECT DISTINCT l_partkey FROM lineitem WHERE l_suppkey % 2 = 1"""
 
   private val setUnion: Q = (s, d) =>
-    sideKeys(s, d, 0).union(sideKeys(s, d, 1)).distinct()
+    sideFlags(s, d).filter(col("has0") || col("has1")).select("l_partkey")
   private val setUnionSql =
     """SELECT l_partkey FROM lineitem WHERE l_suppkey % 2 = 0
        UNION

@@ -185,9 +185,12 @@ object QueriesSql {
   // (same lower+(upper−lower)·frac form, proven by r_bias_remove).
   private val nmad: Q = (s, d) => {
     import graft.raster.PixelGrid
-    val dz = PixelGrid.difference(
+    // r14: dz feeds both the per-zone median aggregate and the deviation
+    // join-back — unshared, the whole two-grid difference subtree ran
+    // twice (6 scans in the plan). One materialization halves the scans.
+    val dz = graft.functions.CacheRegistry.share(PixelGrid.difference(
       PixelGrid.grid(s, d, 0), PixelGrid.grid(s, d, 1))
-      .withColumn("zone", concat(qkDigit(0), qkDigit(1)))
+      .withColumn("zone", concat(qkDigit(0), qkDigit(1))))
     val med = dz.groupBy("zone")
       .agg(percentile(col("dz"), lit(0.5)).as("med"))
     dz.join(broadcast(med), "zone")

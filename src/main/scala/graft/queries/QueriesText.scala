@@ -186,6 +186,21 @@ object QueriesText {
   private def shingleSet(s: SparkSession, d: String): DataFrame =
     shingleTable(s, d).distinct().persistShared()
 
+  /** Per-doc SORTED shingle array + size — the candidate-verify unit
+    * shared by x_minhash_est, x_dedup_containment and x_lsh_recall
+    * (r14: est/containment previously verified by joining each pair
+    * back to the exploded shingle table — a pairs × shingles
+    * intermediate plus a (pair, shingle) shuffle; the sorted-array +
+    * two-pointer MultisetIntersectSize kernel verifies in-row on the
+    * pair table, the shape x_lsh_recall already measured as the
+    * dominant-cost fix at sf1). CacheManager keys on the logical plan,
+    * so all three consumers share one materialization. */
+  private def docShingleArr(s: SparkSession, d: String): DataFrame =
+    shingleSet(s, d).groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("arr"),
+        count(lit(1)).as("sz"))
+      .persistShared()
+
   private def signatures(s: SparkSession, d: String): DataFrame =
     shingleTable(s, d)
       .groupBy("doc_id")
@@ -344,16 +359,22 @@ object QueriesText {
   // (pair ⋈ shingles) equi-join — the pair space is the LSH candidates,
   // never rows².
   private val containment: Q = (s, d) => {
+    // r14: exact intersection via the shared sorted-array + two-pointer
+    // kernel on the pair table (see docShingleArr) instead of the
+    // (pair ⋈ shingles ⋈ shingles) fan-out + (pair, shingle)-keyed
+    // re-aggregate. The inter ≥ 1 filter reproduces the old inner
+    // equi-join's semantics (pairs with no common shingle never
+    // surfaced a row).
     val cand = dedupMinhash(s, d).select("a_id", "b_id")
-    val sh = shingleSet(s, d)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.toDF("a_id", "sh"), "a_id")
-      .join(sh.toDF("b_id", "sh"), Seq("b_id", "sh"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF("a_id", "a_sz"), "a_id")
-      .join(sizes.toDF("b_id", "b_sz"), "b_id")
+    val docArr = docShingleArr(s, d)
+    cand
+      .join(docArr.select(col("doc_id").as("a_id"), col("arr").as("a_arr"),
+        col("sz").as("a_sz")), "a_id")
+      .join(docArr.select(col("doc_id").as("b_id"), col("arr").as("b_arr"),
+        col("sz").as("b_sz")), "b_id")
+      .withColumn("inter",
+        graft.text.GramExprs.multisetIntersectSize(col("a_arr"), col("b_arr")))
+      .filter(col("inter") >= 1L)
       .select(col("a_id"), col("b_id"), col("inter"),
         round(col("inter").cast("double") / col("a_sz").cast("double"), 6).as("cont_a"),
         round(col("inter").cast("double") / col("b_sz").cast("double"), 6).as("cont_b"))
@@ -1054,18 +1075,24 @@ object QueriesText {
   // affordable corpus-wide; the exact join runs on the candidate pairs
   // alone, never rows²).
   private val minhashEst: Q = (s, d) => {
+    // r14: same sorted-array kernel verify as x_dedup_containment — the
+    // exact-intersection build used to fan each pair out by its full
+    // shingle set (pairs × shingles rows through a (pair, shingle)
+    // shuffle) and then LEFT-join the counts back; the in-row
+    // two-pointer walk computes the identical count (0 for disjoint
+    // pairs, which the old coalesce(inter, 0) handled) with no pair
+    // fan-out at all.
     val cand = dedupMinhash(s, d)
-    val sh = shingleSet(s, d)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand.select("a_id", "b_id")
-      .join(sh.toDF("a_id", "sh"), "a_id")
-      .join(sh.toDF("b_id", "sh"), Seq("b_id", "sh"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("a_id", "b_id"), "left_outer")
-      .join(sizes.toDF("a_id", "a_sz"), "a_id")
-      .join(sizes.toDF("b_id", "b_sz"), "b_id")
-      .withColumn("jaccard", round(coalesce(col("inter"), lit(0L)).cast("double") /
-        (col("a_sz") + col("b_sz") - coalesce(col("inter"), lit(0L))).cast("double"), 6))
+    val docArr = docShingleArr(s, d)
+    cand
+      .join(docArr.select(col("doc_id").as("a_id"), col("arr").as("a_arr"),
+        col("sz").as("a_sz")), "a_id")
+      .join(docArr.select(col("doc_id").as("b_id"), col("arr").as("b_arr"),
+        col("sz").as("b_sz")), "b_id")
+      .withColumn("inter",
+        graft.text.GramExprs.multisetIntersectSize(col("a_arr"), col("b_arr")))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("a_sz") + col("b_sz") - col("inter")).cast("double"), 6))
       .select(col("a_id"), col("b_id"), col("sim_est"), col("jaccard"),
         round(abs(col("sim_est") - col("jaccard")), 6).as("abs_err"))
   }
@@ -1111,11 +1138,11 @@ object QueriesText {
   private val lshRecall: Q = (s, d) => {
     val sh = shingleSet(s, d)
     // per-doc shingle ARRAYS + sizes — the verify unit (consumed four
-    // times: two size joins, two array joins). Sorted ONCE at build so
-    // the per-pair verify below is a pure two-pointer walk.
-    val docArr = sh.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("sh"))).as("arr"), count(lit(1)).as("sz"))
-      .persistShared()
+    // times: two size joins, two array joins; r14: the SAME frame now
+    // also verifies x_minhash_est / x_dedup_containment, so the shared
+    // builder hands all three one materialization). Sorted ONCE at
+    // build so the per-pair verify below is a pure two-pointer walk.
+    val docArr = docShingleArr(s, d)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     // per-doc prefix under the global (df asc, sh asc) order, cut
     // in-row: one groupBy instead of a window + size join (the struct
