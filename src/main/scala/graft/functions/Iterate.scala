@@ -53,28 +53,37 @@ object Iterate {
       val nxt = step(r)
       r = if (i % checkEvery == 0 && i < maxRounds) {
         val chk = nxt.localCheckpoint(true)
-        val dRow = chk.join(
-            lastChk.select(keyCols.map(col) :+
-              col(valCol).cast("double").as("__prev"): _*), keyCols)
-          .agg(sum(abs(col(valCol).cast("double") - col("__prev"))).as("d"))
-          .head
-        // sum() over an EMPTY join is NULL. That is a fixpoint ONLY when
-        // the iterate itself is empty (degenerate input — a grid too
-        // small for the D8 stencil, an empty graph). A NON-empty iterate
-        // sharing no keys with the previous checkpoint means the key set
-        // churned between rounds — declaring convergence there would be
-        // silent garbage, so fail loudly instead.
-        val delta =
-          if (!dRow.isNullAt(0)) dRow.getDouble(0)
-          else if (chk.isEmpty) 0.0
-          else throw new IllegalStateException(
-            s"[graft.$tag] iter=$i: L1 delta undefined — the iterate is " +
-              "non-empty but shares no keys with the previous checkpoint " +
-              "(key churn between rounds); refusing to declare convergence")
-        System.err.println(f"[graft.$tag%s] iter=$i%d l1_delta=$delta%.6f")
-        lastChk = chk
-        lastDelta = delta
-        if (delta < eps) return Fixpoint(chk, i, delta)
+        // r14: the delta probe only runs in CONVERGENCE mode (eps > 0).
+        // With eps = 0 — the fixed-round gate path — deltas are >= 0, so
+        // the exit test can never fire and the probe's node-sized join +
+        // head was a pure extra job per checkpoint round (one per 2
+        // supersteps across the whole graph family, at 100 TB a full
+        // node-vector join each). The checkpoint itself stays: lineage
+        // truncation is what keeps per-round planning O(1).
+        if (eps > 0) {
+          val dRow = chk.join(
+              lastChk.select(keyCols.map(col) :+
+                col(valCol).cast("double").as("__prev"): _*), keyCols)
+            .agg(sum(abs(col(valCol).cast("double") - col("__prev"))).as("d"))
+            .head
+          // sum() over an EMPTY join is NULL. That is a fixpoint ONLY when
+          // the iterate itself is empty (degenerate input — a grid too
+          // small for the D8 stencil, an empty graph). A NON-empty iterate
+          // sharing no keys with the previous checkpoint means the key set
+          // churned between rounds — declaring convergence there would be
+          // silent garbage, so fail loudly instead.
+          val delta =
+            if (!dRow.isNullAt(0)) dRow.getDouble(0)
+            else if (chk.isEmpty) 0.0
+            else throw new IllegalStateException(
+              s"[graft.$tag] iter=$i: L1 delta undefined — the iterate is " +
+                "non-empty but shares no keys with the previous checkpoint " +
+                "(key churn between rounds); refusing to declare convergence")
+          System.err.println(f"[graft.$tag%s] iter=$i%d l1_delta=$delta%.6f")
+          lastChk = chk
+          lastDelta = delta
+          if (delta < eps) return Fixpoint(chk, i, delta)
+        }
         chk
       } else nxt
     }

@@ -25,12 +25,22 @@ class IterateDegenerateSpec extends SparkSuite {
     Seq.empty[(Long, Double)].toDF("src", "r")
 
   test("untilDelta over an EMPTY iterate survives the probe (delta = 0, no crash)") {
-    // step keeps the frame empty; checkEvery = 2 forces the probe to run
-    val fp = Iterate.untilDelta(emptyRanks, maxRounds = 4, eps = 0.0,
+    // step keeps the frame empty; checkEvery = 2 + eps > 0 forces the
+    // probe to run (r14: eps = 0 skips the probe entirely — the exit
+    // can never fire there, so the fixed-round path pays no probe job)
+    val fp = Iterate.untilDelta(emptyRanks, maxRounds = 4, eps = 1e-300,
       checkEvery = 2, tag = "empty-test")(identity)
     assert(fp.result.count() == 0L)
-    assert(fp.rounds == 4, "eps = 0 must still run the full fixed budget")
+    assert(fp.rounds == 2, "an empty iterate is a fixpoint: first probe exits")
     assert(fp.lastDelta == 0.0, "empty-join delta must coalesce to 0.0, not NULL")
+  }
+
+  test("untilDelta with eps = 0 runs the full budget and never probes") {
+    val fp = Iterate.untilDelta(emptyRanks, maxRounds = 4, eps = 0.0,
+      checkEvery = 2, tag = "fixed-test")(identity)
+    assert(fp.result.count() == 0L)
+    assert(fp.rounds == 4, "eps = 0 must still run the full fixed budget")
+    assert(fp.lastDelta.isNaN, "fixed-round mode reports no delta (probe skipped)")
   }
 
   test("untilDelta with eps > 0 exits at the first probe on an empty iterate") {
@@ -42,7 +52,7 @@ class IterateDegenerateSpec extends SparkSuite {
 
   test("untilDelta composite-key empty iterate (the flow_accum shape)") {
     val r0 = Seq.empty[(Int, Int, Long)].toDF("c", "r", "a")
-    val fp = Iterate.untilDelta(r0, maxRounds = 4, eps = 0.0,
+    val fp = Iterate.untilDelta(r0, maxRounds = 4, eps = 1e-300,
       keyCols = Seq("c", "r"), valCol = "a", tag = "empty-cells")(identity)
     assert(fp.result.count() == 0L && fp.lastDelta == 0.0)
   }
@@ -50,10 +60,10 @@ class IterateDegenerateSpec extends SparkSuite {
   test("untilDelta fails LOUDLY when a non-empty iterate fully churns its keys") {
     // a NULL delta with a NON-empty iterate is key churn between rounds,
     // not convergence (ADVICE r10): declaring a fixpoint there would be
-    // silent garbage
+    // silent garbage (probe runs in convergence mode, eps > 0)
     val r0 = Seq((1L, 1.0)).toDF("src", "r")
     val e = intercept[IllegalStateException] {
-      Iterate.untilDelta(r0, maxRounds = 4, eps = 0.0, checkEvery = 2,
+      Iterate.untilDelta(r0, maxRounds = 4, eps = 1e-9, checkEvery = 2,
         tag = "churn-test") { df =>
         df.select((col("src") + 1).as("src"), col("r"))
       }
