@@ -266,11 +266,21 @@ object QueriesPipe {
         explode(TextOps.words(col("text"))).as("w"))
     def bucket(md5Col: Column): Column =
       (TextOps.hexDigit(md5Col, 1) * 16 + TextOps.hexDigit(md5Col, 2)) % DSIR_B
-    val wcnt = inst.groupBy("w")
-      .agg(count(lit(1)).as("cr"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    // r14: ONE pass over the token explode — the per-(doc, word) counts
+    // (which the weight join needs anyway) also roll up to the vocabulary
+    // counts, so the corpus explode + md5 run once instead of twice
+    // (regrouped integer count sums are exact; lang is constant per doc,
+    // so carrying it through the first grouping adds no rows). The
+    // (doc, word) table is shared: its two consumers are the vocabulary
+    // rollup and the weight join-back.
+    val dw0 = inst.groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("c"))
       .withColumn("wmd5", md5(col("w")))
-      .select(col("w"), col("cr"), col("ct"), bucket(col("wmd5")).as("b"))
+      .select(col("doc_id"), col("lang"), col("w"), col("c"),
+        bucket(col("wmd5")).as("b"))
+      .persistShared()
+    val wcnt = dw0.groupBy("w", "b")
+      .agg(sum("c").as("cr"),
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"))
     val bkt = wcnt.groupBy("b").agg(sum("cr").as("cr"), sum("ct").as("ct"))
     val tot = bkt.agg(sum("cr").as("tr"), sum("ct").as("tt"))
     val lr = bkt.crossJoin(broadcast(tot))
@@ -283,13 +293,14 @@ object QueriesPipe {
           .cast("long").as("lr6"))
     // b is a pure md5 function of w, so per-doc counts derive their
     // bucket DIRECTLY — only the B-row log-ratio table is ever broadcast
-    // (a vocab-sized word→bucket broadcast would not survive 100 TB)
-    val dw = inst.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      .withColumn("wmd5", md5(col("w")))
-      .select(col("doc_id"), col("c"), bucket(col("wmd5")).as("b"))
-    dw.join(broadcast(lr), "b")
+    // (a vocab-sized word→bucket broadcast would not survive 100 TB).
+    // The doc-sized result is shared too: x_dsir_weights and
+    // x_dsir_resample both read it, previously each rebuilt the chain.
+    dw0.select(col("doc_id"), col("c"), col("b"))
+      .join(broadcast(lr), "b")
       .groupBy("doc_id")
       .agg(sum("c").as("n_words"), sum(col("c") * col("lr6")).as("s6"))
+      .persistShared()
   }
 
   private val dsirWeights: Q = (s, d) =>

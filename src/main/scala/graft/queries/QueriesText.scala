@@ -755,11 +755,16 @@ object QueriesText {
     def base = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast("int").as("lb"), col("text"))
+    // r14: sh feeds FOUR consumers (sizes + both sides of the blocked
+    // self-join) — unshared, the sampled-doc shingle explode + distinct
+    // re-ran per consumer (4 documents scans in the plan). One
+    // materialization, three cached reads.
     val sh = base
       .select(col("doc_id"), col("lang"), col("lb"),
         TextOps.words(col("text")).as("w"))
       .select(col("doc_id"), col("lang"), col("lb"),
         explode(TextOps.shinglesOf(col("w"), 3)).as("sh")).distinct()
+      .persistShared()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val r = sh.toDF("r_doc_id", "r_lang", "r_lb", "r_sh")
     val inter = sh.join(r,
@@ -1462,8 +1467,23 @@ object QueriesText {
   // broadcast by construction; clipping is an equi-join on (lang, n,
   // gram) against that broadcast. No pair space, no window.
   private val bleu: Q = (s, d) => {
+    // r14: modified n-gram precision's clipped match count
+    // Σ_g min(count_hyp(g), count_ref(g)) IS the multiset-intersection
+    // size of the two gram multisets, so the corpus-sized gram explode +
+    // (doc, n, gram) hash aggregate + per-gram broadcast join collapse
+    // into the in-row two-pointer kernel against per-lang SORTED
+    // reference arrays — exactly the shape m_chrf already runs
+    // (measured there: 6.5 → ~1 s at sf0.1, zero gram shuffle). The
+    // cache holds the SORTED gram arrays: each doc's build+sort runs
+    // once and every consumer reads the materialized arrays (the
+    // slim-text alternative measured 3× slower on m_chrf at sf1 —
+    // CollapseProject hands each consumer its own array_sort copy).
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), TextOps.words(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"), TextOps.words(col("text")).as("w0"))
+      .select(col("doc_id"), col("lang"),
+        size(col("w0")).cast("long").as("wl"),
+        array_sort(col("w0")).as("g1"),
+        array_sort(TextOps.shinglesOf(col("w0"), 2)).as("g2"))
       .persistShared()
     // the per-lang min doc_id, keyed under a FRESH name: refIds, refs and
     // hyps all descend from `docs`, so every lang-keyed join among them
@@ -1471,40 +1491,24 @@ object QueriesText {
     // ambiguous self-join reference
     val refIds = docs.groupBy(col("lang").as("rl_lang"))
       .agg(min("doc_id").as("ref_id"))
+    // a null-text reference keeps rl NULL (bp and b6 stay null, matching
+    // the old left-join form) but empty ARRAYS, so the kernel still
+    // counts 0 clipped matches exactly like the old coalesce(cr, 0)
+    val emptyArr = typedLit(Seq.empty[String])
     val refs = docs.join(refIds, col("doc_id") === col("ref_id"))
-      .select(col("lang"), col("w")).toDF("r_lang", "rw")
+      .select(col("lang").as("r_lang"), col("wl").as("rl"),
+        coalesce(col("g1"), emptyArr).as("r1"),
+        coalesce(col("g2"), emptyArr).as("r2"))
     val hyps = docs.join(refIds, col("lang") === col("rl_lang"))
-      .filter(col("doc_id") =!= col("ref_id") && size(col("w")) >= 2)
-      .select(col("doc_id"), col("lang"), col("w"))
-      .persistShared()
-    def gramStructs(w: Column) = concat(
-      transform(w, g => struct(lit(1).as("n"), g.as("g"))),
-      transform(TextOps.shinglesOf(w, 2),
-        g => struct(lit(2).as("n"), g.as("g"))))
-    val hg = hyps
-      .select(col("doc_id"), col("lang"), explode(gramStructs(col("w"))).as("t"))
-      .groupBy(col("doc_id"), col("lang"), col("t.n").as("n"), col("t.g").as("g"))
-      .agg(count(lit(1)).as("ch"))
-    val rg = refs
-      .select(col("r_lang"), explode(gramStructs(col("rw"))).as("t"))
-      .groupBy(col("r_lang"), col("t.n").as("rn"), col("t.g").as("rg"))
-      .agg(count(lit(1)).as("cr"))
-    val pcols = hg.join(broadcast(rg),
-        col("lang") === col("r_lang") && col("n") === col("rn") &&
-          col("g") === col("rg"), "left_outer")
-      .withColumn("m", least(col("ch"), coalesce(col("cr"), lit(0L))))
-      .groupBy("doc_id", "lang")
-      .agg(sum(when(col("n") === 1, col("m"))).as("m1"),
-        sum(when(col("n") === 1, col("ch"))).as("t1"),
-        sum(when(col("n") === 2, col("m"))).as("m2"),
-        sum(when(col("n") === 2, col("ch"))).as("t2"))
-    val lens = hyps
-      .select(col("doc_id"), col("lang"), size(col("w")).cast("long").as("hl"))
-      .join(broadcast(refs.select(col("r_lang"),
-        size(col("rw")).cast("long").as("rl"))),
-        col("lang") === col("r_lang"))
-      .drop("r_lang")
-    pcols.join(lens, Seq("doc_id", "lang"))
+      .filter(col("doc_id") =!= col("ref_id") && col("wl") >= 2)
+      .select(col("doc_id"), col("lang"), col("wl"), col("g1"), col("g2"))
+    hyps.join(broadcast(refs), col("lang") === col("r_lang"))
+      .select(col("doc_id"), col("lang"),
+        graft.text.GramExprs.multisetIntersectSize(col("g1"), col("r1")).as("m1"),
+        col("wl").as("t1"),
+        graft.text.GramExprs.multisetIntersectSize(col("g2"), col("r2")).as("m2"),
+        size(col("g2")).cast("long").as("t2"),
+        col("wl").as("hl"), col("rl"))
       .withColumn("bp", when(col("hl") >= col("rl"), lit(1.0))
         .otherwise(expr("exp(1.0 - CAST(rl AS DOUBLE) / hl)")))
       .withColumn("b6", expr(
