@@ -755,16 +755,22 @@ object QueriesText {
     def base = Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 100).cast("int").as("lb"), col("text"))
-    // r14: sh feeds FOUR consumers (sizes + both sides of the blocked
-    // self-join) — unshared, the sampled-doc shingle explode + distinct
-    // re-ran per consumer (4 documents scans in the plan). One
-    // materialization, three cached reads.
+    // r14: three alternative shapes were measured cache-cold at sf0.1 —
+    // the original below (explode → corpus distinct → sizes agg + two
+    // join sides re-running the subtree) reads 0.92 s; adding
+    // persistShared to the distinct frame reads 1.25 s (materialization
+    // barrier > the duplicated subtree locally); replacing the DISTINCT
+    // shuffle with per-row array_distinct + carried sizes reads 1.86 s
+    // (two full array materializations per row are pure interpreted-CPU
+    // regression). The original stays — it is the fastest measured form;
+    // the persist variant is the documented 100-TB option (1 subtree +
+    // 1 shuffle instead of 3 + 3) if this query's scale posture ever
+    // dominates its local cost.
     val sh = base
       .select(col("doc_id"), col("lang"), col("lb"),
         TextOps.words(col("text")).as("w"))
       .select(col("doc_id"), col("lang"), col("lb"),
         explode(TextOps.shinglesOf(col("w"), 3)).as("sh")).distinct()
-      .persistShared()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val r = sh.toDF("r_doc_id", "r_lang", "r_lb", "r_sh")
     val inter = sh.join(r,
