@@ -110,7 +110,15 @@ object Bench {
       val sfName = sfDir.split('/').filter(_.nonEmpty).last
       val prevSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(s)
         .map(_.group(1).split('/').filter(_.nonEmpty).last)
-      if (!prevSf.contains(sfName)) Map.empty[String, Double]
+      // ... and at the same CORE COUNT: per-query walls at 8 threads are
+      // not comparable to 32-thread readings (r14: the 8-core probe run
+      // spuriously flagged the quadratic exact gate against the 32-core
+      // artifact). Artifacts without a cpus field predate the probe runs
+      // and were all 32-core.
+      val prevCpus = "\"cpus\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        .map(_.group(1)).getOrElse("32")
+      val curCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      if (!prevSf.contains(sfName) || prevCpus != curCpus) Map.empty[String, Double]
       else {
         // tolerate both shapes: Bench's own compact line and the driver's
         // wrapper ({"parsed": {..., "queries": { "q": 1.2, ...}}} — note
@@ -162,7 +170,12 @@ object Bench {
     // artifact always points at the round's clean-window reading instead
     // of leaving it buried in NOTES.
     val nowMs = System.currentTimeMillis()
-    val runRec = s"""{"ts_ms":$nowMs,"sf":"$sfDir","total":${f3(total)},""" +
+    // cpus is part of the run's identity: an 8-core probe run must not
+    // become a 32-core run's "best_today" (r14: the driver benches at a
+    // lower core count too, and totals across core counts are not
+    // comparable)
+    val cpusRec = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runRec = s"""{"ts_ms":$nowMs,"sf":"$sfDir","cpus":$cpusRec,"total":${f3(total)},""" +
       stealPct.map(p => s""""steal_pct":${f3(p)},""").getOrElse("") +
       s""""n_queries":${results.size},"ok":${failed.isEmpty}}"""
     val runsPath = java.nio.file.Paths.get("BENCH_RUNS.jsonl")
@@ -177,6 +190,7 @@ object Bench {
           val numF = "([0-9.Ee+-]+)"
           val tsRx = ("\"ts_ms\":" + numF).r
           val sfRx = "\"sf\":\"([^\"]+)\"".r
+          val cpuRx = ("\"cpus\":" + numF).r
           val totRx = ("\"total\":" + numF).r
           val stRx = ("\"steal_pct\":" + numF).r
           val sfName = sfDir.split('/').filter(_.nonEmpty).last
@@ -188,6 +202,9 @@ object Bench {
                 sf <- sfRx.findFirstMatchIn(line)
                   .map(_.group(1).split('/').filter(_.nonEmpty).last)
                 if sf == sfName
+                // rows predating the cpus field were all 32-core runs
+                cpu = cpuRx.findFirstMatchIn(line).map(_.group(1)).getOrElse("32")
+                if cpu == cpusRec
                 tot <- totRx.findFirstMatchIn(line).map(_.group(1).toDouble)
               } yield (tot, stRx.findFirstMatchIn(line).map(_.group(1).toDouble))
             }.toSeq.sortBy(_._1).headOption.filter(_._1 < total)
