@@ -62,6 +62,13 @@ object QueriesExt {
       // produces nothing to group) independent of fixture data; without
       // this the in-row form would emit a row with NULL metrics
       .filter(col("text").isNotNull)
+      // r15: zero-exchange projections inherit the SCAN's partitioning,
+      // and the local fixture is one parquet file → one partition — the
+      // whole per-doc sort/fold ran in a single task at any core count.
+      // One deterministic hash exchange of the slim (doc_id, text) rows
+      // buys full parallelism for the in-row HOF work that dominates
+      // this query; partition count derives from the session.
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), TextOps.words(col("text")).as("w"))
       .select(col("doc_id"), size(w).cast("long").as("n_words"),
         round(size(array_distinct(w)).cast("double") / size(w).cast("double"), 6)

@@ -664,7 +664,17 @@ object QueriesText {
   // shingle counts are document-sized) → distinct selected hashes.
   private val WINN = 4
   private val winnow: Q = (s, d) => {
+    // r15: repartition on doc_id BEFORE the explode+md5. The window
+    // below needs hashpartitioning(doc_id) anyway, so the exchange
+    // count is unchanged (the window reuses this one); what moves is
+    // WHERE the exchange sits — it now ships each doc's raw text once
+    // instead of its exploded (pos, shingle, md5) rows (~10× the
+    // bytes), and the shingle+md5 work runs at full parallelism instead
+    // of inside the scan task (the local fixture is one parquet file →
+    // one scan partition, which serialized the whole hash pass).
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val sh = Tables.documents(s, d)
+      .repartition(nPart, col("doc_id"))
       .select(col("doc_id"), TextOps.words(col("text")).as("w"))
       .select(col("doc_id"),
         posexplode(TextOps.shinglesOf(col("w"), 3)).as(Seq("pos", "sh")))
@@ -1244,8 +1254,17 @@ object QueriesText {
   private val lshRecallSampled: Q = (s, d) => {
     def sampled(c: Column) = graft.rng.Rand.mix(c, LSH_SAMPLE_SALT) % 3 === 0
     val sh = shingleSet(s, d).filter(sampled(col("doc_id")))
-    val docArr = sh.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("sh"))).as("arr"), count(lit(1)).as("sz"))
+    // r15: the sampled per-doc arrays are a doc_id FILTER of the shared
+    // docShingleArr (group-then-filter ≡ filter-then-group on the group
+    // key), so the second collect_list/sort_array AGGREGATE this query
+    // used to run — and its shuffle — is gone. The filtered frame is
+    // still persisted (four consumers: two size joins, two array joins;
+    // unpersisted they each re-read the 3×-larger full-corpus cache and
+    // drop 2/3 of it, measured +0.4–0.7 s), but its build is now a pure
+    // cached-read + filter: under memory pressure a rebuild costs one
+    // map stage, not the aggregate storm whose driver-run reading was
+    // 12.62 s at 32 cores in r14.
+    val docArr = docShingleArr(s, d).filter(sampled(col("doc_id")))
       .persistShared()
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val prefixes = sh.join(dfreq, "sh")
@@ -1479,42 +1498,53 @@ object QueriesText {
     // (doc, n, gram) hash aggregate + per-gram broadcast join collapse
     // into the in-row two-pointer kernel against per-lang SORTED
     // reference arrays — exactly the shape m_chrf already runs
-    // (measured there: 6.5 → ~1 s at sf0.1, zero gram shuffle). The
-    // cache holds the SORTED gram arrays: each doc's build+sort runs
-    // once and every consumer reads the materialized arrays (the
-    // slim-text alternative measured 3× slower on m_chrf at sf1 —
-    // CollapseProject hands each consumer its own array_sort copy).
-    val docs = Tables.documents(s, d)
+    // (measured there: 6.5 → ~1 s at sf0.1, zero gram shuffle).
+    // r15: the per-doc sorted gram arrays are NOT cached any more —
+    // same reasoning as m_chrf above (the corpus-wide array cache is
+    // exactly the G1-humongous-batch footprint the driver's r14 run
+    // collapsed under). Consumers join SLIM rows first and build their
+    // arrays inline, each consumed exactly once: refIds is a
+    // column-pruned (doc_id, lang) aggregate, refs builds arrays after
+    // its |langs|-row broadcast join, and hyps' per-order totals come
+    // from wl (t1 = wl, t2 = wl−1, exact for wl ≥ 2 — the hyp filter)
+    // so no size(g) reference duplicates an array_sort subtree.
+    // slim un-repartitioned scan for the broadcast builds; see m_chrf —
+    // they touch only slim columns / |langs| docs
+    val slim = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), TextOps.words(col("text")).as("w0"))
-      .select(col("doc_id"), col("lang"),
-        size(col("w0")).cast("long").as("wl"),
-        array_sort(col("w0")).as("g1"),
-        array_sort(TextOps.shinglesOf(col("w0"), 2)).as("g2"))
-      .persistShared()
     // the per-lang min doc_id, keyed under a FRESH name: refIds, refs and
-    // hyps all descend from `docs`, so every lang-keyed join among them
-    // must join two distinct attribute names or Catalyst reads it as an
-    // ambiguous self-join reference
-    val refIds = docs.groupBy(col("lang").as("rl_lang"))
+    // hyps all descend from the same scan, so every lang-keyed join among
+    // them must join two distinct attribute names or Catalyst reads it as
+    // an ambiguous self-join reference
+    val refIds = slim.groupBy(col("lang").as("rl_lang"))
       .agg(min("doc_id").as("ref_id"))
     // a null-text reference keeps rl NULL (bp and b6 stay null, matching
     // the old left-join form) but empty ARRAYS, so the kernel still
     // counts 0 clipped matches exactly like the old coalesce(cr, 0)
     val emptyArr = typedLit(Seq.empty[String])
-    val refs = docs.join(refIds, col("doc_id") === col("ref_id"))
-      .select(col("lang").as("r_lang"), col("wl").as("rl"),
-        coalesce(col("g1"), emptyArr).as("r1"),
-        coalesce(col("g2"), emptyArr).as("r2"))
-    val hyps = docs.join(refIds, col("lang") === col("rl_lang"))
-      .filter(col("doc_id") =!= col("ref_id") && col("wl") >= 2)
-      .select(col("doc_id"), col("lang"), col("wl"), col("g1"), col("g2"))
-    hyps.join(broadcast(refs), col("lang") === col("r_lang"))
+    // refs CARRIES its lang's ref_id — one broadcast join in the
+    // hypothesis pass instead of a refIds-join + refs-join pair.
+    val refs = slim.join(broadcast(refIds), col("doc_id") === col("ref_id"))
+      .select(col("lang").as("r_lang"), col("ref_id"),
+        size(col("w0")).cast("long").as("rl"),
+        coalesce(array_sort(col("w0")), emptyArr).as("r1"),
+        coalesce(array_sort(TextOps.shinglesOf(col("w0"), 2)), emptyArr).as("r2"))
+    // deterministic hash repartition before the per-doc gram work — the
+    // single-file documents scan otherwise serializes the whole
+    // word/shingle array build into one task (see m_chrf)
+    val base = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("lang"), TextOps.words(col("text")).as("w0"))
+    base.join(broadcast(refs), col("lang") === col("r_lang"))
+      .filter(col("doc_id") =!= col("ref_id") && size(col("w0")) >= 2)
       .select(col("doc_id"), col("lang"),
-        graft.text.GramExprs.multisetIntersectSize(col("g1"), col("r1")).as("m1"),
-        col("wl").as("t1"),
-        graft.text.GramExprs.multisetIntersectSize(col("g2"), col("r2")).as("m2"),
-        size(col("g2")).cast("long").as("t2"),
-        col("wl").as("hl"), col("rl"))
+        graft.text.GramExprs.multisetIntersectSize(
+          array_sort(col("w0")), col("r1")).as("m1"),
+        size(col("w0")).cast("long").as("t1"),
+        graft.text.GramExprs.multisetIntersectSize(
+          array_sort(TextOps.shinglesOf(col("w0"), 2)), col("r2")).as("m2"),
+        (size(col("w0")).cast("long") - 1).as("t2"),
+        size(col("w0")).cast("long").as("hl"), col("rl"))
       .withColumn("bp", when(col("hl") >= col("rl"), lit(1.0))
         .otherwise(expr("exp(1.0 - CAST(rl AS DOUBLE) / hl)")))
       .withColumn("b6", expr(
@@ -1598,36 +1628,61 @@ object QueriesText {
     // the broadcast per-lang reference arrays — Σ min(count_h, count_r)
     // exactly as the oracle's explode → least(ch, cr) → sum computes,
     // with zero gram shuffle (measured 6.5 → ~1 s at sf0.1; the explode
-    // form shipped ~12M 6-char string keys through two hash aggregates)
-    // the cache holds the SORTED gram arrays: each doc's build+sort runs
-    // once and every consumer (ref branch, hyp branch, kernel + size
-    // uses) reads the materialized arrays. (The slim-text alternative —
-    // cache only (id, lang, text), build arrays after the joins — relies
-    // on codegen CSE to dedupe the inlined builds and measured 3×
-    // SLOWER at sf1: CollapseProject hands the kernel and size() each
-    // their own copy of the array_sort subtree.)
-    val docs = Tables.documents(s, d)
+    // form shipped ~12M 6-char string keys through two hash aggregates).
+    // r15: the gram arrays are NOT cached any more. The r14 form
+    // persisted per-doc sorted g3/g6 for the whole corpus — at ~3×
+    // text-size per doc the columnar cache batches run to ~10⁸ bytes,
+    // i.e. G1 humongous allocations, and the m-family window carried
+    // them for its full two-pass span (the driver's r14 run read m_chrf
+    // at 6.02 s / 32 cores with this cache resident while the same tree
+    // measured 0.8 s in three clean runs — a §5 memory failure, not a
+    // plan failure). Instead every consumer joins SLIM rows first and
+    // builds its arrays inline, each consumed exactly ONCE:
+    //  - refIds needs only (doc_id, lang) — column-pruned scan;
+    //  - refs builds arrays AFTER its broadcast ref_id join, i.e. for
+    //    |langs| docs only;
+    //  - hyps builds each array once, and the per-order totals come
+    //    from tl (t3 = tl−2, t6 = tl−5 — exact for tl ≥ 8, the hyp
+    //    filter), so no size(g) reference duplicates the array_sort
+    //    subtree under CollapseProject (the r14-documented 3×-slower
+    //    failure of the first slim-text attempt).
+    // deterministic hash repartition BEFORE the per-doc gram work: the
+    // local fixture's documents table is one small parquet file → ONE
+    // scan partition, so without this every gram build+sort ran in a
+    // single task no matter the core count (the reason the r14 cache
+    // looked mandatory: it amortized a serialized build). The exchange
+    // ships slim text rows once; the array build, sort and kernel then
+    // run at full parallelism. Partition count derives from the session
+    // (defaultParallelism), never a local constant.
+    // the two broadcast builds (refIds, refs) read the RAW 1-partition
+    // scan — they touch only slim columns / |langs| docs, and skipping
+    // the repartition keeps each broadcast chain one stage shorter
+    val slim = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         regexp_replace(col("text"), " ", "").as("t"))
-      .select(col("doc_id"), col("lang"), length(col("t")).as("tl"),
-        array_sort(grams(col("t"), 3)).as("g3"),
-        array_sort(grams(col("t"), 6)).as("g6"))
-      .persistShared()
-    val refIds = docs.groupBy(col("lang").as("rl_lang"))
+    val refIds = slim.groupBy(col("lang").as("rl_lang"))
       .agg(min("doc_id").as("ref_id"))
-    val refs = docs.join(refIds, col("doc_id") === col("ref_id"))
-      .select(col("lang").as("r_lang"), col("g3").as("rg3"),
-        col("g6").as("rg6"))
-    val hyps = docs.join(refIds, col("lang") === col("rl_lang"))
-      .filter(col("doc_id") =!= col("ref_id") && col("tl") >= 8)
-      .select(col("doc_id"), col("lang"), col("g3"), col("g6"))
-    val pc = hyps.join(broadcast(refs), col("lang") === col("r_lang"))
+    // refs CARRIES its lang's ref_id, so the hypothesis pass needs ONE
+    // broadcast join (lang → reference row incl. the ref_id to exclude)
+    // instead of the former refIds-join + refs-join pair.
+    val refs = slim.join(broadcast(refIds), col("doc_id") === col("ref_id"))
+      .select(col("lang").as("r_lang"), col("ref_id"),
+        array_sort(grams(col("t"), 3)).as("rg3"),
+        array_sort(grams(col("t"), 6)).as("rg6"))
+    val base = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("lang"),
-        graft.text.GramExprs.multisetIntersectSize(col("g3"), col("rg3")).as("m3"),
-        size(col("g3")).cast("long").as("t3"),
+        regexp_replace(col("text"), " ", "").as("t"))
+    val pc = base.join(broadcast(refs), col("lang") === col("r_lang"))
+      .filter(col("doc_id") =!= col("ref_id") && length(col("t")) >= 8)
+      .select(col("doc_id"), col("lang"),
+        graft.text.GramExprs.multisetIntersectSize(
+          array_sort(grams(col("t"), 3)), col("rg3")).as("m3"),
+        (length(col("t")) - 2).cast("long").as("t3"),
         size(col("rg3")).cast("long").as("tr3"),
-        graft.text.GramExprs.multisetIntersectSize(col("g6"), col("rg6")).as("m6"),
-        size(col("g6")).cast("long").as("t6"),
+        graft.text.GramExprs.multisetIntersectSize(
+          array_sort(grams(col("t"), 6)), col("rg6")).as("m6"),
+        (length(col("t")) - 5).cast("long").as("t6"),
         size(col("rg6")).cast("long").as("tr6"))
     // F_β=2 per order (5PR / (4P + R)), orders averaged — ONE expression
     // text shared verbatim with the oracle

@@ -178,8 +178,21 @@ object Zonal {
     * decimal rounding it cannot diverge between engines at midpoints. */
   def modes(tagged: DataFrame, v: String = "v"): DataFrame = {
     val b = tagged.select(col("name"), floor(col(v) * 10.0).as("b"))
-    val counts = b.groupBy("name", "b").count()
-      .unionAll(b.groupBy(col("b")).count().select(lit("ALL").as("name"), col("b"), col("count")))
+    // r15: ONE grouping-sets scan replaces the former two-scan unionAll
+    // (per-zone counts + a second full pass for the ALL row). Expand
+    // doubles the aggregate's input rows — the same total aggregation
+    // work the two branches did — but the input is read once. The ALL
+    // set is identified by grouping(name), NOT by name IS NULL, so a
+    // caller tagging rows with a literal null zone keeps its own group
+    // exactly as before. (A persist of the per-zone counts was measured
+    // first: the materialization barrier on the tiny aggregate cost
+    // +1.2 s on a_stats11 — the a_approx_sketches r14 lesson again.)
+    val counts = b
+      .groupingSets(Seq(Seq(col("name"), col("b")), Seq(col("b"))),
+        col("name"), col("b"))
+      .agg(count(lit(1)).as("count"), grouping(col("name")).as("gall"))
+      .select(when(col("gall") === 1, lit("ALL")).otherwise(col("name"))
+        .as("name"), col("b"), col("count"))
     val w = Window.partitionBy("name").orderBy(col("count").desc, col("b").asc)
     counts.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
