@@ -23,10 +23,21 @@ object CacheRegistry {
 
   private val frames = ArrayBuffer.empty[DataFrame]
 
-  /** Persist `df` (MEMORY_AND_DISK) and remember it for [[releaseAll]]. */
+  /** Persist `df` (MEMORY_AND_DISK) and remember it for [[releaseAll]].
+    *
+    * r15: a no-op when the plan is ALREADY cached (`storageLevel` asks
+    * the session CacheManager for this dataset's plan). Builders are
+    * pure functions re-invoked per consumer, so the same shared subtree
+    * used to re-persist per consumer — each call logged CacheManager's
+    * "Asked to cache already cached data" warning and appended another
+    * registry entry whose release round-trip [[releaseAll]] then paid.
+    * Every persist in the engine goes through here, so a cached plan is
+    * always already registered by its first share. */
   def share(df: DataFrame): DataFrame = synchronized {
-    df.persist()
-    frames += df
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.persist()
+      frames += df
+    }
     df
   }
 
