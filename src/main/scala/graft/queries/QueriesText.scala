@@ -1165,16 +1165,21 @@ object QueriesText {
     // build so the per-pair verify below is a pure two-pointer walk.
     val docArr = docShingleArr(s, d)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    // per-doc prefix under the global (df asc, sh asc) order, cut
-    // in-row: one groupBy instead of a window + size join (the struct
-    // array sorts lexicographically — df first, shingle as the tie pin;
-    // bounded by the doc's own shingle count)
+    // per-doc prefix under the global (df asc, sh asc) order, cut by a
+    // WINDOW RANK over the same doc partitioning (r15): rank ≤
+    // sz − ceil(τ·sz) + 1 selects exactly the rows the former
+    // collect_list(struct) + array_sort + slice + explode emitted
+    // (struct arrays sort lexicographically — df first, sh as the tie
+    // pin, and sh is distinct per doc), but nothing materializes a
+    // per-doc array: the build is sort-based streaming inside one
+    // exchange instead of an allocation storm per doc — the same §5
+    // fragility class removed from m_chrf/m_bleu this round.
+    val wDoc = Window.partitionBy("doc_id")
     val prefixes = sh.join(dfreq, "sh")
-      .groupBy("doc_id")
-      .agg(collect_list(struct(col("df"), col("sh"))).as("a"))
-      .select(col("doc_id"), explode(expr(
-        s"slice(array_sort(a), 1, cast(size(a) - ceil($LSH_TAU * size(a)) + 1 as int))")).as("p"))
-      .select(col("doc_id"), col("p.sh").as("sh"))
+      .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("sh"))))
+      .withColumn("nsh", count(lit(1)).over(wDoc))
+      .filter(col("rn") <= col("nsh") - ceil(lit(LSH_TAU) * col("nsh")) + 1)
+      .select("doc_id", "sh")
       .persistShared() // both sides of the prefix self-join
     val pairs = prefixes.toDF("a_id", "sh")
       .join(prefixes.toDF("b_id", "sh"), Seq("sh"))
@@ -1267,12 +1272,14 @@ object QueriesText {
     val docArr = docShingleArr(s, d).filter(sampled(col("doc_id")))
       .persistShared()
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // window-rank prefix cut — see x_lsh_recall above (identical row
+    // set to the former sorted-array slice, no per-doc array build)
+    val wDoc = Window.partitionBy("doc_id")
     val prefixes = sh.join(dfreq, "sh")
-      .groupBy("doc_id")
-      .agg(collect_list(struct(col("df"), col("sh"))).as("a"))
-      .select(col("doc_id"), explode(expr(
-        s"slice(array_sort(a), 1, cast(size(a) - ceil($LSH_TAU * size(a)) + 1 as int))")).as("p"))
-      .select(col("doc_id"), col("p.sh").as("sh"))
+      .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("sh"))))
+      .withColumn("nsh", count(lit(1)).over(wDoc))
+      .filter(col("rn") <= col("nsh") - ceil(lit(LSH_TAU) * col("nsh")) + 1)
+      .select("doc_id", "sh")
       .persistShared()
     val pairs = prefixes.toDF("a_id", "sh")
       .join(prefixes.toDF("b_id", "sh"), Seq("sh"))
